@@ -1,0 +1,187 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Streaming-semantics queries (SURVEY.md §2B #46–#51) declared as
+  * batch equivalents — the driver oracle-checks these; the same
+  * transformations run as real Structured Streaming queries in the
+  * ScalaTest suite (readStream + Trigger.AvailableNow), proving
+  * streaming ≡ batch on identical input.
+  *
+  * Scale: every one of these is keyed (by window bucket and/or
+  * user_id), so state partitions across executors; watermarks bound
+  * state in the streaming execution (§4.3).
+  */
+object Streaming {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  private val EV =
+    """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+      |                  event_type, value, props FROM events)
+      |""".stripMargin
+
+  // ---- #46 q_stream_tumbling ---------------------------------------------
+  val qStreamTumbling: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(dec(col("value"))).cast("decimal(38,2)").as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy("hour_start", "event_type")
+
+  val qStreamTumblingSql: String = EV +
+    """SELECT DATE_TRUNC('hour', ts) AS hour_start, event_type,
+      |       COUNT(*) AS n,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+      |FROM e
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  // ---- #47 q_stream_sliding ----------------------------------------------
+  // 1h windows every 30 min: each event lands in exactly 2 windows.
+  // Oracle reproduces Spark's epoch-aligned grid with integer µs
+  // arithmetic (exact — no float epoch).
+  val qStreamSliding: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("win_start"), col("cnt"))
+      .orderBy("win_start")
+
+  val qStreamSlidingSql: String = EV +
+    """SELECT make_timestamp(((epoch_us(ts) - off) // 3600000000) * 3600000000 + off) AS win_start,
+      |       COUNT(*) AS cnt
+      |FROM e CROSS JOIN (SELECT UNNEST([CAST(0 AS BIGINT), CAST(1800000000 AS BIGINT)]) AS off) offs
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
+  // ---- #48 q_stream_session ----------------------------------------------
+  // Gap semantics: a session window is [t, t+30min); an event at
+  // exactly +30min starts a NEW session → oracle uses `>= INTERVAL 30
+  // MINUTE` as the new-session condition (gaps-and-islands).
+  val qStreamSession: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        date_trunc("second", col("session_window.start")).as("session_start"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
+
+  val qStreamSessionSql: String = EV +
+    """, e2 AS (
+      |  SELECT user_id, event_id, ts,
+      |         CASE WHEN LAG(ts) OVER w IS NULL
+      |              OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+      |              THEN 1 ELSE 0 END AS new_s
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT user_id, ts,
+      |         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                          ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM e2)
+      |SELECT user_id, DATE_TRUNC('second', MIN(ts)) AS session_start,
+      |       COUNT(*) AS n_events
+      |FROM sess
+      |GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
+  // ---- #49 q_stream_dedup ------------------------------------------------
+  // `unique()` semantics: first event per (user_id, event_type) in
+  // (ts, event_id) order — declared deterministically via row_number
+  // (dropDuplicates picks an arbitrary row; the streaming test uses
+  // dropDuplicatesWithinWatermark for the same key set).
+  val qStreamDedup: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"),
+        col("event_id").as("first_event_id"),
+        date_trunc("second", col("ts")).as("first_ts"))
+      .orderBy("user_id", "event_type")
+  }
+
+  val qStreamDedupSql: String = EV +
+    """SELECT user_id, event_type, event_id AS first_event_id,
+      |       DATE_TRUNC('second', ts) AS first_ts
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+      |        ORDER BY ts, event_id) AS rn FROM e)
+      |WHERE rn = 1
+      |ORDER BY user_id, event_type""".stripMargin
+
+  // ---- #50 q_cdc_latest_by_key -------------------------------------------
+  // The reference's table-replication semantic (§2A): changelog keyed
+  // by user_id, versioned by (ts, event_id) → latest state per key.
+  val qCdcLatestByKey: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_type"),
+        dec(col("value")).as("last_value"),
+        date_trunc("second", col("ts")).as("last_ts"))
+      .orderBy("user_id")
+  }
+
+  val qCdcLatestByKeySql: String = EV +
+    """SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+      |       CAST(value AS DECIMAL(18,2)) AS last_value,
+      |       DATE_TRUNC('second', ts) AS last_ts
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+      |        ORDER BY ts DESC, event_id DESC) AS rn FROM e)
+      |WHERE rn = 1
+      |ORDER BY user_id""".stripMargin
+
+  // ---- #51 q_cdc_scd2 ----------------------------------------------------
+  // Slowly-changing-dimension type 2: validity [ts, next ts) per key +
+  // current-row flag.
+  val qCdcScd2: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("ts_sec", date_trunc("second", col("ts")))
+      .select(col("user_id"), col("event_id"),
+        col("ts_sec").as("valid_from"),
+        lead(col("ts_sec"), 1).over(w).as("valid_to"),
+        lead(col("ts_sec"), 1).over(w).isNull.cast("int").as("is_current"))
+      .orderBy("user_id", "valid_from", "event_id")
+  }
+
+  val qCdcScd2Sql: String = EV +
+    """SELECT user_id, event_id,
+      |       DATE_TRUNC('second', ts) AS valid_from,
+      |       LEAD(DATE_TRUNC('second', ts), 1) OVER w AS valid_to,
+      |       CAST(LEAD(ts, 1) OVER w IS NULL AS INT) AS is_current
+      |FROM e
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, valid_from, event_id""".stripMargin
+
+  // ------------------------------------------------------------------------
+  val queries: Map[String, Q] = Map(
+    "q_stream_tumbling" -> qStreamTumbling,
+    "q_stream_sliding" -> qStreamSliding,
+    "q_stream_session" -> qStreamSession,
+    "q_stream_dedup" -> qStreamDedup,
+    "q_cdc_latest_by_key" -> qCdcLatestByKey,
+    "q_cdc_scd2" -> qCdcScd2,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_stream_tumbling" -> qStreamTumblingSql,
+    "q_stream_sliding" -> qStreamSlidingSql,
+    "q_stream_session" -> qStreamSessionSql,
+    "q_stream_dedup" -> qStreamDedupSql,
+    "q_cdc_latest_by_key" -> qCdcLatestByKeySql,
+    "q_cdc_scd2" -> qCdcScd2Sql,
+  )
+}
