@@ -62,9 +62,10 @@ object Streaming {
       |ORDER BY 1""".stripMargin
 
   // ---- #48 q_stream_session ----------------------------------------------
-  // Gap semantics: a session window is [t, t+30min); an event at
-  // exactly +30min starts a NEW session → oracle uses `>= INTERVAL 30
-  // MINUTE` as the new-session condition (gaps-and-islands).
+  // Gap semantics (verified in StreamingSuite against real
+  // session_window execution): an event at EXACTLY +30min still
+  // merges — a new session starts only when the gap is STRICTLY
+  // GREATER than 30min → oracle uses `> INTERVAL 30 MINUTE`.
   val qStreamSession: Q = (s, dir) =>
     Tables.events(s, dir)
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
@@ -78,7 +79,7 @@ object Streaming {
     """, e2 AS (
       |  SELECT user_id, event_id, ts,
       |         CASE WHEN LAG(ts) OVER w IS NULL
-      |              OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+      |              OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
       |              THEN 1 ELSE 0 END AS new_s
       |  FROM e
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
@@ -166,6 +167,54 @@ object Streaming {
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       |ORDER BY user_id, valid_from, event_id""".stripMargin
 
+  // ---- #59 q_stream_watermark_late ---------------------------------------
+  // Declared fn = the 10-min-window agg the watermark would feed
+  // (withWatermark is a no-op in batch, so batch output = "no rows
+  // late"); the late-row-DROP behavior is only observable in a real
+  // stream and is asserted in StreamingSuite with out-of-order
+  // MemoryStream input.
+  val qStreamWatermarkLate: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("win_start"), col("cnt"))
+      .orderBy("win_start")
+
+  val qStreamWatermarkLateSql: String = EV +
+    """SELECT make_timestamp((epoch_us(ts) // 600000000) * 600000000) AS win_start,
+      |       COUNT(*) AS cnt
+      |FROM e
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
+  // ---- #60 q_stream_stateful_count ---------------------------------------
+  // Custom state: flatMapGroupsWithState executed in batch mode (one
+  // state fold per key); the incremental multi-batch execution with
+  // EventTimeTimeout is asserted in StreamingSuite.
+  val qStreamStatefulCount: Q = (s, dir) => {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import s.implicits._
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (uid: Long, rows: Iterator[(Long, Long)], state: GroupState[Long]) => {
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          Iterator.single((uid, n))
+        })
+      .toDF("user_id", "n_events")
+      .orderBy("user_id")
+  }
+
+  val qStreamStatefulCountSql: String = EV +
+    """SELECT user_id, COUNT(*) AS n_events
+      |FROM e
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   // ------------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "q_stream_tumbling" -> qStreamTumbling,
@@ -174,6 +223,8 @@ object Streaming {
     "q_stream_dedup" -> qStreamDedup,
     "q_cdc_latest_by_key" -> qCdcLatestByKey,
     "q_cdc_scd2" -> qCdcScd2,
+    "q_stream_watermark_late" -> qStreamWatermarkLate,
+    "q_stream_stateful_count" -> qStreamStatefulCount,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -183,5 +234,7 @@ object Streaming {
     "q_stream_dedup" -> qStreamDedupSql,
     "q_cdc_latest_by_key" -> qCdcLatestByKeySql,
     "q_cdc_scd2" -> qCdcScd2Sql,
+    "q_stream_watermark_late" -> qStreamWatermarkLateSql,
+    "q_stream_stateful_count" -> qStreamStatefulCountSql,
   )
 }

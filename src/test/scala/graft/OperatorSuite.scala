@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.{LlmPipeline, Scalars}
+
+/** Non-oracle assertions (SURVEY.md §5.3): approximation error bounds,
+  * planted-duplicate recall, ANN recall — the properties that replace
+  * a hash-match for engine-specific operators (#21, #53, #55).
+  */
+class OperatorSuite extends GraftSuite {
+
+  test("q_approx_hll (#21): HLL++ relative error < 5% vs exact") {
+    val rows = Scalars.qApproxHll(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_users").toDouble
+      val exact = r.getAs[Long]("exact_users").toDouble
+      assert(math.abs(approx - exact) / exact < 0.05,
+        s"${r.getString(0)}: approx=$approx exact=$exact")
+    }
+  }
+
+  test("q_dedup_fuzzy_minhash (#53): high recall vs brute-force near-dup ground truth; distances accurate") {
+    val out = LlmPipeline.qDedupFuzzyMinhash(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Double]("jaccard_dist")))
+    assert(out.nonEmpty, "fixture has near-duplicates by construction")
+    assert(out.forall(_._3 <= 0.5), "all reported pairs within the 0.5 distance threshold")
+    // driver-side brute-force ground truth on 3-shingle sets (500 docs)
+    val shingles: Map[Long, Set[String]] = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val ws = r.getString(1).split(" ")
+        r.getLong(0) -> ws.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+      }.toMap.filter(_._2.nonEmpty)
+    def jaccardDist(a: Set[String], b: Set[String]): Double =
+      1.0 - a.intersect(b).size.toDouble / a.union(b).size
+    val ids = shingles.keys.toSeq.sorted
+    val truth = for {
+      i <- ids.indices; j <- i + 1 until ids.size
+      d = jaccardDist(shingles(ids(i)), shingles(ids(j))) if d <= 0.35
+    } yield (ids(i), ids(j))
+    assert(truth.nonEmpty, "fixture has clear near-dups (dist <= 0.35) by construction")
+    val found = out.map(p => (p._1, p._2)).toSet
+    val recall = truth.count(found.contains).toDouble / truth.size
+    assert(recall >= 0.8, s"recall of clear near-dups = $recall over ${truth.size} pairs")
+    // reported distances are exact Jaccard on the shingle sets (up to
+    // rare HashingTF collisions at 2^18 bins)
+    out.foreach { case (a, b, d) =>
+      val t = jaccardDist(shingles(a), shingles(b))
+      assert(math.abs(d - t) <= 0.02, s"pair ($a,$b): reported $d vs true $t")
+    }
+  }
+
+  test("q_sim_lsh_ann (#55): recall@5 >= 0.8 vs exact cosine top-k") {
+    val exact = LlmPipeline.qSimCosineTopk(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ann = LlmPipeline.qSimLshAnn(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (qid, truth) =>
+      val hit = ann.getOrElse(qid, Set.empty).intersect(truth).size
+      hit.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.8, s"mean recall@5 = $mean (wanted >= 0.8) over ${recalls.size} queries")
+  }
+
+  test("GeoMean aggregator (#44): known-answer") {
+    val sess = spark
+    import sess.implicits._
+    val geomean = udaf(graft.functions.GeoMean)
+    val out = Seq(2.0, 8.0).toDF("x")
+      .agg(geomean($"x").as("g"))
+      .collect().head.getDouble(0)
+    assert(math.abs(out - 4.0) < 1e-12) // sqrt(2*8) = 4
+  }
+
+  test("slugify UDF (#43): known-answers incl. edge cases") {
+    val sess = spark
+    import sess.implicits._
+    val slugify = udf((s: String) =>
+      if (s == null) null
+      else s.toLowerCase.replaceAll("[^a-z0-9]+", "-").replaceAll("^-+|-+$", ""))
+    val got = Seq("Hello,  World!", "  trim me ", "already-fine", "***")
+      .toDF("s").select(slugify($"s")).collect().map(_.getString(0)).toSeq
+    assert(got == Seq("hello-world", "trim-me", "already-fine", ""))
+  }
+
+  test("partition invariance (§5.5): q1-shape agg identical under repartition(k)") {
+    val li = Tables.lineitem(spark, sf0001)
+    def agg(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sq"),
+           count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+      .collect().toSeq
+    val base = agg(li)
+    for (k <- Seq(1, 2, 7))
+      assert(agg(li.repartition(k)) == base, s"repartition($k) changed the result")
+  }
+
+  test("dedup idempotence (§5.5): applying latest-by-key twice == once") {
+    val once = queries.Streaming.qCdcLatestByKey(spark, sf0001)
+    val twice = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("last_ts").desc, col("last_event_id").desc)
+      once.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+    }
+    assert(twice.orderBy("user_id").collect().toSeq == once.orderBy("user_id").collect().toSeq)
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import graft.queries.Relational
+
+/** Plan-shape guards (SURVEY.md §5.6): the §4 "free from Catalyst"
+  * claims, pinned so a refactor can't silently regress them — these
+  * are exactly the properties that matter at 100 TB.
+  */
+class PlanSuite extends GraftSuite {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.sparkPlan.toString
+
+  test("q_scan_filter_pushdown (#2): predicates reach the parquet scan") {
+    val p = plan(Relational.qScanFilterPushdown(spark, sf0001))
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") || p.contains("l_shipdate"), p)
+  }
+
+  test("q_scan_project (#1): column pruning — scan reads only the 4 projected columns") {
+    val p = plan(Relational.qScanProject(spark, sf0001))
+    assert(p.contains("ReadSchema"), p)
+    val read = p.split("ReadSchema:")(1).split("\n")(0)
+    assert(read.contains("l_orderkey") && read.contains("l_quantity"), read)
+    assert(!read.contains("l_extendedprice") && !read.contains("l_shipdate"),
+      s"scan must not read unprojected columns: $read")
+  }
+
+  test("q_join_broadcast (#6): dimension side broadcasts (no fact shuffle)") {
+    val p = plan(Relational.qJoinBroadcast(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q_topk_global (#29): orderBy+limit plans as TakeOrderedAndProject (no global sort)") {
+    val p = plan(Relational.qTopkGlobal(spark, sf0001))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q_agg_group_sum (#14): two-phase HashAggregate (partial + final)") {
+    val p = plan(Relational.qAggGroupSum(spark, sf0001))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final HashAggregate:\n$p")
+  }
+
+  test("q_join_semi/anti (#9/#10): planned as semi/anti joins, not materialized inner joins") {
+    assert(plan(Relational.qJoinSemi(spark, sf0001)).contains("LeftSemi"))
+    assert(plan(Relational.qJoinAnti(spark, sf0001)).contains("LeftAnti"))
+  }
+}

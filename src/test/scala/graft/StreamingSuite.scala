@@ -1,0 +1,191 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Real Structured Streaming executions of the §2B streaming
+  * semantics (SURVEY.md §5.4): MemoryStream input → memory sink,
+  * asserting streaming results equal the declared batch semantics on
+  * identical input, including out-of-order/watermark behavior that is
+  * invisible in batch (#59) and incremental custom state (#60).
+  */
+class StreamingSuite extends GraftSuite {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("tumbling window: streaming == batch on identical input") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx = sess.sqlContext
+    val data = Seq(
+      (ts("2024-01-01 00:05:00"), "click", 1.0),
+      (ts("2024-01-01 00:55:00"), "click", 2.0),
+      (ts("2024-01-01 01:05:00"), "view", 3.0),
+      (ts("2024-01-01 01:45:00"), "click", 4.0))
+    val ms = MemoryStream[(Timestamp, String, Double)]
+    ms.addData(data: _*)
+    val streamed = ms.toDF().toDF("ts", "event_type", "value")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"), sum($"value").as("sv"))
+      .select($"window.start".as("hour_start"), $"event_type", $"n", $"sv")
+    val q = streamed.writeStream.format("memory").queryName("tumbling_t")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = sess.table("tumbling_t").orderBy("hour_start", "event_type").collect().toSeq
+    val want = data.toDF("ts", "event_type", "value")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"), sum($"value").as("sv"))
+      .select($"window.start".as("hour_start"), $"event_type", $"n", $"sv")
+      .orderBy("hour_start", "event_type").collect().toSeq
+    assert(got == want)
+    assert(got.size == 3)
+  }
+
+  test("session window: gap == 30min still merges; only a strictly greater gap splits") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx = sess.sqlContext
+    // u1: 00:00, 00:29:59 (merge), 00:59:59 exactly 30:00 later (still
+    // merges — boundary is inclusive), 01:40:00 (> 30min → NEW session)
+    val data = Seq(
+      (ts("2024-01-01 00:00:00"), 1L),
+      (ts("2024-01-01 00:29:59"), 1L),
+      (ts("2024-01-01 00:59:59"), 1L),
+      (ts("2024-01-01 01:40:00"), 1L))
+    val ms = MemoryStream[(Timestamp, Long)]
+    ms.addData(data: _*)
+    val streamed = ms.toDF().toDF("ts", "user_id")
+      .withWatermark("ts", "0 seconds")
+      .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n"))
+      .select($"user_id", $"session_window.start".as("start"), $"n")
+    val q = streamed.writeStream.format("memory").queryName("session_t")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = sess.table("session_t").orderBy("start").collect()
+      .map(r => (r.getTimestamp(1), r.getLong(2))).toSeq
+    assert(got == Seq((ts("2024-01-01 00:00:00"), 3L), (ts("2024-01-01 01:40:00"), 1L)),
+      s"expected inclusive boundary merge + strict-gap split, got $got")
+  }
+
+  test("streaming dedup: dropDuplicatesWithinWatermark removes re-delivered events") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx = sess.sqlContext
+    val ms = MemoryStream[(Long, Timestamp)]
+    val streamed = ms.toDF().toDF("event_id", "ts")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = streamed.writeStream.format("memory").queryName("dedup_t")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    ms.addData((1L, ts("2024-01-01 00:00:00")), (2L, ts("2024-01-01 00:01:00")))
+    q.processAllAvailable()
+    ms.addData((1L, ts("2024-01-01 00:02:00")), (3L, ts("2024-01-01 00:03:00"))) // 1 re-delivered
+    q.processAllAvailable()
+    q.stop()
+    val got = sess.table("dedup_t").select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(1L, 2L, 3L), s"duplicate event_id must be dropped, got $got")
+  }
+
+  test("watermark (#59): late rows beyond the watermark are dropped from window aggs") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx = sess.sqlContext
+    val ms = MemoryStream[(Timestamp, String)]
+    val streamed = ms.toDF().toDF("ts", "k")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "10 minutes"))
+      .agg(count(lit(1)).as("cnt"))
+      .select($"window.start".as("win_start"), $"cnt")
+    val q = streamed.writeStream.format("memory").queryName("late_t")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    // batch 1: rows at 00:00 and 00:30 → watermark advances to 00:20
+    ms.addData((ts("2024-01-01 00:00:00"), "a"), (ts("2024-01-01 00:30:00"), "a"))
+    q.processAllAvailable()
+    // batch 2: a LATE row for the [00:00,00:10) window — behind the watermark → dropped
+    ms.addData((ts("2024-01-01 00:05:00"), "late"))
+    q.processAllAvailable()
+    // batch 3: advance watermark far enough to emit all windows
+    ms.addData((ts("2024-01-01 02:00:00"), "a"))
+    q.processAllAvailable()
+    q.stop()
+    val got = sess.table("late_t").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1))).toMap
+    assert(got(ts("2024-01-01 00:00:00")) == 1L,
+      s"late row must NOT be counted (watermark drop), got $got")
+    assert(got(ts("2024-01-01 00:30:00")) == 1L)
+  }
+
+  test("custom state (#60): flatMapGroupsWithState counts incrementally across batches; EventTimeTimeout fires") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx = sess.sqlContext
+    val ms = MemoryStream[(Timestamp, Long)]
+    val counted = ms.toDF().toDF("ts", "uid")
+      .withWatermark("ts", "0 seconds")
+      .as[(Timestamp, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(
+        (uid: Long, rows: Iterator[(Timestamp, Long)], state: GroupState[Long]) => {
+          if (state.hasTimedOut) {
+            val n = state.get
+            state.remove()
+            Iterator.single((uid, -n)) // negative marker = state evicted at timeout
+          } else {
+            val batch = rows.toSeq
+            val n = state.getOption.getOrElse(0L) + batch.size
+            state.update(n)
+            // timeout 10 min after this group's newest event — fires
+            // once the watermark (other keys' events) passes it
+            state.setTimeoutTimestamp(batch.map(_._1.getTime).max + 600000L)
+            Iterator.single((uid, n))
+          }
+        })
+      .toDF("uid", "n")
+    val q = counted.writeStream.format("memory").queryName("state_t")
+      .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
+    ms.addData((ts("2024-01-01 00:00:00"), 1L), (ts("2024-01-01 00:00:10"), 1L))
+    q.processAllAvailable()
+    ms.addData((ts("2024-01-01 00:01:00"), 1L)) // incremental: count 2 → 3
+    q.processAllAvailable()
+    ms.addData((ts("2024-01-01 01:00:00"), 2L)) // watermark jumps 1h → u1 times out
+    q.processAllAvailable()
+    q.stop()
+    val rows = sess.table("state_t").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows.contains((1L, 2L)), s"batch-1 count, got $rows")
+    assert(rows.contains((1L, 3L)), s"incremental batch-2 count (state carried), got $rows")
+    assert(rows.contains((1L, -3L)), s"EventTimeTimeout must evict u1's state, got $rows")
+  }
+
+  test("CDC latest-by-key (#50): streaming latest-state == batch fold of the changelog") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx = sess.sqlContext
+    val ms = MemoryStream[(Long, Long, String)] // (seq, key, value)
+    val latest = ms.toDF().toDF("seq", "key", "value")
+      .as[(Long, Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (key: Long, rows: Iterator[(Long, Long, String)], state: GroupState[(Long, String)]) => {
+          val best = (rows.map(r => (r._1, r._3)) ++ state.getOption.iterator)
+            .maxBy(_._1)
+          state.update(best)
+          Iterator.single((key, best._1, best._2))
+        })
+      .toDF("key", "seq", "value")
+    val q = latest.writeStream.format("memory").queryName("cdc_t")
+      .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
+    ms.addData((1L, 10L, "a"), (2L, 10L, "b"), (3L, 20L, "x"))
+    q.processAllAvailable()
+    ms.addData((4L, 10L, "c"), (5L, 30L, "y"))
+    q.processAllAvailable()
+    q.stop()
+    // latest emitted state per key:
+    val got = sess.table("cdc_t").collect().map(r => (r.getLong(0), (r.getLong(1), r.getString(2))))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).maxBy(_._1) }
+    assert(got == Map(10L -> ((4L, "c")), 20L -> ((3L, "x")), 30L -> ((5L, "y"))),
+      s"streaming latest-state must equal changelog fold, got $got")
+  }
+}
