@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** PgCdcSimSource (SURVEY.md §7 M4): snapshot+poll micro-batch
+  * replay of a deterministic changelog, and the reference's
+  * table-replication semantic driven live through it.
+  */
+class CdcSourceSuite extends GraftSuite {
+
+  private def readCdc(batchSize: Int, snapshotSeq: Int) =
+    spark.readStream.format("pg-cdc-sim")
+      .option("path", s"$sf0001/events.parquet")
+      .option("batchSize", batchSize.toString)
+      .option("snapshotSeq", snapshotSeq.toString)
+      .option("numPartitions", "4")
+      .load()
+
+  test("snapshot + poll: replays the full changelog exactly once, in multiple micro-batches") {
+    val q = readCdc(batchSize = 200, snapshotSeq = 499)
+      .writeStream.format("memory").queryName("cdc_replay")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("cdc_replay")
+    assert(got.count() == 1000, "all 1000 events replayed")
+    assert(got.select("seq").distinct().count() == 1000, "exactly once per seq")
+    // ops: I on first appearance of a key, U after
+    val collected = got.select("key", "seq", "op").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val firstSeqPerKey = collected.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val inserts = collected.filter(_._3 == "I")
+    assert(inserts.length == firstSeqPerKey.size)
+    assert(inserts.forall { case (k, s, _) => firstSeqPerKey(k) == s },
+      "I must be exactly each key's first change")
+    // snapshot then poll quantum: 1000 rows @ snapshot 500 + 200/poll
+    // → ≥ 3 non-empty micro-batches
+    val batches = q.recentProgress.map(_.numInputRows).filter(_ > 0)
+    assert(batches.length >= 3, s"expected snapshot+polls, got ${batches.toSeq}")
+    assert(batches.head == 500, s"first batch must be the snapshot (got ${batches.toSeq})")
+    assert(batches.tail.forall(_ <= 200), s"poll quantum respected: ${batches.toSeq}")
+  }
+
+  test("live table replication: streaming latest-by-key over CDC == batch q_cdc_latest_by_key") {
+    val state = scala.collection.mutable.HashMap.empty[Long, (Long, Long, String, Double)]
+    val q = readCdc(batchSize = 300, snapshotSeq = 99)
+      .writeStream.outputMode("append").trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        // idempotent upsert by (seq) — the reference's "downstream
+        // consumers reconstruct current table state" semantic
+        df.select("key", "seq", "ts", "event_type", "value").collect().foreach { r =>
+          val k = r.getLong(0); val seq = r.getLong(1)
+          val cur = state.get(k)
+          if (cur.isEmpty || cur.get._1 < seq)
+            state(k) = (seq, r.getTimestamp(2).getTime, r.getString(3), r.getDouble(4))
+        }
+        ()
+      }.start()
+    q.awaitTermination(120000)
+    val batch = queries.Streaming.qCdcLatestByKey(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("last_event_id")).toMap
+    val gotSeqs = state.map { case (k, v) => k -> v._1 }.toMap
+    assert(gotSeqs == batch,
+      s"live replication must equal batch fold; diff=${(gotSeqs.toSet diff batch.toSet).take(5)}")
+  }
+
+  test("batch read of the source returns the whole changelog") {
+    val df = spark.read.format("pg-cdc-sim")
+      .option("path", s"$sf0001/events.parquet").load()
+    assert(df.count() == 1000)
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("seq", "key", "op", "ts", "event_type", "value"))
+  }
+}
