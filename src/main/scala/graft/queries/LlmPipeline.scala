@@ -66,7 +66,10 @@ object LlmPipeline {
       .filter(size(col("shingles")) > 0)
     val tf = new HashingTF().setInputCol("shingles").setOutputCol("features")
       .setNumFeatures(1 << 18).setBinary(true)
-    val feat = tf.transform(docs)
+    // cache: the featurized relation is both sides of the self-join
+    // (and the LSH fit input) — without it Spark recomputes the
+    // shingle+hash pipeline three times
+    val feat = tf.transform(docs).cache()
     val mh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
       .setNumHashTables(8).setSeed(42L)
     val model = mh.fit(feat)
