@@ -25,15 +25,14 @@ import graft.Tables
 object LlmPipeline {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Sequential-fold dot product of two float vectors as doubles. */
-  private def dotExpr(a: String, b: String): Column = expr(
-    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
-      "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+  /** Dot product via the codegen'd native expression (bit-identical
+    * to the `zip_with`+`aggregate` HOF fold — see FloatVecDot).
+    * Callers must FloatVecDot.register(s) first.
+    */
+  private def dotExpr(a: String, b: String): Column = expr(s"fvec_dot($a, $b)")
 
-  /** Sequential-fold L2 norm of a float vector. */
-  private def normExpr(a: String): Column = sqrt(expr(
-    s"aggregate(transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), " +
-      "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"))
+  /** L2 norm via the same expression: sqrt(dot(v, v)). */
+  private def normExpr(a: String): Column = sqrt(expr(s"fvec_dot($a, $a)"))
 
   // ---- #52 q_dedup_exact_docs --------------------------------------------
   val qDedupExactDocs: Q = (s, dir) =>
@@ -87,6 +86,7 @@ object LlmPipeline {
   // "small query batch vs huge corpus" shape, and #55 is the indexed
   // alternative.
   val qSimCosineTopk: Q = (s, dir) => {
+    graft.functions.FloatVecDot.register(s)
     val e = Tables.embeddings(s, dir)
     val q = e.filter(col("vec_id") < 50)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
@@ -214,7 +214,8 @@ object LlmPipeline {
   // ---- #58 q_multimodal_join ---------------------------------------------
   // Text + vector side by side, one flat row per doc (the "multimodal
   // column" pattern: typed columns joined on the doc key).
-  val qMultimodalJoin: Q = (s, dir) =>
+  val qMultimodalJoin: Q = (s, dir) => {
+    graft.functions.FloatVecDot.register(s)
     Tables.documents(s, dir)
       .join(Tables.embeddings(s, dir),
         col("doc_id") === col("vec_id"), "inner")
@@ -222,6 +223,7 @@ object LlmPipeline {
         length(col("text")).as("text_len"),
         round(normExpr("embedding"), 6).as("emb_norm"))
       .orderBy("doc_id")
+  }
 
   val qMultimodalJoinSql: String =
     """SELECT doc_id, lang, label,

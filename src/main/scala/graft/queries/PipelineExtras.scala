@@ -1,0 +1,315 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Extended LLM-pipeline operators beyond the original §2B inventory
+  * (builder-prompt first-class additions): SimHash + n-gram-Jaccard +
+  * embedding-cosine dedup, language ID, quality scoring, token
+  * counting, document fingerprinting. SURVEY.md §2B rows 61–67.
+  *
+  * All seven are exactly oracle-checked: every hash is md5-derived
+  * (identical hex in both engines) and every float is either avoided
+  * (integer scores) or produced by one deterministic arithmetic step
+  * before round().
+  */
+object PipelineExtras {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Per-word 32-bit hash: first 8 hex digits of md5 — engine-portable
+    * (Spark `conv(hex,16,10)`; DuckDB via per-digit strpos+shift).
+    */
+  private val SPARK_WORD_HASH = "CAST(conv(substring(md5(word), 1, 8), 16, 10) AS BIGINT)"
+  private val DUCK_WORD_HASH =
+    """CAST(list_sum(list_transform(generate_series(1, 8),
+      |  i -> (CAST(strpos('0123456789abcdef', substring(md5(word), i, 1)) AS BIGINT) - 1)
+      |       << (4 * (8 - i)))) AS BIGINT)""".stripMargin
+
+  // ---- #61 q_dedup_simhash -----------------------------------------------
+  // 32-bit SimHash: per word-occurrence hash, per-bit ±1 vote, sign →
+  // signature bit. Implemented as ONE groupBy with 32 conditional-sum
+  // aggregates (no 32× row blowup — the shuffle carries 32 longs per
+  // doc), which is the shape that survives 100 TB.
+  val qDedupSimhash: Q = (s, dir) => {
+    val wh = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .withColumn("h", expr(SPARK_WORD_HASH))
+    val votes = (0 until 32).map(b =>
+      sum(when(expr(s"(h >> $b) & 1") === 1, 1).otherwise(-1)).as(s"s$b"))
+    val sig = (0 until 32).map(b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+    wh.groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), sig.as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  val qDedupSimhashSql: String = {
+    val votes = (0 until 32).map(b =>
+      s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b").mkString(",\n         ")
+    val sig = (0 until 32).map(b =>
+      s"(CASE WHEN s$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+    s"""WITH w AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents),
+       |wh AS (SELECT doc_id, $DUCK_WORD_HASH AS h FROM w),
+       |v AS (SELECT doc_id,
+       |         $votes
+       |      FROM wh GROUP BY doc_id)
+       |SELECT doc_id, $sig AS simhash
+       |FROM v
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- #62 q_dedup_ngram_jaccard -----------------------------------------
+  // EXACT 3-gram Jaccard, computed relationally (distinct-shingle
+  // self-join + group counts) instead of array cross-products — the
+  // join on shingle is the formulation that scales (candidate pairs
+  // are generated only where shingles actually collide). Bounded here
+  // to doc_id < 200 to keep the all-pairs result small.
+  val qDedupNgramJaccard: Q = (s, dir) => {
+    val sh = Tables.documents(s, dir)
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
+        .as("sh"))
+      .distinct()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sa"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sb"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter").cast("double") /
+          (col("sa") + col("sb") - col("inter")).cast("double"), 6).as("jaccard"))
+      .filter(col("jaccard") >= 0.2)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val qDedupNgramJaccardSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |           WHERE doc_id < 200 AND LEN(string_split(text, ' ')) >= 3),
+      |sh AS (SELECT DISTINCT doc_id, sh FROM (
+      |  SELECT doc_id, UNNEST(list_transform(generate_series(1, LEN(ws) - 2),
+      |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh FROM d)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b,
+      |       ROUND(CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = doc_a
+      |JOIN sizes sb ON sb.doc_id = doc_b
+      |WHERE ROUND(CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) >= 0.2
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---- #63 q_dedup_embed_cosine ------------------------------------------
+  // Near-dup detection by embedding cosine, blocked by label (the
+  // blocking key stands in for an IVF/LSH bucket at scale: pairs are
+  // only generated within a block). Unit-normalized vectors ⇒ cosine
+  // = dot product.
+  val qDedupEmbedCosine: Q = (s, dir) => {
+    graft.functions.FloatVecDot.register(s)
+    val e = Tables.embeddings(s, dir)
+    val a = e.select(col("label").as("la"), col("vec_id").as("ia"), col("embedding").as("ea"))
+    val b = e.select(col("label").as("lb"), col("vec_id").as("ib"), col("embedding").as("eb"))
+    a.join(b, col("la") === col("lb") && col("ia") < col("ib"))
+      .select(col("ia"), col("ib"),
+        round(expr("fvec_dot(ea, eb)"), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.4)
+      .orderBy("ia", "ib")
+  }
+
+  val qDedupEmbedCosineSql: String =
+    """WITH p AS (
+      |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+      |         ROUND(list_sum(list_transform(generate_series(1, LEN(a.embedding)),
+      |           i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))), 6) AS cos_sim
+      |  FROM embeddings a JOIN embeddings b
+      |    ON a.label = b.label AND a.vec_id < b.vec_id)
+      |SELECT ia, ib, cos_sim FROM p WHERE cos_sim >= 0.4
+      |ORDER BY ia, ib""".stripMargin
+
+  // ---- #64 q_text_langid -------------------------------------------------
+  // N-gram-profile language ID: profile = each lang's top-10 terms by
+  // tf-idf; a doc's predicted lang = argmax of summed profile weights
+  // over its words. Weights are integerized (round(tfidf·1e6)) so the
+  // per-(doc,lang) sums are exact in both engines — no float-reduction
+  // ordering hazard.
+  val qTextLangid: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val words = docs.select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("term"))
+    val tf = words.groupBy(col("lang"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = words.select(col("lang"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nLangs = docs.agg(countDistinct(col("lang")).as("n_langs"))
+    val weights = tf.join(df, "term").crossJoin(broadcast(nLangs))
+      .select(col("lang").as("plang"), col("term"),
+        expr("CAST(ROUND(CAST(tf AS DOUBLE) * LN(CAST(n_langs AS DOUBLE) / CAST(df AS DOUBLE)) * 1000000) AS BIGINT)")
+          .as("w"))
+    val profile = weights
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("plang")).orderBy(col("w").desc, col("term"))))
+      .filter(col("rn") <= 10).drop("rn")
+    val scores = words.join(profile, "term")
+      .groupBy(col("doc_id"), col("lang"), col("plang"))
+      .agg(sum(col("w")).as("score"))
+    scores
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("plang"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("plang").as("predicted"),
+        (col("lang") === col("plang")).cast("int").as("correct"))
+      .orderBy("doc_id")
+  }
+
+  val qTextLangidSql: String =
+    """WITH words AS (
+      |  SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT lang, term, COUNT(*) AS tf FROM words GROUP BY 1, 2),
+      |df AS (SELECT term, COUNT(DISTINCT lang) AS df FROM words GROUP BY 1),
+      |nl AS (SELECT COUNT(DISTINCT lang) AS n_langs FROM documents),
+      |weights AS (
+      |  SELECT tf.lang AS plang, tf.term,
+      |         CAST(ROUND(CAST(tf.tf AS DOUBLE)
+      |           * LN(CAST(nl.n_langs AS DOUBLE) / CAST(df.df AS DOUBLE)) * 1000000) AS BIGINT) AS w
+      |  FROM tf JOIN df USING (term) CROSS JOIN nl),
+      |profile AS (
+      |  SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY plang
+      |    ORDER BY w DESC, term) AS rn FROM weights) WHERE rn <= 10),
+      |scores AS (
+      |  SELECT w.doc_id, w.lang, p.plang, SUM(p.w) AS score
+      |  FROM words w JOIN profile p USING (term)
+      |  GROUP BY 1, 2, 3)
+      |SELECT doc_id, lang, plang AS predicted,
+      |       CAST(lang = plang AS INT) AS correct
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+      |        ORDER BY score DESC, plang) AS rn FROM scores)
+      |WHERE rn = 1
+      |ORDER BY doc_id""".stripMargin
+
+  // ---- #65 q_text_quality ------------------------------------------------
+  // Quality heuristics: word count, derived avg word length, stopword
+  // ratio (vs the global top-20 words), length score. Each float is a
+  // single division/min from exact integers → deterministic, then
+  // rounded.
+  val qTextQuality: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val words = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val stop = words.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word")).limit(20).select(col("word"))
+    val stopHits = words.join(broadcast(stop), "word")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("stop_hits"))
+    docs
+      .join(stopHits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).as("n_words"),
+        col("n_chars"),
+        coalesce(col("stop_hits"), lit(0L)).as("stop_hits"))
+      .select(col("doc_id"), col("n_words"),
+        round((col("n_chars") - (col("n_words") - 1)).cast("double") /
+          col("n_words").cast("double"), 6).as("avg_word_len"),
+        round(col("stop_hits").cast("double") / col("n_words").cast("double"), 6)
+          .as("stop_ratio"),
+        round(least(col("n_chars").cast("double") / 500.0, lit(1.0)), 6).as("len_score"))
+      .orderBy("doc_id")
+  }
+
+  val qTextQualitySql: String =
+    """WITH words AS (
+      |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents),
+      |stop AS (SELECT word FROM (SELECT word, COUNT(*) AS cnt FROM words GROUP BY 1
+      |         ORDER BY cnt DESC, word LIMIT 20)),
+      |hits AS (SELECT doc_id, COUNT(*) AS stop_hits
+      |         FROM words JOIN stop USING (word) GROUP BY doc_id),
+      |base AS (
+      |  SELECT d.doc_id, LEN(string_split(d.text, ' ')) AS n_words, d.n_chars,
+      |         COALESCE(h.stop_hits, 0) AS stop_hits
+      |  FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id)
+      |SELECT doc_id, CAST(n_words AS INT) AS n_words,
+      |       ROUND(CAST(n_chars - (n_words - 1) AS DOUBLE) / CAST(n_words AS DOUBLE), 6) AS avg_word_len,
+      |       ROUND(CAST(stop_hits AS DOUBLE) / CAST(n_words AS DOUBLE), 6) AS stop_ratio,
+      |       ROUND(LEAST(CAST(n_chars AS DOUBLE) / 500.0, 1.0), 6) AS len_score
+      |FROM base
+      |ORDER BY doc_id""".stripMargin
+
+  // ---- #66 q_text_tokens -------------------------------------------------
+  // Whitespace tokens + a BPE-ish greedy subword count (≤4-char
+  // chunks): same greedy regex semantics in Java and DuckDB's RE2.
+  val qTextTokens: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"),
+        size(split(col("text"), " ")).as("ws_tokens"),
+        regexp_count(col("text"), lit("[a-z]{1,4}|[0-9]{1,4}")).as("bpe_tokens"))
+      .select(col("doc_id"), col("ws_tokens"), col("bpe_tokens"),
+        round(length(col("text")).cast("double") / col("bpe_tokens").cast("double"), 6)
+          .as("chars_per_token"))
+      .orderBy("doc_id")
+
+  val qTextTokensSql: String =
+    """SELECT doc_id,
+      |       CAST(LEN(string_split(text, ' ')) AS INT) AS ws_tokens,
+      |       CAST(LEN(regexp_extract_all(text, '[a-z]{1,4}|[0-9]{1,4}')) AS INT) AS bpe_tokens,
+      |       ROUND(CAST(LENGTH(text) AS DOUBLE)
+      |             / CAST(LEN(regexp_extract_all(text, '[a-z]{1,4}|[0-9]{1,4}')) AS DOUBLE), 6) AS chars_per_token
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  // ---- #67 q_text_fingerprint --------------------------------------------
+  // Winnowing-style document fingerprint: min md5 over the doc's
+  // 5-gram shingles (a 1-permutation MinHash). Docs sharing a
+  // fingerprint are near-dup candidates; n_share counts the cluster.
+  val qTextFingerprint: Q = (s, dir) => {
+    val fp = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 5)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ws) - 5), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3], ws[i+4]))"))
+        .as("sh"))
+      .groupBy(col("doc_id")).agg(min(md5(col("sh"))).as("fingerprint"))
+    fp.withColumn("n_share",
+        count(lit(1)).over(Window.partitionBy(col("fingerprint"))))
+      .orderBy("doc_id")
+  }
+
+  val qTextFingerprintSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |           WHERE LEN(string_split(text, ' ')) >= 5),
+      |sh AS (SELECT doc_id, UNNEST(list_transform(generate_series(1, LEN(ws) - 4),
+      |  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS sh
+      |  FROM d),
+      |fp AS (SELECT doc_id, MIN(MD5(sh)) AS fingerprint FROM sh GROUP BY doc_id)
+      |SELECT doc_id, fingerprint,
+      |       COUNT(*) OVER (PARTITION BY fingerprint) AS n_share
+      |FROM fp
+      |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------------
+  val queries: Map[String, Q] = Map(
+    "q_dedup_simhash" -> qDedupSimhash,
+    "q_dedup_ngram_jaccard" -> qDedupNgramJaccard,
+    "q_dedup_embed_cosine" -> qDedupEmbedCosine,
+    "q_text_langid" -> qTextLangid,
+    "q_text_quality" -> qTextQuality,
+    "q_text_tokens" -> qTextTokens,
+    "q_text_fingerprint" -> qTextFingerprint,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_dedup_simhash" -> qDedupSimhashSql,
+    "q_dedup_ngram_jaccard" -> qDedupNgramJaccardSql,
+    "q_dedup_embed_cosine" -> qDedupEmbedCosineSql,
+    "q_text_langid" -> qTextLangidSql,
+    "q_text_quality" -> qTextQualitySql,
+    "q_text_tokens" -> qTextTokensSql,
+    "q_text_fingerprint" -> qTextFingerprintSql,
+  )
+}
