@@ -1,0 +1,129 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Operator-vocabulary facade: the reference's streamz operator names
+  * (SURVEY.md §2A — public upstream API) expressed over DataFrames,
+  * so a pipeline written against the reference ports 1:1.
+  *
+  * Design rules:
+  * - Every op returns a plain DataFrame — the facade composes with
+  *   the whole Spark API and works identically on batch and
+  *   streaming frames (ops that need an ordering take explicit order
+  *   columns, because distributed data has no implicit arrival order;
+  *   that is the one semantic difference from the single-threaded
+  *   push-based original, and it is what makes the ops scale).
+  * - No collect(), no driver loops: all ops stay in the plan.
+  */
+object StreamzOps {
+
+  implicit class StreamzDataFrame(val df: DataFrame) extends AnyVal {
+
+    /** streamz `map(fn)`: per-element transform (projection). */
+    def mapRows(exprs: Column*): DataFrame = df.select(exprs: _*)
+
+    /** streamz `filter(pred)`. */
+    def filterRows(cond: Column): DataFrame = df.filter(cond)
+
+    /** streamz `pluck(field)`: project named fields. */
+    def pluck(fields: String*): DataFrame = df.select(fields.map(col): _*)
+
+    /** streamz `accumulate(fn, start)` (scan): running aggregate in
+      * `orderBy` order (per `partitionBy` key if given), emitted on
+      * every row — e.g. `accumulate(sum($"v"), Seq($"ts", $"id"))`.
+      */
+    def accumulate(agg: Column, orderBy: Seq[Column],
+        partitionBy: Seq[Column] = Nil, as: String = "acc"): DataFrame = {
+      val w = Window.partitionBy(partitionBy: _*).orderBy(orderBy: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      df.withColumn(as, agg.over(w))
+    }
+
+    /** streamz `sliding_window(n)`: the last n rows' aggregate, per
+      * row, in `orderBy` order.
+      */
+    def slidingWindow(n: Int, agg: Column, orderBy: Seq[Column],
+        partitionBy: Seq[Column] = Nil, as: String = "win"): DataFrame = {
+      val w = Window.partitionBy(partitionBy: _*).orderBy(orderBy: _*)
+        .rowsBetween(-(n - 1), Window.currentRow)
+      df.withColumn(as, agg.over(w))
+    }
+
+    /** streamz `timed_window(interval)`: tumbling event-time buckets
+      * (better-defined than the original's wall-clock ticks).
+      */
+    def timedWindow(tsCol: Column, interval: String, aggs: Column*): DataFrame =
+      df.groupBy(window(tsCol, interval).getField("start").as("window_start"))
+        .agg(aggs.head, aggs.tail: _*)
+
+    /** streamz `partition(n)`: chunk ids of n consecutive rows in
+      * `orderBy` order.
+      */
+    def partitionChunks(n: Int, orderBy: Seq[Column], as: String = "chunk"): DataFrame = {
+      val w = Window.orderBy(orderBy: _*)
+      df.withColumn(as, ((row_number().over(w) - 1) / n).cast("long"))
+    }
+
+    /** streamz `union(*streams)`. */
+    def unionWith(others: DataFrame*): DataFrame =
+      others.foldLeft(df)(_.unionByName(_))
+
+    /** streamz `zip(other)`: align i-th elements of two frames —
+      * row-index equi-join; each side's index is defined by its own
+      * explicit ordering.
+      */
+    def zipWith(other: DataFrame, leftOrder: Seq[Column],
+        rightOrder: Seq[Column]): DataFrame = {
+      val l = df.withColumn("_zip_idx", row_number().over(Window.orderBy(leftOrder: _*)))
+      val r = other.withColumn("_zip_idx", row_number().over(Window.orderBy(rightOrder: _*)))
+      l.join(r, "_zip_idx").drop("_zip_idx")
+    }
+
+    /** streamz `combine_latest(other)`: pair each left row with the
+      * latest right row at-or-before its event time, per key — the
+      * as-of join (SURVEY.md §2B #13).
+      */
+    def combineLatest(other: DataFrame, keyCols: (Column, Column),
+        tsCols: (Column, Column), rightTiebreak: Column): DataFrame = {
+      val joined = df.join(other,
+        keyCols._1 === keyCols._2 && tsCols._2 <= tsCols._1, "left")
+      val w = Window.partitionBy(keyCols._1, tsCols._1)
+        .orderBy(tsCols._2.desc_nulls_last, rightTiebreak.desc_nulls_last)
+      joined.withColumn("_cl_rn", row_number().over(w))
+        .filter(col("_cl_rn") === 1).drop("_cl_rn")
+    }
+
+    /** streamz `unique()`: keep the first row per key in `orderBy`
+      * order (deterministic, unlike dropDuplicates' arbitrary pick;
+      * streaming pipelines use dropDuplicatesWithinWatermark).
+      */
+    def uniqueBy(keys: Seq[Column], orderBy: Seq[Column]): DataFrame = {
+      val w = Window.partitionBy(keys: _*).orderBy(orderBy: _*)
+      df.withColumn("_u_rn", row_number().over(w))
+        .filter(col("_u_rn") === 1).drop("_u_rn")
+    }
+
+    /** streamz `flatten`: one-to-many (explode an array column). */
+    def flattenCol(c: Column, as: String = "item"): DataFrame =
+      df.withColumn(as, explode(c))
+
+    /** streamz `collect()`: gather values per key until "flush" —
+      * grouped collect_list with deterministic element order.
+      */
+    def collectAll(keys: Seq[Column], value: Column, orderBy: Column,
+        as: String = "collected"): DataFrame =
+      df.groupBy(keys: _*)
+        .agg(sort_array(collect_list(struct(orderBy.as("_ord"), value.as("_val"))))
+          .as("_pairs"))
+        .withColumn(as, col("_pairs").getField("_val"))
+        .drop("_pairs")
+
+    /** streamz `sink(fn)` / `sink_to_list`: terminal effect — batch
+      * parquet write (streaming pipelines use writeStream/foreachBatch).
+      */
+    def sinkToParquet(path: String): Unit =
+      df.write.mode("overwrite").parquet(path)
+  }
+}

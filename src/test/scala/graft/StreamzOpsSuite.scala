@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.api.StreamzOps._
+
+/** Known-answer tests for the streamz-vocabulary facade (SURVEY.md
+  * §2A mapping) — each op against a tiny hand-computed input.
+  */
+class StreamzOpsSuite extends GraftSuite {
+  import java.sql.Timestamp
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("map / filter / pluck") {
+    val sess = spark; import sess.implicits._
+    val df = Seq((1, "a"), (2, "b"), (3, "c")).toDF("n", "s")
+    assert(df.mapRows(($"n" * 2).as("d")).collect().map(_.getInt(0)).toSeq == Seq(2, 4, 6))
+    assert(df.filterRows($"n" > 1).count() == 2)
+    assert(df.pluck("s").columns.toSeq == Seq("s"))
+  }
+
+  test("accumulate: running fold in order") {
+    val sess = spark; import sess.implicits._
+    val got = Seq((1, 10), (2, 20), (3, 30)).toDF("i", "v")
+      .accumulate(sum($"v"), Seq($"i"))
+      .orderBy("i").collect().map(_.getAs[Long]("acc")).toSeq
+    assert(got == Seq(10L, 30L, 60L))
+  }
+
+  test("sliding_window: last-n aggregate") {
+    val sess = spark; import sess.implicits._
+    val got = Seq((1, 1.0), (2, 2.0), (3, 3.0), (4, 4.0)).toDF("i", "v")
+      .slidingWindow(2, sum($"v"), Seq($"i"))
+      .orderBy("i").collect().map(_.getAs[Double]("win")).toSeq
+    assert(got == Seq(1.0, 3.0, 5.0, 7.0))
+  }
+
+  test("timed_window: tumbling event-time buckets") {
+    val sess = spark; import sess.implicits._
+    val got = Seq((ts("2024-01-01 00:05:00"), 1), (ts("2024-01-01 00:55:00"), 2),
+        (ts("2024-01-01 01:05:00"), 3))
+      .toDF("t", "v")
+      .timedWindow($"t", "1 hour", sum($"v").as("sv"))
+      .orderBy("window_start").collect().map(_.getAs[Long]("sv")).toSeq
+    assert(got == Seq(3L, 3L))
+  }
+
+  test("partition: chunks of n") {
+    val sess = spark; import sess.implicits._
+    val got = (1 to 5).map(i => Tuple1(i)).toDF("i")
+      .partitionChunks(2, Seq($"i"))
+      .orderBy("i").collect().map(_.getAs[Long]("chunk")).toSeq
+    assert(got == Seq(0L, 0L, 1L, 1L, 2L))
+  }
+
+  test("zip: aligns i-th elements of two frames") {
+    val sess = spark; import sess.implicits._
+    val l = Seq((1, "x"), (2, "y")).toDF("i", "s")
+    val r = Seq((10, 100.0), (20, 200.0)).toDF("j", "v")
+    val got = l.zipWith(r, Seq($"i"), Seq($"j"))
+      .orderBy("i").collect().map(x => (x.getAs[String]("s"), x.getAs[Double]("v"))).toSeq
+    assert(got == Seq(("x", 100.0), ("y", 200.0)))
+  }
+
+  test("combine_latest: as-of pairing per key") {
+    val sess = spark; import sess.implicits._
+    val left = Seq((1L, ts("2024-01-01 02:00:00")), (1L, ts("2024-01-01 04:00:00")))
+      .toDF("k", "lt")
+    val right = Seq((1L, ts("2024-01-01 01:00:00"), "old"),
+        (1L, ts("2024-01-01 03:00:00"), "new")).toDF("rk", "rt", "tag")
+    val got = left.combineLatest(right, ($"k", $"rk"), ($"lt", $"rt"), $"rt")
+      .orderBy("lt").collect().map(_.getAs[String]("tag")).toSeq
+    assert(got == Seq("old", "new"))
+  }
+
+  test("unique: first occurrence per key, deterministically") {
+    val sess = spark; import sess.implicits._
+    val got = Seq((1, 10, "first"), (1, 20, "later"), (2, 5, "only"))
+      .toDF("k", "seq", "tag")
+      .uniqueBy(Seq($"k"), Seq($"seq"))
+      .orderBy("k").collect().map(_.getAs[String]("tag")).toSeq
+    assert(got == Seq("first", "only"))
+  }
+
+  test("flatten + collect round-trip") {
+    val sess = spark; import sess.implicits._
+    val flat = Seq((1, Seq("a", "b")), (2, Seq("c"))).toDF("k", "xs")
+      .flattenCol($"xs", as = "x")
+    assert(flat.count() == 3)
+    val lists = flat.collectAll(Seq($"k"), $"x", $"x")
+      .orderBy("k").collect()
+      .map(r => r.getSeq[String](r.fieldIndex("collected")).toList).toSeq
+    assert(lists == Seq(List("a", "b"), List("c")))
+  }
+
+  test("sink: terminal parquet write") {
+    val sess = spark; import sess.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("sink_t").toString + "/out"
+    Seq((1, "a")).toDF("i", "s").sinkToParquet(dir)
+    assert(spark.read.parquet(dir).count() == 1)
+  }
+}
