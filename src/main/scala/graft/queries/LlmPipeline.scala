@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, HashingTF, MinHashLSH}
 import org.apache.spark.ml.linalg.{Vector => MlVector, Vectors}
 import graft.Tables
@@ -70,7 +71,7 @@ object LlmPipeline {
     // shingle+hash pipeline three times
     val feat = tf.transform(docs).cache()
     val mh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
-      .setNumHashTables(8).setSeed(42L)
+      .setNumHashTables(6).setSeed(42L)
     val model = mh.fit(feat)
     model.approxSimilarityJoin(feat, feat, 0.5, "jaccard_dist")
       .select(col("datasetA.doc_id").as("doc_a"),
@@ -148,6 +149,47 @@ object LlmPipeline {
         Window.partitionBy(col("qid")).orderBy(col("euclid_dist"), col("nid"))))
       .filter(col("rn") <= 5)
       .select(col("qid"), col("rn"), col("nid"), col("euclid_dist"))
+      .orderBy("qid", "rn")
+  }
+
+  // ---- #55b q_sim_ivf_ann (no oracle — kmeans partitions seed-specific) ---
+  // IVF-style ANN: KMeans coarse quantizer (k cells), queries probe
+  // the nProbe nearest cells, exact cosine only within probed cells.
+  // This is the classic inverted-file layout: at 100 TB the corpus is
+  // partitioned by cell id on disk, a query touches nProbe partitions
+  // instead of all of them, and the exact re-rank is a small
+  // broadcast join. Seeded → deterministic.
+  val qSimIvfAnn: Q = (s, dir) => {
+    graft.functions.FloatVecDot.register(s)
+    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), toVec(col("embedding")).as("features"))
+    val kmeans = new KMeans().setK(16).setSeed(42L)
+      .setFeaturesCol("features").setPredictionCol("cell")
+    val model = kmeans.fit(e)
+    val centers = model.clusterCenters.map(_.toArray)
+    val nProbe = 4
+    val probeCells = udf((a: Seq[Float]) => {
+      val v = a.map(_.toDouble).toArray
+      centers.zipWithIndex.map { case (c, i) =>
+        var d = 0.0; var j = 0
+        while (j < v.length) { val t = v(j) - c(j); d += t * t; j += 1 }
+        (d, i)
+      }.sortBy(_._1).take(nProbe).map(_._2)
+    })
+    val corpus = model.transform(e)
+      .select(col("vec_id").as("nid"), col("embedding").as("ne"), col("cell"))
+    val q = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        explode(probeCells(col("embedding"))).as("cell"))
+    q.join(corpus, "cell")
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        round(expr("fvec_dot(qe, ne)"), 6).as("cos_sim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("nid"))))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("rn"), col("nid"), col("cos_sim"))
       .orderBy("qid", "rn")
   }
 
@@ -239,6 +281,7 @@ object LlmPipeline {
     "q_dedup_fuzzy_minhash" -> qDedupFuzzyMinhash,
     "q_sim_cosine_topk" -> qSimCosineTopk,
     "q_sim_lsh_ann" -> qSimLshAnn,
+    "q_sim_ivf_ann" -> qSimIvfAnn,
     "q_text_tfidf" -> qTextTfidf,
     "q_text_lang_stats" -> qTextLangStats,
     "q_multimodal_join" -> qMultimodalJoin,

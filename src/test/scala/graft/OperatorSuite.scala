@@ -66,6 +66,23 @@ class OperatorSuite extends GraftSuite {
     assert(mean >= 0.8, s"mean recall@5 = $mean (wanted >= 0.8) over ${recalls.size} queries")
   }
 
+  test("q_sim_ivf_ann: beats the probed-fraction baseline on unclustered data") {
+    val exact = LlmPipeline.qSimCosineTopk(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ivf = LlmPipeline.qSimIvfAnn(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (q, t) =>
+      ivf.getOrElse(q, Set.empty[Long]).intersect(t).size.toDouble / t.size }
+    val mean = recalls.sum / recalls.size
+    // fixture embeddings are random unit vectors (no planted clusters),
+    // so the honest bar is "well above the probed fraction": probing
+    // 4 of 16 cells blindly would catch ~25% of true neighbors; the
+    // quantizer must concentrate real neighbors into probed cells.
+    assert(mean >= 0.5, s"IVF mean recall@5 = $mean (probed-fraction baseline 0.25)")
+  }
+
   test("GeoMean aggregator (#44): known-answer") {
     val sess = spark
     import sess.implicits._
