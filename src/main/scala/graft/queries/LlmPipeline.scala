@@ -200,9 +200,14 @@ object LlmPipeline {
   val qTextTfidf: Q = (s, dir) => {
     val words = Tables.documents(s, dir)
       .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+    // cached: tf is |langs|·|vocab| rows (tiny vs the corpus) and
+    // feeds both the scores and the df derivation — caching makes the
+    // corpus genuinely single-pass (exchange reuse alone doesn't fire
+    // across the differing consumer subtrees under AQE).
     val tf = words.groupBy(col("lang"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-    val df = words.groupBy(col("term"))
+      .agg(count(lit(1)).as("tf")).cache()
+    val df = tf.select(col("term"), col("lang"))
+      .groupBy(col("term"))
       .agg(countDistinct(col("lang")).as("df"))
     val nLangs = Tables.documents(s, dir)
       .agg(countDistinct(col("lang")).as("n_langs"))

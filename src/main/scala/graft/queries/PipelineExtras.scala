@@ -147,8 +147,10 @@ object PipelineExtras {
   val qTextLangid: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
     val words = docs.select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("term"))
-    val tf = words.groupBy(col("lang"), col("term")).agg(count(lit(1)).as("tf"))
-    val df = words.select(col("lang"), col("term")).distinct()
+    // df from the cached tf aggregate (|langs|·|vocab| rows), not a
+    // second pass over the corpus-sized words relation
+    val tf = words.groupBy(col("lang"), col("term")).agg(count(lit(1)).as("tf")).cache()
+    val df = tf.select(col("lang"), col("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nLangs = docs.agg(countDistinct(col("lang")).as("n_langs"))
     val weights = tf.join(df, "term").crossJoin(broadcast(nLangs))
