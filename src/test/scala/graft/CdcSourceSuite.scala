@@ -64,6 +64,63 @@ class CdcSourceSuite extends GraftSuite {
       s"live replication must equal batch fold; diff=${(gotSeqs.toSet diff batch.toSet).take(5)}")
   }
 
+  test("file source ingestion (§2A from_textfile analog): streaming parquet == batch on same file") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the file source watches a DIRECTORY (new files = new data)
+    val watchDir = java.nio.file.Files.createTempDirectory("file_src").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      java.nio.file.Paths.get(s"$watchDir/events.parquet"))
+    val sch = spark.read.parquet(s"$sf0001/events.parquet").schema
+    val q = spark.readStream.schema(sch)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(watchDir)
+      .groupBy(col("event_type")).count()
+      .writeStream.format("memory").queryName("file_src")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("file_src").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = Tables.events(spark, sf0001)
+      .groupBy(col("event_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+  }
+
+  test("CDC sink: foreachBatch idempotent merge into a key-partitioned parquet table") {
+    val outDir = java.nio.file.Files.createTempDirectory("cdc_sink").toString + "/state"
+    val q = readCdc(batchSize = 300, snapshotSeq = 499)
+      .writeStream.outputMode("append").trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        // latest-per-key within the batch, then merge with the table:
+        // read-modify-write keyed upsert (at scale: MERGE INTO /
+        // partition overwrite on a lakehouse table — same contract)
+        val sess = df.sparkSession
+        val batchLatest = df.withColumn("rn",
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("key")).orderBy(col("seq").desc)))
+          .filter(col("rn") === 1).drop("rn")
+        val merged = if (new java.io.File(outDir).exists()) {
+          val cur = sess.read.parquet(outDir)
+          cur.unionByName(batchLatest)
+            .withColumn("rn", row_number().over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("key")).orderBy(col("seq").desc)))
+            .filter(col("rn") === 1).drop("rn")
+        } else batchLatest
+        val tmp = outDir + "_tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        sess.read.parquet(tmp).write.mode("overwrite").parquet(outDir)
+        ()
+      }.start()
+    q.awaitTermination(120000)
+    val table = spark.read.parquet(outDir).collect()
+      .map(r => r.getAs[Long]("key") -> r.getAs[Long]("seq")).toMap
+    val want = queries.Streaming.qCdcLatestByKey(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("last_event_id")).toMap
+    assert(table == want, "materialized table must equal the batch changelog fold")
+  }
+
   test("batch read of the source returns the whole changelog") {
     val df = spark.read.format("pg-cdc-sim")
       .option("path", s"$sf0001/events.parquet").load()
