@@ -95,7 +95,7 @@ object LlmPipeline {
     val pairs = n.crossJoin(broadcast(q))
       .filter(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"),
-        round(dotExpr("qe", "ne") / (normExpr("qe") * normExpr("ne")), 6)
+        (round(dotExpr("qe", "ne") / (normExpr("qe") * normExpr("ne")), 6) + lit(0.0))
           .as("cos_sim"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos_sim").desc, col("nid"))
@@ -114,7 +114,7 @@ object LlmPipeline {
       |             i -> CAST(qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
       |           / (SQRT(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
       |              * SQRT(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
-      |           6) AS cos_sim
+      |           6) + 0.0 AS cos_sim
       |  FROM q CROSS JOIN embeddings e
       |  WHERE e.vec_id <> qid),
       |ranked AS (

@@ -159,19 +159,19 @@ object Scalars {
     Tables.embeddings(s, dir)
       .select(col("vec_id"),
         size(col("embedding")).as("dim"),
-        round(element_at(col("embedding"), 1).cast("double"), 4).as("e1"),
-        round(element_at(col("embedding"), 2).cast("double"), 4).as("e2"),
-        round(element_at(col("embedding"), 3).cast("double"), 4).as("e3"),
-        round(array_max(col("embedding")).cast("double"), 4).as("emax"))
+        (round(element_at(col("embedding"), 1).cast("double"), 4) + lit(0.0)).as("e1"),
+        (round(element_at(col("embedding"), 2).cast("double"), 4) + lit(0.0)).as("e2"),
+        (round(element_at(col("embedding"), 3).cast("double"), 4) + lit(0.0)).as("e3"),
+        (round(array_max(col("embedding")).cast("double"), 4) + lit(0.0)).as("emax"))
       .orderBy("vec_id")
 
   val qArrayFuncsSql: String =
     """SELECT vec_id,
       |       CAST(LEN(embedding) AS INT) AS dim,
-      |       ROUND(CAST(embedding[1] AS DOUBLE), 4) AS e1,
-      |       ROUND(CAST(embedding[2] AS DOUBLE), 4) AS e2,
-      |       ROUND(CAST(embedding[3] AS DOUBLE), 4) AS e3,
-      |       ROUND(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 4) AS emax
+      |       ROUND(CAST(embedding[1] AS DOUBLE), 4) + 0.0 AS e1,
+      |       ROUND(CAST(embedding[2] AS DOUBLE), 4) + 0.0 AS e2,
+      |       ROUND(CAST(embedding[3] AS DOUBLE), 4) + 0.0 AS e3,
+      |       ROUND(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 4) + 0.0 AS emax
       |FROM embeddings
       |ORDER BY vec_id""".stripMargin
 
@@ -238,12 +238,12 @@ object Scalars {
     Tables.embeddings(s, dir)
       .select(col("vec_id"), posexplode(slice(col("embedding"), 1, 3)))
       .select(col("vec_id"), (col("pos") + 1).as("dim_idx"),
-        round(col("col").cast("double"), 4).as("dim_val"))
+        (round(col("col").cast("double"), 4) + lit(0.0)).as("dim_val"))
       .orderBy("vec_id", "dim_idx")
 
   val qPosexplodeSql: String =
     """SELECT vec_id, CAST(g.i AS INT) AS dim_idx,
-      |       ROUND(CAST(embedding[g.i] AS DOUBLE), 4) AS dim_val
+      |       ROUND(CAST(embedding[g.i] AS DOUBLE), 4) + 0.0 AS dim_val
       |FROM embeddings, generate_series(1, 3) g(i)
       |ORDER BY vec_id, dim_idx""".stripMargin
 
