@@ -37,6 +37,25 @@ object Scalars {
            countDistinct(col("user_id")).as("exact_users"))
       .orderBy("event_type")
 
+  // ---- #21b q_approx_hll_sketch (no oracle — sketch bytes engine-specific)
+  // Mergeable-sketch persistence (SURVEY §4.2): DataSketches HLL
+  // sketches built per group, then UNIONED into a global estimate —
+  // the pattern for incremental distinct-counting at 100 TB (store
+  // per-partition/per-batch sketch bytes, merge on read; never
+  // re-scan history). Output: per-type estimate + the same global
+  // estimate on every row (flat, deterministic).
+  val qApproxHllSketch: Q = (s, dir) => {
+    val perType = Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val global = perType.agg(
+      hll_sketch_estimate(hll_union_agg(col("sk"))).as("global_users"))
+    perType
+      .select(col("event_type"), hll_sketch_estimate(col("sk")).as("approx_users"))
+      .crossJoin(broadcast(global))
+      .orderBy("event_type")
+  }
+
   // ---- #33 q_str_funcs ---------------------------------------------------
   val qStrFuncs: Q = (s, dir) =>
     Tables.part(s, dir)
@@ -309,6 +328,7 @@ object Scalars {
   // ------------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "q_approx_hll" -> qApproxHll,
+    "q_approx_hll_sketch" -> qApproxHllSketch,
     "q_str_funcs" -> qStrFuncs,
     "q_regex_funcs" -> qRegexFuncs,
     "q_date_funcs" -> qDateFuncs,

@@ -60,6 +60,37 @@ class ExtrasSuite extends GraftSuite {
       s"simhash must be locality-sensitive: near=$nearMean rand=$randMean")
   }
 
+  test("q_approx_hll_sketch: sketch-merge estimate matches exact global distinct within 5%") {
+    val rows = graft.queries.Scalars.qApproxHllSketch(spark, sf0001).collect()
+    assert(rows.length == 5)
+    val globals = rows.map(_.getAs[Long]("global_users")).distinct
+    assert(globals.length == 1, "same merged-global estimate on every row")
+    val exactGlobal = Tables.events(spark, sf0001)
+      .select(countDistinct(col("user_id"))).collect()(0).getLong(0)
+    assert(math.abs(globals.head.toDouble - exactGlobal) / exactGlobal < 0.05,
+      s"union-of-sketches estimate ${globals.head} vs exact $exactGlobal")
+  }
+
+  test("saltedJoin: result-equivalent to a plain join, spreads the hot key across salts") {
+    import graft.api.SkewUtils
+    val ev = Tables.events(spark, sf0001)
+      .select(col("event_id"), col("user_id"))
+    val users = Tables.customer(spark, sf0001)
+      .select(col("c_custkey"), col("c_name"))
+    val plain = ev.join(users, col("user_id") === col("c_custkey"), "inner")
+      .select(col("event_id"), col("c_name"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val salted = SkewUtils.saltedJoin(ev, users,
+        col("user_id"), col("c_custkey"), col("event_id"), nSalts = 8)
+      .select(col("event_id"), col("c_name"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(salted == plain, "salted join must be result-equivalent")
+    // the hot side really is scattered: events of one user land in >1 salt
+    val salts = ev.withColumn("_salt", pmod(hash(col("event_id")), lit(8)))
+      .filter(col("user_id") === 0).select("_salt").distinct().count()
+    assert(salts > 1, "hot key must span multiple salt buckets")
+  }
+
   test("q_multimodal_decode: plumbing — schema, determinism, partition invariance") {
     val out = Multimodal.qMultimodalDecode(spark, sf0001)
     assert(out.schema.fieldNames.toSeq ==
