@@ -16,11 +16,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Scalars.queries ++ Streaming.queries ++
-      LlmPipeline.queries ++ PipelineExtras.queries ++ Multimodal.queries
+      LlmPipeline.queries ++ PipelineExtras.queries ++ Multimodal.queries ++
+      MinHashDf.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ Scalars.oracleSql ++ Streaming.oracleSql ++
-      LlmPipeline.oracleSql ++ PipelineExtras.oracleSql ++ Multimodal.oracleSql
+      LlmPipeline.oracleSql ++ PipelineExtras.oracleSql ++ Multimodal.oracleSql ++
+      MinHashDf.oracleSql
 }

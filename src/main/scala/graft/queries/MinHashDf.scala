@@ -1,0 +1,130 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Pure-DataFrame MinHash + LSH banding (SURVEY.md §2B row 71) — the
+  * engine-portable alternative to the MLlib wrapper (#53):
+  *
+  *   shingles → k=12 universal-hash minima (one groupBy, 12 min-aggs)
+  *   → 6 bands of r=2 → band self-join = candidate pairs
+  *   → EXACT Jaccard (relational shingle intersection) on candidates
+  *   → pairs with distance ≤ 0.5.
+  *
+  * Everything is deterministic md5-derived integer arithmetic, so the
+  * DuckDB oracle reproduces the EXACT same candidate set and output —
+  * this is the only hash-based fuzzy-dedup in the inventory with a
+  * full oracle. It is also the 100 TB shape: one corpus pass for
+  * signatures, band join ~linear in docs, exact distances only on
+  * candidates.
+  *
+  * Overflow safety (both engines use signed 64-bit): shingle hash is
+  * 28 bits (7 md5 hex digits), multipliers < 2^31, so a·h + b <
+  * 2^59 < Long.Max.
+  */
+object MinHashDf {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val P = 2147483659L // prime > 2^31
+  private val A = Seq(1103515245L, 1665525893L, 1234567891L, 1853977123L,
+    998244353L, 1500000001L, 1676943757L, 1431655751L,
+    1288490189L, 2027100467L, 1073807359L, 1990000033L)
+  private val B = Seq(12345L, 987654321L, 555555555L, 111111111L,
+    222222223L, 777777777L, 333333331L, 444444443L,
+    666666667L, 888888881L, 142857143L, 314159265L)
+  private val NUM_BANDS = 6 // r = 2 rows per band
+
+  // ---- #71 q_dedup_minhash_df --------------------------------------------
+  val qDedupMinhashDf: Q = (s, dir) => {
+    // distinct 3-shingles with a 28-bit md5-derived hash
+    val sh = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
+        .as("sh"))
+      .distinct()
+      .withColumn("h", expr("CAST(conv(substring(md5(sh), 1, 7), 16, 10) AS BIGINT)"))
+    // k signatures in ONE aggregation pass
+    val sigCols = A.indices.map(i =>
+      min(expr(s"(${A(i)}L * h + ${B(i)}L) % ${P}L")).as(s"sig$i"))
+    val sigs = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    // bands of r=2 → (band_idx, v1, v2)
+    val bandStructs = (0 until NUM_BANDS).map(bi =>
+      s"struct(${bi} AS band, sig${2 * bi} AS v1, sig${2 * bi + 1} AS v2)")
+    val bands = sigs.select(col("doc_id"),
+        explode(expr(s"array(${bandStructs.mkString(", ")})")).as("b"))
+      .select(col("doc_id"), col("b.band"), col("b.v1"), col("b.v2"))
+    // candidate pairs: same band values, deduped
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.v1") === col("y.v1") &&
+          col("x.v2") === col("y.v2") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    // exact Jaccard, computed only for candidates
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    cand
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sa")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(lit(1.0) - coalesce(col("inter"), lit(0L)).cast("double") /
+          (col("sa") + col("sb") - coalesce(col("inter"), lit(0L))).cast("double"), 6)
+          .as("jaccard_dist"))
+      .filter(col("jaccard_dist") <= 0.5)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val qDedupMinhashDfSql: String = {
+    val sigExprs = A.indices.map(i =>
+      s"MIN((${A(i)} * h + ${B(i)}) % $P) AS sig$i").mkString(",\n         ")
+    val bandSelects = (0 until NUM_BANDS).map(bi =>
+      s"SELECT doc_id, $bi AS band, sig${2 * bi} AS v1, sig${2 * bi + 1} AS v2 FROM sigs")
+      .mkString("\n  UNION ALL ")
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+       |           WHERE LEN(string_split(text, ' ')) >= 3),
+       |sh AS (SELECT DISTINCT doc_id, sh FROM (
+       |  SELECT doc_id, UNNEST(list_transform(generate_series(1, LEN(ws) - 2),
+       |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh FROM d)),
+       |shh AS (SELECT doc_id, sh,
+       |  CAST(list_sum(list_transform(generate_series(1, 7),
+       |    i -> (CAST(strpos('0123456789abcdef', substring(md5(sh), i, 1)) AS BIGINT) - 1)
+       |         << (4 * (7 - i)))) AS BIGINT) AS h
+       |  FROM sh),
+       |sigs AS (SELECT doc_id,
+       |         $sigExprs
+       |      FROM shh GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.v1 = y.v1 AND x.v2 = y.v2
+       |   AND x.doc_id < y.doc_id),
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+       |  FROM cand c
+       |  JOIN sh a ON a.doc_id = c.doc_a
+       |  JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |       ROUND(1.0 - CAST(COALESCE(i.inter, 0) AS DOUBLE)
+       |             / CAST(sa.sz + sb.sz - COALESCE(i.inter, 0) AS DOUBLE), 6) AS jaccard_dist
+       |FROM cand c
+       |LEFT JOIN inter i USING (doc_a, doc_b)
+       |JOIN sizes sa ON sa.doc_id = c.doc_a
+       |JOIN sizes sb ON sb.doc_id = c.doc_b
+       |WHERE ROUND(1.0 - CAST(COALESCE(i.inter, 0) AS DOUBLE)
+       |      / CAST(sa.sz + sb.sz - COALESCE(i.inter, 0) AS DOUBLE), 6) <= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map("q_dedup_minhash_df" -> qDedupMinhashDf)
+  val oracleSql: Map[String, String] = Map("q_dedup_minhash_df" -> qDedupMinhashDfSql)
+}

@@ -91,6 +91,25 @@ class ExtrasSuite extends GraftSuite {
     assert(salts > 1, "hot key must span multiple salt buckets")
   }
 
+  test("q_dedup_minhash_df: agrees with the MLlib variant on all strong near-dups") {
+    def pairs(df: org.apache.spark.sql.DataFrame, distCol: String) = df.collect()
+      .map(r => ((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")), r.getAs[Double](distCol)))
+      .toMap
+    val dfm = pairs(graft.queries.MinHashDf.qDedupMinhashDf(spark, sf0001), "jaccard_dist")
+    val mlm = pairs(queries.LlmPipeline.qDedupFuzzyMinhash(spark, sf0001), "jaccard_dist")
+    assert(dfm.nonEmpty && mlm.nonEmpty)
+    // different hash families → candidate fringes differ near the 0.5
+    // threshold, but every STRONG near-dup must be found by both
+    val strongDf = dfm.filter(_._2 <= 0.35).keySet
+    val strongMl = mlm.filter(_._2 <= 0.35).keySet
+    assert(strongDf == strongMl,
+      s"strong pairs disagree: onlyDf=${(strongDf -- strongMl).take(5)} onlyMl=${(strongMl -- strongDf).take(5)}")
+    // and where both report a pair, the exact distances agree
+    dfm.keySet.intersect(mlm.keySet).foreach { k =>
+      assert(math.abs(dfm(k) - mlm(k)) <= 0.02, s"$k: ${dfm(k)} vs ${mlm(k)}")
+    }
+  }
+
   test("q_multimodal_decode: plumbing — schema, determinism, partition invariance") {
     val out = Multimodal.qMultimodalDecode(spark, sf0001)
     assert(out.schema.fieldNames.toSeq ==
