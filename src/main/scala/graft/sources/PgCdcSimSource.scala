@@ -142,19 +142,26 @@ class PgCdcSimMicroBatchStream(path: String, batchSize: Long,
   override def initialOffset(): Offset = SeqOffset(-1L)
 
   /** One "poll" (admission control): from the engine's current start
-    * offset, expose the snapshot first, then at most `batchSize` more
-    * seqs — the reference's poll quantum. Stateless: restart-safe from
-    * the checkpoint WAL, because the next batch derives purely from
-    * the committed offset the engine passes in.
+    * offset, expose the snapshot first, then at most one quantum more
+    * seqs — the reference's poll semantics. Stateless: restart-safe
+    * from the checkpoint WAL, because the next batch derives purely
+    * from the committed offset the engine passes in. The quantum
+    * comes from the engine's ReadLimit (which echoes
+    * getDefaultReadLimit unless wrapped by AvailableNow), so rate
+    * control composes with triggers the standard way.
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[SeqOffset].seq
+    val quantum = limit match {
+      case r: org.apache.spark.sql.connector.read.streaming.ReadMaxRows => r.maxRows()
+      case _ => batchSize
+    }
     val next = if (s < snapshotSeq) snapshotSeq
-               else math.min(s + batchSize, maxSeq)
+               else math.min(s + quantum, maxSeq)
     SeqOffset(next)
   }
 
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(batchSize)
   override def reportLatestOffset(): Offset = SeqOffset(maxSeq)
   // maxSeq is fixed for a replay fixture — nothing to freeze.
   override def prepareForTriggerAvailableNow(): Unit = ()
