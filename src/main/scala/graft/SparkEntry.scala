@@ -17,12 +17,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Scalars.queries ++ Streaming.queries ++
       LlmPipeline.queries ++ PipelineExtras.queries ++ Multimodal.queries ++
-      MinHashDf.queries ++ Scalars2.queries
+      MinHashDf.queries ++ Scalars2.queries ++ Relational2.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ Scalars.oracleSql ++ Streaming.oracleSql ++
       LlmPipeline.oracleSql ++ PipelineExtras.oracleSql ++ Multimodal.oracleSql ++
-      MinHashDf.oracleSql ++ Scalars2.oracleSql
+      MinHashDf.oracleSql ++ Scalars2.oracleSql ++ Relational2.oracleSql
 }

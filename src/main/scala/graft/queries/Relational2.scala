@@ -1,0 +1,143 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Relational surface, wave 2 (added r1; SURVEY.md §2B rows 77–81):
+  * subqueries (Catalyst decorrelates them — §4.2), pivot/unpivot,
+  * UNION ALL. All oracle-checked.
+  */
+object Relational2 {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  // ---- #77 q_subquery_scalar ---------------------------------------------
+  // Correlated scalar subquery → RewriteCorrelatedScalarSubquery turns
+  // it into an aggregate + join; no per-row re-execution.
+  val qSubqueryScalar: Q = (s, dir) => {
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT o_orderkey, o_custkey,
+        |       CAST(o_totalprice AS DECIMAL(18,2)) AS total
+        |FROM orders o
+        |WHERE o_totalprice > (SELECT AVG(o2.o_totalprice) FROM orders o2
+        |                      WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  val qSubqueryScalarSql: String =
+    """SELECT o_orderkey, o_custkey,
+      |       CAST(o_totalprice AS DECIMAL(18,2)) AS total
+      |FROM orders o
+      |WHERE o_totalprice > (SELECT AVG(o2.o_totalprice) FROM orders o2
+      |                      WHERE o2.o_custkey = o.o_custkey)
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---- #78 q_subquery_in -------------------------------------------------
+  val qSubqueryIn: Q = (s, dir) => {
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    Tables.customer(s, dir).createOrReplaceTempView("customer")
+    s.sql(
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders
+        |                    WHERE o_orderpriority LIKE '1-%')
+        |  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+        |                        WHERE o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  val qSubqueryInSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE c_custkey IN (SELECT o_custkey FROM orders
+      |                    WHERE o_orderpriority LIKE '1-%')
+      |  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+      |                        WHERE o_orderstatus = 'P')
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---- #79 q_pivot -------------------------------------------------------
+  // Explicit value list: at scale this skips the extra distinct-values
+  // job pivot otherwise runs, and pins the output schema.
+  private val EVENT_TYPES = Seq("click", "error", "purchase", "signup", "view")
+
+  val qPivot: Q = (s, dir) => {
+    val p = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", EVENT_TYPES)
+      .count()
+    p.select(col("user_id") +:
+        EVENT_TYPES.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+      .orderBy("user_id")
+  }
+
+  val qPivotSql: String = {
+    val counts = EVENT_TYPES.map(t =>
+      s"COUNT(*) FILTER (WHERE event_type = '$t') AS n_$t").mkString(",\n       ")
+    s"""SELECT user_id,
+       |       $counts
+       |FROM events
+       |GROUP BY user_id
+       |ORDER BY user_id""".stripMargin
+  }
+
+  // ---- #80 q_unpivot -----------------------------------------------------
+  val qUnpivot: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        expr(
+          """stack(3, 'quantity', CAST(l_quantity AS DECIMAL(18,2)),
+            |         'discount', CAST(l_discount AS DECIMAL(18,2)),
+            |         'tax',      CAST(l_tax      AS DECIMAL(18,2))) AS (metric, value)""".stripMargin))
+      .orderBy("l_orderkey", "l_linenumber", "metric")
+
+  val qUnpivotSql: String =
+    """SELECT l_orderkey, l_linenumber, metric, value FROM (
+      |  SELECT l_orderkey, l_linenumber, 'quantity' AS metric,
+      |         CAST(l_quantity AS DECIMAL(18,2)) AS value FROM lineitem
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'discount',
+      |         CAST(l_discount AS DECIMAL(18,2)) FROM lineitem
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'tax',
+      |         CAST(l_tax AS DECIMAL(18,2)) FROM lineitem)
+      |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin
+
+  // ---- #81 q_set_union_all -----------------------------------------------
+  val qSetUnionAll: Q = (s, dir) => {
+    val c = Tables.customer(s, dir)
+      .join(Tables.nation(s, dir), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"))
+    val su = Tables.supplier(s, dir)
+      .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name"))
+    c.unionAll(su)
+      .groupBy(col("n_name")).agg(count(lit(1)).as("n_members"))
+      .orderBy("n_name")
+  }
+
+  val qSetUnionAllSql: String =
+    """SELECT n_name, COUNT(*) AS n_members FROM (
+      |  SELECT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |  UNION ALL
+      |  SELECT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey)
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
+  // ------------------------------------------------------------------------
+  val queries: Map[String, Q] = Map(
+    "q_subquery_scalar" -> qSubqueryScalar,
+    "q_subquery_in" -> qSubqueryIn,
+    "q_pivot" -> qPivot,
+    "q_unpivot" -> qUnpivot,
+    "q_set_union_all" -> qSetUnionAll,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_subquery_scalar" -> qSubqueryScalarSql,
+    "q_subquery_in" -> qSubqueryInSql,
+    "q_pivot" -> qPivotSql,
+    "q_unpivot" -> qUnpivotSql,
+    "q_set_union_all" -> qSetUnionAllSql,
+  )
+}
