@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.functions.FloatVecDot
+
+/** User-facing entry point: make a SparkSession "graft-ready" for a
+  * dataset directory — all tables registered as views (events with
+  * the ns-timestamp recipe already applied) and the engine's custom
+  * functions available from SQL. After `Engine.init`, the entire
+  * capability surface is reachable through plain `spark.sql`.
+  *
+  * {{{
+  *   graft.Engine.init(spark, "/root/testdata/sf0.01")
+  *   spark.sql("""
+  *     SELECT c_name, SUM(CAST(o_totalprice AS DECIMAL(18,2))) t
+  *     FROM orders JOIN customer ON o_custkey = c_custkey
+  *     GROUP BY c_name ORDER BY t DESC LIMIT 5""")
+  *   spark.sql("SELECT fvec_dot(a.embedding, b.embedding) FROM embeddings a, embeddings b")
+  * }}}
+  */
+object Engine {
+  val TABLES: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  def init(spark: SparkSession, dir: String): Unit = {
+    TABLES.foreach {
+      case "events" => Tables.events(spark, dir).createOrReplaceTempView("events")
+      case t => spark.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(t)
+    }
+    FloatVecDot.register(spark)
+  }
+}

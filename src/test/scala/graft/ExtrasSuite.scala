@@ -110,6 +110,24 @@ class ExtrasSuite extends GraftSuite {
     }
   }
 
+  test("Engine.init: full catalog + custom functions reachable through plain spark.sql") {
+    graft.Engine.init(spark, sf0001)
+    val top = spark.sql(
+      """SELECT c_name, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS t
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_name ORDER BY t DESC, c_name LIMIT 3""".stripMargin).collect()
+    assert(top.length == 3 && top.head.getDecimal(1).doubleValue() > 0)
+    // events view already has the ns→µs recipe applied
+    val ev = spark.sql("SELECT COUNT(*) FROM events WHERE ts >= TIMESTAMP '2024-01-01'")
+      .collect()(0).getLong(0)
+    assert(ev == 1000L)
+    // custom expression callable from SQL
+    val d = spark.sql(
+      "SELECT ROUND(fvec_dot(embedding, embedding), 3) FROM embeddings WHERE vec_id = 0")
+      .collect()(0).getDouble(0)
+    assert(d == 1.0, s"unit vector self-dot, got $d")
+  }
+
   test("q_multimodal_decode: plumbing — schema, determinism, partition invariance") {
     val out = Multimodal.qMultimodalDecode(spark, sf0001)
     assert(out.schema.fieldNames.toSeq ==
