@@ -46,4 +46,17 @@ class PlanSuite extends GraftSuite {
     assert(plan(Relational.qJoinSemi(spark, sf0001)).contains("LeftSemi"))
     assert(plan(Relational.qJoinAnti(spark, sf0001)).contains("LeftAnti"))
   }
+
+  test("q_subquery_scalar (#77): correlated subquery is decorrelated into an aggregate+join") {
+    val p = plan(queries.Relational2.qSubqueryScalar(spark, sf0001))
+    assert(p.contains("Join") && p.contains("HashAggregate"),
+      s"expected decorrelated agg+join:\n$p")
+    assert(!p.contains("ScalarSubquery"),
+      s"no per-row scalar subquery execution allowed:\n$p")
+  }
+
+  test("q_subquery_in (#78): IN/NOT IN plan as semi/anti joins") {
+    val p = plan(queries.Relational2.qSubqueryIn(spark, sf0001))
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p)
+  }
 }

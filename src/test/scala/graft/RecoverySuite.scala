@@ -50,6 +50,10 @@ class RecoverySuite extends GraftSuite {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // §4.3: changelog checkpointing — upload per-batch deltas instead
+    // of full RocksDB snapshots
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
     try {
       import java.sql.Timestamp
       val sess = spark
