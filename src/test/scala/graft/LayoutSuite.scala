@@ -47,6 +47,24 @@ class LayoutSuite extends GraftSuite {
     }
   }
 
+  test("runtime Bloom-filter join: selective build side injects a bloom filter into the probe scan") {
+    val restore = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "10GB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "10485760")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    // thresholds scaled down to fixture sizes (defaults target real clusters)
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val li = Tables.lineitem(spark, sf0001)
+      val o = Tables.orders(spark, sf0001).filter(col("o_orderstatus") === "P")
+      val q = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .agg(sum(col("l_quantity")).as("q"))
+      assert(q.queryExecution.optimizedPlan.toString.contains("bloom"),
+        "selective join must inject a runtime bloom filter on the probe side")
+    } finally restore.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("date-partitioned layout: dim filter triggers dynamic partition pruning on the fact scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
     Tables.orders(spark, sf0001)

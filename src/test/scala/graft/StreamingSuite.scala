@@ -43,6 +43,29 @@ class StreamingSuite extends GraftSuite {
     assert(got.size == 3)
   }
 
+  test("q_stream_tumbling (#46) on REAL fixture data: file-source stream == declared batch query") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val watch = java.nio.file.Files.createTempDirectory("ev_stream").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      java.nio.file.Paths.get(s"$watch/events.parquet"))
+    val sch = spark.read.parquet(s"$sf0001/events.parquet").schema
+    val streamed = spark.readStream.schema(sch).parquet(watch)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)")) // same recipe as Tables.events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"), col("n"), col("sum_value"))
+    val q = streamed.writeStream.format("memory").queryName("tumbling_real")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("tumbling_real")
+      .orderBy("hour_start", "event_type").collect().toSeq
+    val want = queries.Streaming.qStreamTumbling(spark, sf0001).collect().toSeq
+    assert(got == want, s"streaming run must equal the declared batch query " +
+      s"(got ${got.length} rows, want ${want.length})")
+  }
+
   test("session window: gap == 30min still merges; only a strictly greater gap splits") {
     val sess = spark
     import sess.implicits._
