@@ -23,6 +23,9 @@ object Engine {
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
   def init(spark: SparkSession, dir: String): Unit = {
+    // determinism contract (SURVEY §2.5) assumes UTC — user sessions
+    // won't have set it, same reasoning as Tables.events' nanos conf
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     TABLES.foreach {
       case "events" => Tables.events(spark, dir).createOrReplaceTempView("events")
       case t => spark.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(t)

@@ -87,12 +87,15 @@ object StreamzOps {
       */
     def combineLatest(other: DataFrame, keyCols: (Column, Column),
         tsCols: (Column, Column), rightTiebreak: Column): DataFrame = {
-      val joined = df.join(other,
+      // rank per LEFT ROW, not per (key, ts) value — two left rows
+      // sharing a key and timestamp must both survive
+      val left = df.withColumn("_cl_id", monotonically_increasing_id())
+      val joined = left.join(other,
         keyCols._1 === keyCols._2 && tsCols._2 <= tsCols._1, "left")
-      val w = Window.partitionBy(keyCols._1, tsCols._1)
+      val w = Window.partitionBy(col("_cl_id"))
         .orderBy(tsCols._2.desc_nulls_last, rightTiebreak.desc_nulls_last)
       joined.withColumn("_cl_rn", row_number().over(w))
-        .filter(col("_cl_rn") === 1).drop("_cl_rn")
+        .filter(col("_cl_rn") === 1).drop("_cl_rn", "_cl_id")
     }
 
     /** streamz `unique()`: keep the first row per key in `orderBy`

@@ -59,6 +59,7 @@ object LlmPipeline {
   val qDedupFuzzyMinhash: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .filter(size(col("words")) >= 3) // sequence(0, size-3) must not descend
       .withColumn("shingles", expr(
         """array_distinct(transform(
           |  sequence(0, size(words) - 3),

@@ -46,6 +46,7 @@ object MinHashDf {
         .as("sh"))
       .distinct()
       .withColumn("h", expr("CAST(conv(substring(md5(sh), 1, 7), 16, 10) AS BIGINT)"))
+      .cache() // consumed 4× (signatures, sizes, both intersection sides)
     // k signatures in ONE aggregation pass
     val sigCols = A.indices.map(i =>
       min(expr(s"(${A(i)}L * h + ${B(i)}L) % ${P}L")).as(s"sig$i"))

@@ -28,11 +28,6 @@ object Relational {
     * engines see identical timestamps (§2.5.3): DuckDB's CAST(ts AS
     * TIMESTAMP) truncates ns→µs exactly like our Tables.events.
     */
-  private val EV =
-    """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
-      |                  event_type, value, props FROM events)
-      |""".stripMargin
-
   // ---- #1 q_scan_project -------------------------------------------------
   // Column pruning: the parquet reader materializes only these 4 cols.
   val qScanProject: Q = (s, dir) =>

@@ -22,11 +22,6 @@ object Scalars {
 
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
 
-  private val EV =
-    """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
-      |                  event_type, value, props FROM events)
-      |""".stripMargin
-
   // ---- #21 q_approx_hll (no oracle — sketches are engine-specific) -------
   // HLL++ partial aggregation: mergeable sketch per partition, exact
   // count alongside so the ScalaTest can assert relative error < 5%.

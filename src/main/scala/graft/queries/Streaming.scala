@@ -20,11 +20,6 @@ object Streaming {
 
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
 
-  private val EV =
-    """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
-      |                  event_type, value, props FROM events)
-      |""".stripMargin
-
   // ---- #46 q_stream_tumbling ---------------------------------------------
   val qStreamTumbling: Q = (s, dir) =>
     Tables.events(s, dir)

@@ -69,7 +69,7 @@ object PgCdcSim {
     StructField("value", DoubleType, nullable = true)))
 
   final case class CdcRow(seq: Long, key: Long, op: String, tsUs: Long,
-      eventType: String, value: Double)
+      eventType: String, value: java.lang.Double) // value nullable per schema
 
   /** Deterministic changelog from events.parquet: seq = event_id,
     * key = user_id, op = I on first appearance of key (in seq order).
@@ -86,7 +86,8 @@ object PgCdcSim {
     rows.map { r =>
       val key = r.getLong(1)
       val op = if (seen.add(key)) "I" else "U"
-      CdcRow(r.getLong(0), key, op, r.getLong(2), r.getString(3), r.getDouble(4))
+      val value: java.lang.Double = if (r.isNullAt(4)) null else r.getDouble(4)
+      CdcRow(r.getLong(0), key, op, r.getLong(2), r.getString(3), value)
     }
   }
 }
@@ -136,8 +137,11 @@ class PgCdcSimMicroBatchStream(path: String, batchSize: Long,
     with SupportsAdmissionControl with SupportsTriggerAvailableNow {
   private lazy val rows: Array[PgCdcSim.CdcRow] = PgCdcSim.loadChangelog(path)
   private lazy val maxSeq: Long = if (rows.isEmpty) -1L else rows.map(_.seq).max
+  // clamped to maxSeq: an out-of-range snapshotSeq (or empty
+  // changelog) must not create offsets beyond the data — otherwise
+  // latestOffset would oscillate non-monotonically forever
   private lazy val snapshotSeq: Long =
-    if (snapshotSeqOpt >= 0) snapshotSeqOpt else maxSeq / 2
+    if (snapshotSeqOpt >= 0) math.min(snapshotSeqOpt, maxSeq) else maxSeq / 2
 
   override def initialOffset(): Offset = SeqOffset(-1L)
 

@@ -25,7 +25,6 @@ class LayoutSuite extends GraftSuite {
         .join(spark.table("orders_b"), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderstatus")).agg(sum(col("l_quantity")).as("q"))
       val plan = joined.queryExecution.executedPlan.toString
-      val joinPart = plan.split("HashAggregate").last // below the agg
       assert(plan.contains("SortMergeJoin"), plan)
       // the join inputs read pre-bucketed data: no Exchange between
       // the scans and the join (the only exchange allowed is the
