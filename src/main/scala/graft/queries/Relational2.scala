@@ -16,11 +16,13 @@ object Relational2 {
   // ---- #77 q_subquery_scalar ---------------------------------------------
   // Correlated scalar subquery → RewriteCorrelatedScalarSubquery turns
   // it into an aggregate + join; no per-row re-execution.
+  // Output money as decimal→double (driver-hash repr symmetry; the
+  // exact-decimal intermediate keeps §2.5.1 determinism).
   val qSubqueryScalar: Q = (s, dir) => {
     Tables.orders(s, dir).createOrReplaceTempView("orders")
     s.sql(
       """SELECT o_orderkey, o_custkey,
-        |       CAST(o_totalprice AS DECIMAL(18,2)) AS total
+        |       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total
         |FROM orders o
         |WHERE o_totalprice > (SELECT AVG(o2.o_totalprice) FROM orders o2
         |                      WHERE o2.o_custkey = o.o_custkey)
@@ -29,7 +31,7 @@ object Relational2 {
 
   val qSubqueryScalarSql: String =
     """SELECT o_orderkey, o_custkey,
-      |       CAST(o_totalprice AS DECIMAL(18,2)) AS total
+      |       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total
       |FROM orders o
       |WHERE o_totalprice > (SELECT AVG(o2.o_totalprice) FROM orders o2
       |                      WHERE o2.o_custkey = o.o_custkey)
@@ -86,21 +88,21 @@ object Relational2 {
     Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_linenumber"),
         expr(
-          """stack(3, 'quantity', CAST(l_quantity AS DECIMAL(18,2)),
-            |         'discount', CAST(l_discount AS DECIMAL(18,2)),
-            |         'tax',      CAST(l_tax      AS DECIMAL(18,2))) AS (metric, value)""".stripMargin))
+          """stack(3, 'quantity', CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE),
+            |         'discount', CAST(CAST(l_discount AS DECIMAL(18,2)) AS DOUBLE),
+            |         'tax',      CAST(CAST(l_tax      AS DECIMAL(18,2)) AS DOUBLE)) AS (metric, value)""".stripMargin))
       .orderBy("l_orderkey", "l_linenumber", "metric")
 
   val qUnpivotSql: String =
     """SELECT l_orderkey, l_linenumber, metric, value FROM (
       |  SELECT l_orderkey, l_linenumber, 'quantity' AS metric,
-      |         CAST(l_quantity AS DECIMAL(18,2)) AS value FROM lineitem
+      |         CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) AS value FROM lineitem
       |  UNION ALL
       |  SELECT l_orderkey, l_linenumber, 'discount',
-      |         CAST(l_discount AS DECIMAL(18,2)) FROM lineitem
+      |         CAST(CAST(l_discount AS DECIMAL(18,2)) AS DOUBLE) FROM lineitem
       |  UNION ALL
       |  SELECT l_orderkey, l_linenumber, 'tax',
-      |         CAST(l_tax AS DECIMAL(18,2)) FROM lineitem)
+      |         CAST(CAST(l_tax AS DECIMAL(18,2)) AS DOUBLE) FROM lineitem)
       |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin
 
   // ---- #81 q_set_union_all -----------------------------------------------

@@ -129,10 +129,11 @@ object Scalars {
   val qMathFuncs: Q = (s, dir) =>
     Tables.orders(s, dir)
       .select(col("o_orderkey"),
-        abs(dec(col("o_totalprice")) - 100000).as("abs_delta"),
+        abs(dec(col("o_totalprice")) - 100000).cast("double").as("abs_delta"),
         ceil(col("o_totalprice")).as("price_ceil"),
         floor(col("o_totalprice")).as("price_floor"),
-        round(dec(col("o_totalprice")), 1).cast("decimal(18,1)").as("price_r1"),
+        round(dec(col("o_totalprice")), 1).cast("decimal(18,1)")
+          .cast("double").as("price_r1"),
         round(sqrt(col("o_totalprice")), 6).as("price_sqrt"),
         round(ln(col("o_totalprice")), 6).as("price_ln"),
         pow(lit(2.0), (col("o_orderkey") % 10).cast("double")).cast("long").as("pow2"),
@@ -141,10 +142,10 @@ object Scalars {
 
   val qMathFuncsSql: String =
     """SELECT o_orderkey,
-      |       ABS(CAST(o_totalprice AS DECIMAL(18,2)) - 100000) AS abs_delta,
+      |       CAST(ABS(CAST(o_totalprice AS DECIMAL(18,2)) - 100000) AS DOUBLE) AS abs_delta,
       |       CAST(CEIL(o_totalprice) AS BIGINT) AS price_ceil,
       |       CAST(FLOOR(o_totalprice) AS BIGINT) AS price_floor,
-      |       CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)), 1) AS DECIMAL(18,1)) AS price_r1,
+      |       CAST(CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)), 1) AS DECIMAL(18,1)) AS DOUBLE) AS price_r1,
       |       ROUND(SQRT(o_totalprice), 6) AS price_sqrt,
       |       ROUND(LN(o_totalprice), 6) AS price_ln,
       |       CAST(POWER(2.0, CAST(o_orderkey % 10 AS DOUBLE)) AS BIGINT) AS pow2,

@@ -93,9 +93,9 @@ object Scalars2 {
         expr("nullif(o_orderstatus, 'O')").as("status_or_null"),
         coalesce(expr("nullif(o_orderstatus, 'O')"), lit("OPEN")).as("status_label"),
         greatest(dec(col("o_totalprice")), lit(100000).cast("decimal(18,2)"))
-          .cast("decimal(18,2)").as("at_least_100k"),
+          .cast("decimal(18,2)").cast("double").as("at_least_100k"),
         least(dec(col("o_totalprice")), lit(100000).cast("decimal(18,2)"))
-          .cast("decimal(18,2)").as("at_most_100k"))
+          .cast("decimal(18,2)").cast("double").as("at_most_100k"))
       .orderBy("o_orderkey")
 
   val qCondFuncsSql: String =
@@ -105,8 +105,8 @@ object Scalars2 {
       |            ELSE 'low' END AS tier,
       |       NULLIF(o_orderstatus, 'O') AS status_or_null,
       |       COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_label,
-      |       CAST(GREATEST(CAST(o_totalprice AS DECIMAL(18,2)), CAST(100000 AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS at_least_100k,
-      |       CAST(LEAST(CAST(o_totalprice AS DECIMAL(18,2)), CAST(100000 AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS at_most_100k
+      |       CAST(CAST(GREATEST(CAST(o_totalprice AS DECIMAL(18,2)), CAST(100000 AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS at_least_100k,
+      |       CAST(CAST(LEAST(CAST(o_totalprice AS DECIMAL(18,2)), CAST(100000 AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS at_most_100k
       |FROM orders
       |ORDER BY o_orderkey""".stripMargin
 

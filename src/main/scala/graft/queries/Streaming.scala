@@ -25,7 +25,8 @@ object Streaming {
     Tables.events(s, dir)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-           sum(dec(col("value"))).cast("decimal(38,2)").as("sum_value"))
+           sum(dec(col("value"))).cast("decimal(38,2)")
+             .cast("double").as("sum_value"))
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n"), col("sum_value"))
       .orderBy("hour_start", "event_type")
@@ -33,7 +34,7 @@ object Streaming {
   val qStreamTumblingSql: String = EV +
     """SELECT DATE_TRUNC('hour', ts) AS hour_start, event_type,
       |       COUNT(*) AS n,
-      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+      |       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
       |FROM e
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
@@ -125,14 +126,14 @@ object Streaming {
       .filter(col("rn") === 1)
       .select(col("user_id"), col("event_id").as("last_event_id"),
         col("event_type").as("last_type"),
-        dec(col("value")).as("last_value"),
+        dec(col("value")).cast("double").as("last_value"),
         date_trunc("second", col("ts")).as("last_ts"))
       .orderBy("user_id")
   }
 
   val qCdcLatestByKeySql: String = EV +
     """SELECT user_id, event_id AS last_event_id, event_type AS last_type,
-      |       CAST(value AS DECIMAL(18,2)) AS last_value,
+      |       CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS last_value,
       |       DATE_TRUNC('second', ts) AS last_ts
       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
       |        ORDER BY ts DESC, event_id DESC) AS rn FROM e)

@@ -54,7 +54,8 @@ class StreamingSuite extends GraftSuite {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)")) // same recipe as Tables.events
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_value"))
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)")
+          .cast("double").as("sum_value"))
       .select(col("window.start").as("hour_start"), col("event_type"), col("n"), col("sum_value"))
     val q = streamed.writeStream.format("memory").queryName("tumbling_real")
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
