@@ -10,11 +10,18 @@ import org.apache.spark.sql.functions._
   *
   * Design rules:
   * - Every op returns a plain DataFrame — the facade composes with
-  *   the whole Spark API and works identically on batch and
-  *   streaming frames (ops that need an ordering take explicit order
-  *   columns, because distributed data has no implicit arrival order;
-  *   that is the one semantic difference from the single-threaded
-  *   push-based original, and it is what makes the ops scale).
+  *   the whole Spark API (ops that need an ordering take explicit
+  *   order columns, because distributed data has no implicit arrival
+  *   order; that is the one semantic difference from the
+  *   single-threaded push-based original, and it is what makes the
+  *   ops scale).
+  * - Batch vs streaming: mapRows/filterRows/pluck/timedWindow/
+  *   unionWith/flattenCol run unchanged on streaming frames.
+  *   accumulate/slidingWindow/partitionChunks/zipWith/combineLatest/
+  *   uniqueBy/collectAll use global or non-time windows that
+  *   Structured Streaming rejects — they are BATCH-ONLY (streaming
+  *   equivalents: watermarked window aggs, as-of via stream-stream
+  *   interval join, dropDuplicatesWithinWatermark).
   * - No collect(), no driver loops: all ops stay in the plan.
   */
 object StreamzOps {

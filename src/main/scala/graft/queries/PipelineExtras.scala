@@ -252,8 +252,12 @@ object PipelineExtras {
       .select(col("doc_id"), col("text"),
         size(split(col("text"), " ")).as("ws_tokens"),
         regexp_count(col("text"), lit("[a-z]{1,4}|[0-9]{1,4}")).as("bpe_tokens"))
+      // nullif guard: a doc with no [a-z0-9] runs has bpe_tokens = 0,
+      // where Spark (non-ANSI) yields NULL but DuckDB yields inf —
+      // make both sides NULL explicitly.
       .select(col("doc_id"), col("ws_tokens"), col("bpe_tokens"),
-        round(length(col("text")).cast("double") / col("bpe_tokens").cast("double"), 6)
+        round(length(col("text")).cast("double") /
+          nullif(col("bpe_tokens"), lit(0)).cast("double"), 6)
           .as("chars_per_token"))
       .orderBy("doc_id")
 
@@ -262,7 +266,7 @@ object PipelineExtras {
       |       CAST(LEN(string_split(text, ' ')) AS INT) AS ws_tokens,
       |       CAST(LEN(regexp_extract_all(text, '[a-z]{1,4}|[0-9]{1,4}')) AS INT) AS bpe_tokens,
       |       ROUND(CAST(LENGTH(text) AS DOUBLE)
-      |             / CAST(LEN(regexp_extract_all(text, '[a-z]{1,4}|[0-9]{1,4}')) AS DOUBLE), 6) AS chars_per_token
+      |             / CAST(NULLIF(LEN(regexp_extract_all(text, '[a-z]{1,4}|[0-9]{1,4}')), 0) AS DOUBLE), 6) AS chars_per_token
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 

@@ -102,6 +102,9 @@ class PgCdcSimTable(options: CaseInsensitiveStringMap)
   private val path = Option(options.get("path"))
     .getOrElse(throw new IllegalArgumentException("pg-cdc-sim requires option 'path'"))
   private val batchSize = options.getLong("batchSize", 1000L)
+  require(batchSize > 0,
+    s"pg-cdc-sim batchSize must be > 0 (got $batchSize): a zero poll " +
+      "quantum can never advance the offset, so AvailableNow never terminates")
   private val snapshotSeq = options.getLong("snapshotSeq", -1L)
   private val numPartitions = options.getInt("numPartitions", 4)
 
@@ -137,11 +140,12 @@ class PgCdcSimMicroBatchStream(path: String, batchSize: Long,
     with SupportsAdmissionControl with SupportsTriggerAvailableNow {
   private lazy val rows: Array[PgCdcSim.CdcRow] = PgCdcSim.loadChangelog(path)
   private lazy val maxSeq: Long = if (rows.isEmpty) -1L else rows.map(_.seq).max
-  // clamped to maxSeq: an out-of-range snapshotSeq (or empty
-  // changelog) must not create offsets beyond the data — otherwise
-  // latestOffset would oscillate non-monotonically forever
+  // clamped to maxSeq on BOTH paths: an out-of-range snapshotSeq or an
+  // empty changelog (maxSeq = -1, where -1/2 == 0 in Scala) must not
+  // create offsets beyond the data — otherwise latestOffset would
+  // oscillate non-monotonically forever
   private lazy val snapshotSeq: Long =
-    if (snapshotSeqOpt >= 0) math.min(snapshotSeqOpt, maxSeq) else maxSeq / 2
+    math.min(if (snapshotSeqOpt >= 0) snapshotSeqOpt else maxSeq / 2, maxSeq)
 
   override def initialOffset(): Offset = SeqOffset(-1L)
 

@@ -128,4 +128,29 @@ class CdcSourceSuite extends GraftSuite {
     assert(df.schema.fieldNames.toSeq ==
       Seq("seq", "key", "op", "ts", "event_type", "value"))
   }
+
+  test("batchSize <= 0 is rejected (would stall AvailableNow forever)") {
+    val ex = intercept[Exception] {
+      spark.read.format("pg-cdc-sim")
+        .option("path", s"$sf0001/events.parquet")
+        .option("batchSize", "0").load().count()
+    }
+    assert(ex.getMessage.contains("batchSize"))
+  }
+
+  test("empty changelog: default snapshotSeq clamps, AvailableNow terminates with 0 rows") {
+    // empty parquet with the events schema → maxSeq = -1; the default
+    // snapshot offset (maxSeq/2 == 0 in Scala for -1) must clamp to -1
+    // or latestOffset oscillates 0 → -1 → 0 forever
+    val empty = java.nio.file.Files.createTempDirectory("cdc_empty").toString
+    spark.read.parquet(s"$sf0001/events.parquet").limit(0)
+      .write.mode("overwrite").parquet(empty)
+    val out = java.nio.file.Files.createTempDirectory("cdc_empty_out").toString
+    val q = spark.readStream.format("pg-cdc-sim")
+      .option("path", empty).load()
+      .writeStream.format("memory").queryName("cdc_empty")
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(60000), "AvailableNow must terminate on an empty changelog")
+    assert(spark.table("cdc_empty").count() == 0)
+  }
 }
