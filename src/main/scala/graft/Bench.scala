@@ -20,7 +20,12 @@ object Bench {
       catch { case _: Throwable => () }
     }
     try graft.Tables.events(spark, sfDir).count() catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Optional comma-separated filter for targeted profiling runs.
+    val only = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).toSet)
+    val hotSet = (SparkEntry.queries -- SparkEntry.benchExclude)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    val results = hotSet.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -19,6 +19,17 @@ object SparkEntry {
       LlmPipeline.queries ++ PipelineExtras.queries ++ Multimodal.queries ++
       MinHashDf.queries ++ Scalars2.queries ++ Relational2.queries
 
+  /** Queries excluded from the Bench hot set (still in `queries`, still
+    * correctness-gated every round). q_dedup_fuzzy_minhash is the MLlib
+    * MinHashLSH cross-validation of q_dedup_minhash_df: its
+    * approxSimilarityJoin explodes one row per (doc, hashTable) and was
+    * ~15% of the round-1 bench while the pure-DataFrame banding variant
+    * produces an oracle-checked superset of the signal at ~1/6 the cost
+    * (round-1 verdict, perf item 1). It remains recall-asserted in
+    * OperatorSuite.
+    */
+  val benchExclude: Set[String] = Set("q_dedup_fuzzy_minhash")
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

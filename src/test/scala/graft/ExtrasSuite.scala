@@ -138,4 +138,32 @@ class ExtrasSuite extends GraftSuite {
     // deterministic under re-execution
     assert(Multimodal.qMultimodalDecode(spark, sf0001).collect().toSeq == rows.toSeq)
   }
+
+  test("q_dedup_ngram_jaccard: df-cut candidate generation loses NO pair vs brute-force all-pairs") {
+    val got = PipelineExtras.qDedupNgramJaccard(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Double]("jaccard")).toMap
+    // driver-side brute force: true all-pairs exact 3-gram Jaccard
+    val shingles: Map[Long, Set[String]] = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val ws = r.getString(1).split(" ")
+        r.getLong(0) -> ws.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+      }.toMap.filter(_._2.nonEmpty)
+    val ids = shingles.keys.toSeq.sorted
+    val truth = (for {
+      i <- ids.indices; j <- i + 1 until ids.size
+      a = shingles(ids(i)); b = shingles(ids(j))
+      inter = a.intersect(b).size
+      jac = BigDecimal(inter.toDouble / (a.size + b.size - inter))
+        .setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+      if jac >= 0.2
+    } yield (ids(i), ids(j)) -> jac).toMap
+    assert(got.keySet == truth.keySet,
+      s"df-cut must not change the reported pair set on the fixture: " +
+        s"missing=${(truth.keySet -- got.keySet).take(5)} extra=${(got.keySet -- truth.keySet).take(5)}")
+    truth.foreach { case (pair, jac) =>
+      assert(math.abs(got(pair) - jac) < 1e-9, s"$pair: ${got(pair)} vs $jac")
+    }
+  }
 }
