@@ -3,6 +3,7 @@ package graft.api
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /** Operator-vocabulary facade: the reference's streamz operator names
   * (SURVEY.md §2A — public upstream API) expressed over DataFrames,
@@ -135,5 +136,54 @@ object StreamzOps {
       */
     def sinkToParquet(path: String): Unit =
       df.write.mode("overwrite").parquet(path)
+
+    /** CDC table-replication sink (SURVEY.md §2A row 3): maintain
+      * `tablePath` as the LATEST row per key from a streaming
+      * changelog. Per micro-batch: keep the max-`orderCol` row per
+      * key (orderCol must be unique per key — a CDC seq), merge with
+      * the existing table keeping the overall max, and — when `opCol`
+      * is given — remove keys whose winning row is a `deleteOp`
+      * tombstone. Idempotent under batch replay (a replayed batch
+      * merges to the same state), so exactly-once table state composes
+      * with the source's checkpoint WAL.
+      *
+      * The foreachBatch body here is a parquet read-modify-write
+      * (write tmp, swap); on a lakehouse table format the same
+      * contract is a single atomic MERGE INTO ... WHEN MATCHED AND
+      * op = 'D' THEN DELETE. At 100 TB the merge is a shuffled join
+      * on the key — partition `tablePath` by a key bucket so the
+      * rewrite touches only dirty buckets.
+      */
+    def sinkUpsert(tablePath: String, keys: Seq[String], orderCol: String,
+        checkpointLocation: String,
+        opCol: Option[String] = None, deleteOp: String = "D",
+        trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      val tmpPath = tablePath + "_tmp"
+      df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpointLocation)
+        .trigger(trigger)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val sess = batch.sparkSession
+          val w = Window.partitionBy(keys.map(col): _*)
+            .orderBy(col(orderCol).desc)
+          val latest = batch.withColumn("_rn", row_number().over(w))
+            .filter(col("_rn") === 1).drop("_rn")
+          val merged =
+            if (new java.io.File(tablePath).exists()) {
+              sess.read.parquet(tablePath).unionByName(latest)
+                .withColumn("_rn", row_number().over(w))
+                .filter(col("_rn") === 1).drop("_rn")
+            } else latest
+          // dropping tombstoned keys at write is safe under Structured
+          // Streaming recovery: only the in-flight batch ever replays,
+          // so no earlier-committed row can resurrect a deleted key.
+          // A source with broader re-delivery (Kafka earliest reset)
+          // needs retained tombstones + a retention window instead.
+          val alive = opCol.fold(merged)(oc => merged.filter(col(oc) =!= deleteOp))
+          alive.write.mode("overwrite").parquet(tmpPath)
+          sess.read.parquet(tmpPath).write.mode("overwrite").parquet(tablePath)
+          ()
+        }.start()
+    }
   }
 }

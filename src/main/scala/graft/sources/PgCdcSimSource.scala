@@ -1,6 +1,10 @@
 package graft.sources
 
 import java.util
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetReader
+import org.apache.parquet.hadoop.example.GroupReadSupport
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
@@ -24,20 +28,31 @@ import org.apache.spark.unsafe.types.UTF8String
   *    most `batchSize` sequence numbers (the poll quantum);
   *  - per-key ordering by a monotonically increasing seq (the
   *    transaction horizon — xmin/PK watermark in the reference);
-  *  - op = I for a key's first appearance, U afterwards (poll-based
-  *    CDC sees inserts and updates, never deletes);
+  *  - op = I for a key's first appearance, U afterwards; with
+  *    `deletes=true`, a deterministic subset of keys (key % 10 == 7)
+  *    is tombstoned (op = D, null payload) after its last change —
+  *    the logical-replication delete envelope a poll-based reference
+  *    never sees but any real consumer eventually needs;
   *  - at-least-once replay from any committed offset (offsets are a
   *    single monotonic long → trivially restartable from the
   *    checkpoint WAL).
   *
-  * The changelog is derived deterministically from `events.parquet`
-  * (seq = event_id, key = user_id). THIS SIM loads it driver-side and
-  * ships row slices inside `InputPartition`s — fine for a replay
-  * fixture. In production only `ChangelogSlice` changes: each
-  * partition would hold a JDBC predicate (`seq > start AND seq <=
-  * end AND hash(key) % n = i`) or a Kafka topic-partition range, and
-  * the reader would pull rows remotely; offsets, planning, and
-  * downstream semantics stay identical.
+  * JDBC-shaped execution (round-2): the driver plans OFFSETS ONLY —
+  * its one data access is a tiny aggregate (max seq / max tombstoned
+  * key), the analog of the reference's `SELECT max(xmin)` poll. Each
+  * `ChangelogSlice` carries a PREDICATE, not rows: (seq range, key-
+  * hash partition id). Executor-side readers pull their own rows
+  * straight from the changelog file via parquet-hadoop — no
+  * driver-side row shipping, no rows inside task binaries. In
+  * production only `ChangelogReader.open` changes: the same predicate
+  * becomes `WHERE seq > ? AND seq <= ? AND hash(key) % n = ?` on a
+  * JDBC connection (or a Kafka topic-partition seek); offsets,
+  * planning, and downstream semantics stay identical.
+  *
+  * Key-hash partitioning gives each reader the FULL history of its
+  * keys, which is what makes op derivation (first-seen = I) and
+  * per-key ordering local to a partition — the same reason a real
+  * connector partitions a changelog by key.
   *
   * Usage:
   * {{{
@@ -46,6 +61,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *     .option("batchSize", "100")     // poll quantum (seqs per trigger)
   *     .option("snapshotSeq", "499")   // last seq included in the snapshot
   *     .option("numPartitions", "4")
+  *     .option("deletes", "true")      // emit op=D tombstones
   *     .load()
   * }}}
   */
@@ -71,10 +87,38 @@ object PgCdcSim {
   final case class CdcRow(seq: Long, key: Long, op: String, tsUs: Long,
       eventType: String, value: java.lang.Double) // value nullable per schema
 
-  /** Deterministic changelog from events.parquet: seq = event_id,
-    * key = user_id, op = I on first appearance of key (in seq order).
+  /** Keys tombstoned when `deletes` is on: deterministic subset. */
+  def isDeletedKey(key: Long): Boolean = key % 10 == 7
+
+  /** Tombstone seq for a key: appended after the whole changelog, in
+    * key order, collision-free because keys are unique.
     */
-  def loadChangelog(path: String): Array[CdcRow] = {
+  def deleteSeq(maxDataSeq: Long, key: Long): Long = maxDataSeq + 1 + key
+
+  /** Driver-side planning stats — the `SELECT max(xmin)` analog. One
+    * tiny aggregate job; NO rows reach the driver.
+    * Returns (max data seq, max overall seq incl. tombstones).
+    */
+  def changelogStats(path: String, deletes: Boolean): (Long, Long) = {
+    val spark = SparkSession.active
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val agg = spark.read.parquet(path).agg(
+      max(col("event_id")).as("max_seq"),
+      max(when(col("user_id") % 10 === 7, col("user_id"))).as("max_del_key"))
+      .collect()(0)
+    val maxSeq = if (agg.isNullAt(0)) -1L else agg.getLong(0)
+    val maxAll =
+      if (!deletes || agg.isNullAt(1)) maxSeq
+      else math.max(maxSeq, deleteSeq(maxSeq, agg.getLong(1)))
+    (maxSeq, maxAll)
+  }
+
+  /** Reference implementation of the changelog derivation, driver-side
+    * (test oracle; the source itself reads executor-side via
+    * `ChangelogReader`). op = I on first appearance of key in seq
+    * order; with deletes, op=D tombstones appended per `deleteSeq`.
+    */
+  def loadChangelog(path: String, deletes: Boolean = false): Array[CdcRow] = {
     val spark = SparkSession.active
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rows = spark.read.parquet(path)
@@ -83,11 +127,21 @@ object PgCdcSim {
       .orderBy("event_id")
       .collect()
     val seen = scala.collection.mutable.HashSet.empty[Long]
-    rows.map { r =>
+    val maxSeq = if (rows.isEmpty) -1L else rows.map(_.getLong(0)).max
+    val data = rows.map { r =>
       val key = r.getLong(1)
       val op = if (seen.add(key)) "I" else "U"
       val value: java.lang.Double = if (r.isNullAt(4)) null else r.getDouble(4)
       CdcRow(r.getLong(0), key, op, r.getLong(2), r.getString(3), value)
+    }
+    if (!deletes) data
+    else {
+      val tombs = data.groupBy(_.key).collect {
+        case (k, hist) if isDeletedKey(k) =>
+          CdcRow(deleteSeq(maxSeq, k), k, "D",
+            hist.map(_.tsUs).max + 1000000L, null, null)
+      }.toArray
+      (data ++ tombs).sortBy(_.seq)
     }
   }
 }
@@ -107,6 +161,7 @@ class PgCdcSimTable(options: CaseInsensitiveStringMap)
       "quantum can never advance the offset, so AvailableNow never terminates")
   private val snapshotSeq = options.getLong("snapshotSeq", -1L)
   private val numPartitions = options.getInt("numPartitions", 4)
+  private val deletes = options.getBoolean("deletes", false)
 
   override def name(): String = s"pg-cdc-sim($path)"
   override def schema(): StructType = PgCdcSim.schema
@@ -114,32 +169,33 @@ class PgCdcSimTable(options: CaseInsensitiveStringMap)
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
-      override def build(): Scan = new PgCdcSimScan(path, batchSize, snapshotSeq, numPartitions)
+      override def build(): Scan =
+        new PgCdcSimScan(path, batchSize, snapshotSeq, numPartitions, deletes)
     }
 }
 
 class PgCdcSimScan(path: String, batchSize: Long, snapshotSeqOpt: Long,
-    numPartitions: Int) extends Scan {
+    numPartitions: Int, deletes: Boolean) extends Scan {
   override def readSchema(): StructType = PgCdcSim.schema
   override def description(): String = s"PgCdcSim(path=$path, batchSize=$batchSize)"
 
   override def toBatch: Batch = new Batch {
-    private lazy val rows = PgCdcSim.loadChangelog(path)
     override def planInputPartitions(): Array[InputPartition] =
-      ChangelogSlice.slices(rows, Long.MinValue, Long.MaxValue, numPartitions)
+      ChangelogSlice.plan(path, Long.MinValue, Long.MaxValue, numPartitions, deletes)
     override def createReaderFactory(): PartitionReaderFactory =
       new ChangelogReaderFactory
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new PgCdcSimMicroBatchStream(path, batchSize, snapshotSeqOpt, numPartitions)
+    new PgCdcSimMicroBatchStream(path, batchSize, snapshotSeqOpt, numPartitions, deletes)
 }
 
 class PgCdcSimMicroBatchStream(path: String, batchSize: Long,
-    snapshotSeqOpt: Long, numPartitions: Int) extends MicroBatchStream
+    snapshotSeqOpt: Long, numPartitions: Int, deletes: Boolean)
+    extends MicroBatchStream
     with SupportsAdmissionControl with SupportsTriggerAvailableNow {
-  private lazy val rows: Array[PgCdcSim.CdcRow] = PgCdcSim.loadChangelog(path)
-  private lazy val maxSeq: Long = if (rows.isEmpty) -1L else rows.map(_.seq).max
+  // planning stats only — the driver never materializes changelog rows
+  private lazy val maxSeq: Long = PgCdcSim.changelogStats(path, deletes)._2
   // clamped to maxSeq on BOTH paths: an out-of-range snapshotSeq or an
   // empty changelog (maxSeq = -1, where -1/2 == 0 in Scala) must not
   // create offsets beyond the data — otherwise latestOffset would
@@ -181,7 +237,7 @@ class PgCdcSimMicroBatchStream(path: String, batchSize: Long,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[SeqOffset].seq
     val e = end.asInstanceOf[SeqOffset].seq
-    ChangelogSlice.slices(rows, s, e, numPartitions)
+    ChangelogSlice.plan(path, s, e, numPartitions, deletes)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -191,35 +247,90 @@ class PgCdcSimMicroBatchStream(path: String, batchSize: Long,
   override def stop(): Unit = ()
 }
 
+/** Predicate-bearing partition: seq range (start, end] + key-hash
+  * partition (hash(key) % numPartitions == partId). NO rows — the
+  * executor-side reader resolves the predicate against the changelog
+  * itself. This is the exact shape of a JDBC-polling partition
+  * (`WHERE seq > ? AND seq <= ? AND hash(key) % n = ?`) or a Kafka
+  * topic-partition offset range.
+  */
+final case class ChangelogSlice(path: String, start: Long, end: Long,
+    partId: Int, numPartitions: Int, deletes: Boolean) extends InputPartition
+
 object ChangelogSlice {
-  /** Rows with seq in (start, end], hash-partitioned by key so each
-    * key's changes stay in one partition (ordered by seq within it) —
-    * the same layout a real CDC source needs for per-key ordering.
-    */
-  def slices(rows: Array[PgCdcSim.CdcRow], start: Long, end: Long,
-      numPartitions: Int): Array[InputPartition] = {
-    val inRange = rows.filter(r => r.seq > start && r.seq <= end)
+  def plan(path: String, start: Long, end: Long, numPartitions: Int,
+      deletes: Boolean): Array[InputPartition] =
     (0 until numPartitions).map { i =>
-      ChangelogSlice(inRange.filter(r => math.floorMod(r.key, numPartitions.toLong) == i)
-        .sortBy(_.seq)): InputPartition
+      ChangelogSlice(path, start, end, i, numPartitions, deletes): InputPartition
     }.toArray
-  }
 }
 
-final case class ChangelogSlice(rows: Array[PgCdcSim.CdcRow]) extends InputPartition
-
 class ChangelogReaderFactory extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val slice = partition.asInstanceOf[ChangelogSlice]
-    new PartitionReader[InternalRow] {
-      private var i = -1
-      override def next(): Boolean = { i += 1; i < slice.rows.length }
-      override def get(): InternalRow = {
-        val r = slice.rows(i)
-        InternalRow(r.seq, r.key, UTF8String.fromString(r.op), r.tsUs,
-          UTF8String.fromString(r.eventType), r.value)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new ChangelogReader(partition.asInstanceOf[ChangelogSlice])
+}
+
+/** Executor-side changelog reader: pulls THIS partition's rows
+  * directly from the parquet changelog via parquet-hadoop (no
+  * SparkSession on executors, no driver shipping). Scans the file
+  * once, keeps only its key-hash subset, derives op locally (the key
+  * subset's full history lives in exactly this partition), then clips
+  * to the slice's seq range. In production this `open()` is a JDBC
+  * query / Kafka seek resolving the same predicate server-side.
+  */
+class ChangelogReader(slice: ChangelogSlice) extends PartitionReader[InternalRow] {
+  import PgCdcSim.CdcRow
+
+  private lazy val rows: Array[CdcRow] = {
+    val reader = ParquetReader
+      .builder(new GroupReadSupport(), new Path(slice.path))
+      .withConf(new Configuration())
+      .build()
+    val mine = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, String, java.lang.Double)]
+    var maxSeq = -1L
+    try {
+      var g = reader.read()
+      while (g != null) {
+        val seq = g.getLong("event_id", 0)
+        if (seq > maxSeq) maxSeq = seq
+        val key = g.getLong("user_id", 0)
+        if (math.floorMod(key, slice.numPartitions.toLong) == slice.partId) {
+          val tsUs = g.getLong("ts", 0) / 1000L // TIMESTAMP(NANOS) raw int64
+          val et = if (g.getFieldRepetitionCount("event_type") == 0) null
+                   else g.getString("event_type", 0)
+          val v: java.lang.Double =
+            if (g.getFieldRepetitionCount("value") == 0) null
+            else g.getDouble("value", 0)
+          mine += ((seq, key, tsUs, et, v))
+        }
+        g = reader.read()
       }
-      override def close(): Unit = ()
+    } finally reader.close()
+    val sorted = mine.sortBy(_._1).toArray
+    val seen = scala.collection.mutable.HashSet.empty[Long]
+    val data = sorted.map { case (seq, key, tsUs, et, v) =>
+      CdcRow(seq, key, if (seen.add(key)) "I" else "U", tsUs, et, v)
     }
+    val all =
+      if (!slice.deletes) data
+      else {
+        val tombs = data.groupBy(_.key).collect {
+          case (k, hist) if PgCdcSim.isDeletedKey(k) =>
+            CdcRow(PgCdcSim.deleteSeq(maxSeq, k), k, "D",
+              hist.map(_.tsUs).max + 1000000L, null, null)
+        }.toArray
+        (data ++ tombs).sortBy(_.seq)
+      }
+    all.filter(r => r.seq > slice.start && r.seq <= slice.end)
   }
+
+  private var i = -1
+  override def next(): Boolean = { i += 1; i < rows.length }
+  override def get(): InternalRow = {
+    val r = rows(i)
+    InternalRow(r.seq, r.key, UTF8String.fromString(r.op), r.tsUs,
+      if (r.eventType == null) null else UTF8String.fromString(r.eventType),
+      r.value)
+  }
+  override def close(): Unit = ()
 }

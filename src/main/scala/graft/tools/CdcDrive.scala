@@ -41,6 +41,21 @@ object CdcDrive {
       """SELECT key, max_by(event_type, seq) AS cur_type, max(seq) AS last_seq
         |FROM changes GROUP BY key ORDER BY key LIMIT 5""".stripMargin)
       .show(truncate = false)
+
+    // table replication with delete tombstones through the first-class
+    // keyed-upsert sink
+    import graft.api.StreamzOps._
+    val base = java.nio.file.Files.createTempDirectory("cdc_drive_sink").toString
+    val up = spark.readStream.format("pg-cdc-sim")
+      .option("path", path)
+      .option("batchSize", "150").option("snapshotSeq", "299")
+      .option("deletes", "true")
+      .load()
+      .sinkUpsert(s"$base/state", Seq("key"), "seq", s"$base/cp", opCol = Some("op"))
+    up.awaitTermination(120000)
+    val state = spark.read.parquet(s"$base/state")
+    println(s"[cdc-drive] replicated table: ${state.count()} live keys " +
+      s"(tombstoned keys dropped: ${state.filter("key % 10 = 7").count()} remain)")
     spark.stop()
   }
 }

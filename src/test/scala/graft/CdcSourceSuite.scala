@@ -129,6 +129,74 @@ class CdcSourceSuite extends GraftSuite {
       Seq("seq", "key", "op", "ts", "event_type", "value"))
   }
 
+  test("executor-side predicate readers == driver-side reference derivation (incl. deletes)") {
+    // the batch read resolves ChangelogSlice predicates executor-side
+    // via parquet-hadoop; it must reproduce PgCdcSim.loadChangelog
+    // (the driver-side reference oracle) byte for byte
+    for (deletes <- Seq(false, true)) {
+      val got = spark.read.format("pg-cdc-sim")
+        .option("path", s"$sf0001/events.parquet")
+        .option("deletes", deletes.toString).load()
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getTimestamp(3).getTime,
+          if (r.isNullAt(4)) null else r.getString(4),
+          if (r.isNullAt(5)) null else r.getDouble(5): java.lang.Double))
+        .sortBy(_._1)
+      val want = graft.sources.PgCdcSim
+        .loadChangelog(s"$sf0001/events.parquet", deletes)
+        .map(r => (r.seq, r.key, r.op, r.tsUs / 1000, r.eventType, r.value))
+      assert(got.length == want.length, s"deletes=$deletes row count")
+      assert(got.toSeq == want.toSeq, s"deletes=$deletes rows diverge")
+      if (deletes) {
+        val d = got.filter(_._3 == "D")
+        assert(d.nonEmpty && d.forall(t => t._2 % 10 == 7 && t._5 == null && t._6 == null),
+          "tombstones: deterministic key subset, null payload")
+      } else assert(got.forall(_._3 != "D"))
+    }
+  }
+
+  test("sinkUpsert: CDC stream -> keyed-upsert table == q_cdc_latest_by_key; restart is a no-op") {
+    import graft.api.StreamzOps._
+    val base = java.nio.file.Files.createTempDirectory("sink_upsert").toString
+    val table = s"$base/state"
+    val cp = s"$base/cp"
+    def run() = {
+      val q = readCdc(batchSize = 300, snapshotSeq = 99)
+        .sinkUpsert(table, Seq("key"), "seq", cp)
+      q.awaitTermination(120000)
+    }
+    run()
+    val want = queries.Streaming.qCdcLatestByKey(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("last_event_id")).toMap
+    def tableState() = spark.read.parquet(table).collect()
+      .map(r => r.getAs[Long]("key") -> r.getAs[Long]("seq")).toMap
+    assert(tableState() == want, "sinkUpsert table must equal the batch changelog fold")
+    run() // restart from the same checkpoint: fully caught up -> no change
+    assert(tableState() == want, "restart from checkpoint must be a no-op")
+  }
+
+  test("sinkUpsert with op=D tombstones: deleted keys absent from replicated state") {
+    import graft.api.StreamzOps._
+    val base = java.nio.file.Files.createTempDirectory("sink_upsert_del").toString
+    val q = spark.readStream.format("pg-cdc-sim")
+      .option("path", s"$sf0001/events.parquet")
+      .option("batchSize", "300").option("snapshotSeq", "99")
+      .option("numPartitions", "4").option("deletes", "true")
+      .load()
+      .sinkUpsert(s"$base/state", Seq("key"), "seq", s"$base/cp", opCol = Some("op"))
+    q.awaitTermination(120000)
+    val got = spark.read.parquet(s"$base/state").collect()
+      .map(r => r.getAs[Long]("key") -> r.getAs[Long]("seq")).toMap
+    val full = queries.Streaming.qCdcLatestByKey(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("last_event_id")).toMap
+    val want = full.filter { case (k, _) => k % 10 != 7 }
+    assert(full.keys.exists(_ % 10 == 7), "fixture has tombstoned keys")
+    assert(got == want,
+      s"tombstoned keys must be dropped, others keep latest seq; " +
+        s"unexpected=${(got.toSet diff want.toSet).take(5)}")
+  }
+
   test("batchSize <= 0 is rejected (would stall AvailableNow forever)") {
     val ex = intercept[Exception] {
       spark.read.format("pg-cdc-sim")
