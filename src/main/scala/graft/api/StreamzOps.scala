@@ -68,6 +68,12 @@ object StreamzOps {
 
     /** streamz `partition(n)`: chunk ids of n consecutive rows in
       * `orderBy` order.
+      *
+      * SCALE WARNING: the partition-less Window funnels ALL rows
+      * through one task — inherent to the reference's global arrival
+      * order. At scale, chunk within a natural key instead, or derive
+      * a global index via range-bucketed offsets (see q_win_ntile,
+      * Relational.scala) when exact global chunking is required.
       */
     def partitionChunks(n: Int, orderBy: Seq[Column], as: String = "chunk"): DataFrame = {
       val w = Window.orderBy(orderBy: _*)
@@ -81,6 +87,11 @@ object StreamzOps {
     /** streamz `zip(other)`: align i-th elements of two frames —
       * row-index equi-join; each side's index is defined by its own
       * explicit ordering.
+      *
+      * SCALE WARNING: both sides' global row_number funnel through one
+      * task each (same caveat as partitionChunks) — fine for the
+      * reference's stream-alignment semantic on modest streams; for
+      * large frames prefer joining on a real key.
       */
     def zipWith(other: DataFrame, leftOrder: Seq[Column],
         rightOrder: Seq[Column]): DataFrame = {

@@ -443,10 +443,55 @@ object Relational {
       |ORDER BY day""".stripMargin
 
   // ---- #27 q_win_ntile ---------------------------------------------------
+  // NTILE over a GLOBAL order, without the naive plan's scale trap: a
+  // partition-less Window funnels the whole table through ONE task.
+  // Instead: (1) approx-percentile cut points of the sort column
+  // (tiny driver fetch, planning-scale — boundary quality affects only
+  // balance, never the answer); (2) value-deterministic range buckets
+  // from those cut points; (3) exact per-bucket counts → global rank =
+  // bucket offset + partition-LOCAL row_number (Window.partitionBy
+  // bucket — parallel); (4) NTILE's exact first-(N mod k)-buckets-get-
+  // one-extra formula from the literal total. Identical output to
+  // ntile(4) OVER (ORDER BY ...) for any total order (tiebreak is
+  // unique), parallel at any scale.
   val qWinNtile: Q = (s, dir) => {
-    val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
-    Tables.customer(s, dir)
-      .select(col("c_custkey"), ntile(4).over(w).as("quartile"))
+    val k = 4
+    val cust = Tables.customer(s, dir)
+    val nBuckets = 32
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets)
+    val cuts = cust.agg(percentile_approx(col("c_acctbal"),
+        typedlit(probs), lit(10000)).as("p"))
+      .collect()(0).getSeq[Any](0)
+      .map {
+        case d: java.math.BigDecimal => d.doubleValue
+        case d: java.lang.Number => d.doubleValue
+      }.distinct.sorted(Ordering[Double].reverse)
+    // bucket 0 = highest acctbal range (sort is acctbal DESC)
+    val bucketExpr = cuts.zipWithIndex.foldLeft(when(lit(false), 0)) {
+      case (acc, (cut, i)) => acc.when(col("c_acctbal") > cut, i)
+    }.otherwise(cuts.length)
+    val bucketed = cust.withColumn("_b", bucketExpr)
+    val counts = bucketed.groupBy(col("_b")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    val offsets = (0 to cuts.length).map { b =>
+      b -> (0 until b).map(counts.getOrElse(_, 0L)).sum
+    }.toMap
+    val base = total / k
+    val rem = total % k
+    val wLocal = Window.partitionBy(col("_b"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    val offCol = element_at(
+      typedlit(offsets.map { case (b, o) => b.toLong -> o }), col("_b").cast("long"))
+    val rn = (offCol + row_number().over(wLocal)).as("_rn")
+    val withRn = bucketed.select(col("c_custkey"), rn)
+    val cutRows = rem * (base + 1)
+    val quartile =
+      if (base == 0) col("_rn") // degenerate N < k: one row per tile
+      else when(col("_rn") <= cutRows,
+          expr(s"(_rn - 1) div ${base + 1}") + 1)
+        .otherwise(lit(rem) + expr(s"(_rn - ${cutRows} - 1) div ${base}") + 1)
+    withRn.select(col("c_custkey"), quartile.cast("int").as("quartile"))
       .orderBy("c_custkey")
   }
 

@@ -59,4 +59,26 @@ class PlanSuite extends GraftSuite {
     val p = plan(queries.Relational2.qSubqueryIn(spark, sf0001))
     assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p)
   }
+
+  test("q_win_ntile (#27): no partition-less Window — global NTILE must not funnel into one task") {
+    val exec = Relational.qWinNtile(spark, sf0001)
+      .queryExecution.executedPlan
+    val globalWindows = exec.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.isEmpty,
+      s"found Window with empty partitionSpec (single-task funnel):\n$exec")
+    // and the result still matches exact global ntile semantics
+    val got = Relational.qWinNtile(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(org.apache.spark.sql.functions.col("c_acctbal").desc,
+        org.apache.spark.sql.functions.col("c_custkey"))
+    val want = Tables.customer(spark, sf0001)
+      .select(org.apache.spark.sql.functions.col("c_custkey"),
+        org.apache.spark.sql.functions.ntile(4).over(w).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == want, "bucketed ntile must equal the naive global-window ntile")
+  }
 }
