@@ -27,6 +27,44 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object StreamzOps {
 
+  /** streamz rate/backpressure vocabulary (`buffer` / `rate_limit` /
+    * `delay`), mapped to what actually controls flow in Structured
+    * Streaming: source admission control and trigger cadence. In the
+    * push-based reference these are per-operator queues; in a
+    * pull-based micro-batch engine they are properties of the READ
+    * (how many rows a poll admits) and the TRIGGER (how often polls
+    * fire), so the facade exposes them at those two points instead of
+    * pretending a mid-pipeline operator could throttle upstream.
+    */
+
+  /** `rate_limit(n)` + CDC read in one call: a pg-cdc-sim stream whose
+    * poll quantum (rows admitted per micro-batch, the source's
+    * ReadLimit) is `pollQuantum`. Composes with any trigger.
+    */
+  def cdcSource(spark: org.apache.spark.sql.SparkSession, path: String,
+      pollQuantum: Long = 1000L, snapshotSeq: Long = -1L,
+      numPartitions: Int = 4, deletes: Boolean = false): DataFrame =
+    spark.readStream.format("pg-cdc-sim")
+      .option("path", path)
+      .option("batchSize", pollQuantum.toString)
+      .option("snapshotSeq", snapshotSeq.toString)
+      .option("numPartitions", numPartitions.toString)
+      .option("deletes", deletes.toString)
+      .load()
+
+  /** `buffer(n)` for the file source: admit at most n files per
+    * micro-batch (Spark's maxFilesPerTrigger admission control).
+    */
+  def bufferedFileSource(spark: org.apache.spark.sql.SparkSession,
+      schema: org.apache.spark.sql.types.StructType, dir: String,
+      maxFilesPerTrigger: Int): DataFrame =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(dir)
+
+  /** `delay(interval)`: trigger cadence — one poll per interval. */
+  def delay(interval: String): Trigger = Trigger.ProcessingTime(interval)
+
   implicit class StreamzDataFrame(val df: DataFrame) extends AnyVal {
 
     /** streamz `map(fn)`: per-element transform (projection). */

@@ -54,6 +54,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * per-key ordering local to a partition — the same reason a real
   * connector partitions a changelog by key.
   *
+  * Schema evolution position (SURVEY.md §1.1 — the reference's rows
+  * are dynamic dicts; this engine's frames are fixed StructTypes):
+  * declare the WIDEST known schema up front — missing columns in
+  * older data read as null; columns not yet declared are ignored
+  * until a consumer restart declares them. Mid-stream column
+  * appearance is therefore a RESTART concern, never data loss: the
+  * changelog retains the column, and a restart with the widened
+  * schema (same checkpoint) backfills from the offset forward.
+  * Truly open-ended payloads belong in a JSON `props`-style column
+  * (see q_json_funcs), which is the dynamic-dict analog. The
+  * envelope columns here (seq/key/op/ts) are protocol-fixed, like
+  * any replication slot's. SchemaEvolutionSuite pins all three
+  * behaviors on the file source.
+  *
   * Usage:
   * {{{
   *   spark.readStream.format("pg-cdc-sim")

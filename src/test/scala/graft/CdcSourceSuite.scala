@@ -197,6 +197,22 @@ class CdcSourceSuite extends GraftSuite {
         s"unexpected=${(got.toSet diff want.toSet).take(5)}")
   }
 
+  test("rate control API: cdcSource pollQuantum bounds every post-snapshot micro-batch") {
+    val q = graft.api.StreamzOps
+      .cdcSource(spark, s"$sf0001/events.parquet",
+        pollQuantum = 120, snapshotSeq = 99)
+      .writeStream.format("memory").queryName("rate_api")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(spark.table("rate_api").count() == 1000, "whole changelog delivered")
+    val sizes = q.recentProgress.map(_.numInputRows).filter(_ > 0)
+    assert(sizes.length > 2, s"rate limit must force multiple polls: ${sizes.mkString(",")}")
+    // first admitted batch is the snapshot (seqs 0..99); all later
+    // polls are bounded by the quantum
+    assert(sizes.tail.forall(_ <= 120),
+      s"post-snapshot polls exceed the quantum: ${sizes.mkString(",")}")
+  }
+
   test("batchSize <= 0 is rejected (would stall AvailableNow forever)") {
     val ex = intercept[Exception] {
       spark.read.format("pg-cdc-sim")
