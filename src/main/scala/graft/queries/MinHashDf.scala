@@ -47,10 +47,13 @@ object MinHashDf {
       .distinct()
       .withColumn("h", expr("CAST(conv(substring(md5(sh), 1, 7), 16, 10) AS BIGINT)"))
       .cache() // consumed 4× (signatures, sizes, both intersection sides)
-    // k signatures in ONE aggregation pass
+    // k signatures AND the doc's shingle count in ONE aggregation pass
+    // (sizes ride along — no second groupBy over the postings)
     val sigCols = A.indices.map(i =>
-      min(expr(s"(${A(i)}L * h + ${B(i)}L) % ${P}L")).as(s"sig$i"))
+      min(expr(s"(${A(i)}L * h + ${B(i)}L) % ${P}L")).as(s"sig$i")) :+
+      count(lit(1)).as("sz")
     val sigs = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+      .cache() // consumed 2× (bands + sizes)
     // bands of r=2 → (band_idx, v1, v2)
     val bandStructs = (0 until NUM_BANDS).map(bi =>
       s"struct(${bi} AS band, sig${2 * bi} AS v1, sig${2 * bi + 1} AS v2)")
@@ -64,7 +67,7 @@ object MinHashDf {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     // exact Jaccard, computed only for candidates
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val sizes = sigs.select(col("doc_id"), col("sz"))
     val inter = cand
       .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
