@@ -20,9 +20,11 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *   unionWith/flattenCol run unchanged on streaming frames.
   *   accumulate/slidingWindow/partitionChunks/zipWith/combineLatest/
   *   uniqueBy/collectAll use global or non-time windows that
-  *   Structured Streaming rejects — they are BATCH-ONLY (streaming
-  *   equivalents: watermarked window aggs, as-of via stream-stream
-  *   interval join, dropDuplicatesWithinWatermark).
+  *   Structured Streaming rejects — they are BATCH-ONLY here.
+  *   Streaming equivalents: StreamzStateOps.accumulateStream /
+  *   slidingWindowStream (flatMapGroupsWithState, per-key state);
+  *   watermarked window aggs; as-of via stream-stream interval join;
+  *   dropDuplicatesWithinWatermark.
   * - No collect(), no driver loops: all ops stay in the plan.
   */
 object StreamzOps {

@@ -99,4 +99,57 @@ class StreamzOpsSuite extends GraftSuite {
     Seq((1, "a")).toDF("i", "s").sinkToParquet(dir)
     assert(spark.read.parquet(dir).count() == 1)
   }
+
+  test("accumulateStream: streaming per-key running fold across micro-batches == batch accumulate") {
+    val sess = spark; import sess.implicits._
+    implicit val sqlCtx = sess.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Double)]
+    val q = graft.api.StreamzStateOps
+      .accumulateStream(ms.toDF().toDF("k", "seq", "v"), "k", "seq", "v")
+      .writeStream.format("memory").queryName("acc_stream")
+      .outputMode("append").start()
+    // two micro-batches; k=1 spans both (state must carry across),
+    // in-batch rows deliberately out of seq order (must sort)
+    ms.addData((1L, 2L, 10.0), (1L, 1L, 1.0), (2L, 1L, 5.0))
+    q.processAllAvailable()
+    ms.addData((1L, 3L, 100.0), (2L, 2L, 7.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("acc_stream")
+      .orderBy("key", "ord").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSeq
+    val batch = Seq((1L, 1L, 1.0), (1L, 2L, 10.0), (1L, 3L, 100.0),
+        (2L, 1L, 5.0), (2L, 2L, 7.0))
+      .toDF("k", "seq", "v")
+      .accumulate(sum($"v"), Seq($"seq"), Seq($"k"))
+      .orderBy("k", "seq").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSeq
+    assert(got == batch, s"stream fold must equal batch fold:\n$got\n$batch")
+  }
+
+  test("slidingWindowStream: last-n ring across micro-batches == batch slidingWindow") {
+    val sess = spark; import sess.implicits._
+    implicit val sqlCtx = sess.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Double)]
+    val q = graft.api.StreamzStateOps
+      .slidingWindowStream(ms.toDF().toDF("k", "seq", "v"), 3, "k", "seq", "v")
+      .select($"key", $"ord",
+        expr("aggregate(win, CAST(0.0 AS DOUBLE), (a, x) -> a + x)").as("wsum"))
+      .writeStream.format("memory").queryName("win_stream")
+      .outputMode("append").start()
+    ms.addData((1L, 1L, 1.0), (1L, 2L, 2.0))
+    q.processAllAvailable()
+    ms.addData((1L, 3L, 4.0), (1L, 4L, 8.0)) // ring evicts 1.0 at seq 4
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("win_stream").orderBy("key", "ord").collect()
+      .map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    val batch = Seq((1L, 1L, 1.0), (1L, 2L, 2.0), (1L, 3L, 4.0), (1L, 4L, 8.0))
+      .toDF("k", "seq", "v")
+      .slidingWindow(3, sum($"v"), Seq($"seq"), Seq($"k"), as = "wsum")
+      .orderBy("k", "seq").collect()
+      .map(r => (r.getLong(1), r.getDouble(3))).toSeq
+    assert(got == batch, s"stream ring must equal batch window:\n$got\n$batch")
+    assert(got.last._2 == 14.0, "seq 4 window = 2+4+8 after evicting 1")
+  }
 }
