@@ -356,8 +356,45 @@ object PipelineExtras {
       |FROM fp
       |ORDER BY doc_id""".stripMargin
 
+  // ---- #82 q_text_topk_words ---------------------------------------------
+  // Grouped frequent-items via the Misra–Gries sketch (FrequentItems
+  // Aggregator): top-5 words per language, bounded state per group
+  // whatever the vocabulary. Capacity 64 ≥ the fixture's 31-word
+  // vocabulary, so every count is provably EXACT (no decrement ever
+  // fires — asserted in ExtrasSuite) and the exact-SQL oracle applies;
+  // at real corpus scale the same query runs with the same capacity
+  // and degrades gracefully to the N/(capacity+1) undercount bound.
+  val TOPK_WORDS_CAPACITY = 64
+
+  val qTextTopkWords: Q = (s, dir) => {
+    val mg = udaf(new graft.functions.FrequentItems(TOPK_WORDS_CAPACITY))
+    val counters = Tables.documents(s, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("lang")).agg(mg(col("word")).as("counters"))
+    val ranked = counters
+      .select(col("lang"), explode(col("counters")).as(Seq("word", "cnt")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("word"))))
+      .filter(col("rank") <= 5)
+    ranked.select(col("lang"), col("rank"), col("word"), col("cnt"))
+      .orderBy("lang", "rank")
+  }
+
+  val qTextTopkWordsSql: String =
+    """WITH w AS (SELECT lang, UNNEST(string_split(text, ' ')) AS word
+      |           FROM documents),
+      |c AS (SELECT lang, word, COUNT(*) AS cnt FROM w GROUP BY 1, 2),
+      |r AS (SELECT lang, word, cnt,
+      |             ROW_NUMBER() OVER (PARTITION BY lang
+      |               ORDER BY cnt DESC, word) AS rank
+      |      FROM c)
+      |SELECT lang, CAST(rank AS INT) AS rank, word, cnt
+      |FROM r WHERE rank <= 5
+      |ORDER BY lang, rank""".stripMargin
+
   // ------------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
+    "q_text_topk_words" -> qTextTopkWords,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_ngram_jaccard" -> qDedupNgramJaccard,
     "q_dedup_embed_cosine" -> qDedupEmbedCosine,
@@ -368,6 +405,7 @@ object PipelineExtras {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_text_topk_words" -> qTextTopkWordsSql,
     "q_dedup_simhash" -> qDedupSimhashSql,
     "q_dedup_ngram_jaccard" -> qDedupNgramJaccardSql,
     "q_dedup_embed_cosine" -> qDedupEmbedCosineSql,

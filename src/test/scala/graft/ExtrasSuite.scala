@@ -139,6 +139,37 @@ class ExtrasSuite extends GraftSuite {
     assert(Multimodal.qMultimodalDecode(spark, sf0001).collect().toSeq == rows.toSeq)
   }
 
+  test("FrequentItems (Misra-Gries): exact when capacity covers the vocabulary; bounded undercount when not") {
+    val docs = Tables.documents(spark, sf0001)
+    // (a) justify the q_text_topk_words oracle: per-lang distinct
+    // words must fit the query's capacity, making MG provably exact
+    val maxDistinct = docs
+      .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+      .groupBy("lang").agg(countDistinct("word").as("d"))
+      .agg(max("d")).collect()(0).getLong(0)
+    assert(maxDistinct <= PipelineExtras.TOPK_WORDS_CAPACITY,
+      s"capacity ${PipelineExtras.TOPK_WORDS_CAPACITY} must cover vocab $maxDistinct for the exact oracle")
+    // (b) under-capacity sketch: never overcounts; undercount bounded
+    // by N/(capacity+1); every truly-frequent item survives
+    val cap = 8
+    val words = docs.select(explode(split(col("text"), " ")).as("word"))
+    val truth = words.groupBy("word").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = truth.values.sum
+    val mg = udaf(new graft.functions.FrequentItems(cap))
+    val est = words.agg(mg(col("word"))).collect()(0)
+      .getMap[String, Long](0)
+    assert(est.size <= cap, "state bound")
+    est.foreach { case (w, c) =>
+      assert(c <= truth(w), s"MG must never overcount: $w est=$c true=${truth(w)}")
+      assert(truth(w) - c <= n / (cap + 1),
+        s"undercount bound violated for $w: est=$c true=${truth(w)} bound=${n / (cap + 1)}")
+    }
+    truth.filter(_._2 > n / (cap + 1)).keys.foreach { w =>
+      assert(est.contains(w), s"guaranteed-frequent item $w missing from sketch")
+    }
+  }
+
   test("q_dedup_ngram_jaccard: df-cut candidate generation loses NO pair vs brute-force all-pairs") {
     val got = PipelineExtras.qDedupNgramJaccard(spark, sf0001).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
