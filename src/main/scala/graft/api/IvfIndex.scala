@@ -1,0 +1,111 @@
+package graft.api
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF (inverted-file) ANN index — the build-once /
+  * query-many / grow-incrementally lifecycle that the inline
+  * `q_sim_ivf_ann` demo omits:
+  *
+  *  - `build`: train a seeded KMeans coarse quantizer, persist the
+  *    centroids (tiny) and the corpus PARTITIONED BY CELL on disk.
+  *    The cell directories ARE the inverted lists: a probe reads
+  *    nProbe directories and Spark's partition pruning skips the
+  *    rest — at 100 TB a query touches nProbe/k of the corpus bytes,
+  *    which is the entire point of IVF (no flag: ProbeSuite asserts
+  *    the PartitionFilters in the scan plan).
+  *  - `add`: assign NEW vectors to their nearest EXISTING centroid
+  *    and append to the corresponding cell directories — index
+  *    growth with no retrain, no rewrite of existing lists (the
+  *    standard IVF maintenance story; re-`build` when drift degrades
+  *    recall).
+  *  - `query`: explode each query over its nProbe nearest cells,
+  *    join only those cells' lists, exact cosine re-rank (codegen
+  *    `fvec_dot`), top-k per query.
+  *
+  * Centroids ride in a UDF closure (k × dim doubles — broadcast-
+  * sized by construction at any corpus scale).
+  */
+object IvfIndex {
+
+  private def centroidsPath(dir: String) = s"$dir/centroids"
+  private def corpusPath(dir: String) = s"$dir/corpus"
+
+  /** Train the quantizer and lay the corpus out as an inverted file.
+    * `embeddings` needs (vec_id: long, embedding: array<float>).
+    */
+  def build(spark: SparkSession, embeddings: DataFrame, indexDir: String,
+      k: Int = 16, seed: Long = 42L): Unit = {
+    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
+    val feat = embeddings.select(col("vec_id"), col("embedding"),
+      toVec(col("embedding")).as("features"))
+    val model = new KMeans().setK(k).setSeed(seed)
+      .setFeaturesCol("features").setPredictionCol("cell").fit(feat)
+    val centers = model.clusterCenters.map(_.toArray)
+    val sess = spark
+    import sess.implicits._
+    centers.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
+      .toDF("cell", "center")
+      .repartition(1)
+      .write.mode("overwrite").parquet(centroidsPath(indexDir))
+    model.transform(feat)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(corpusPath(indexDir))
+  }
+
+  private def loadCenters(spark: SparkSession, indexDir: String): Array[(Int, Array[Double])] =
+    spark.read.parquet(centroidsPath(indexDir))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+
+  /** Nearest-cell assignment against the persisted centroids (no
+    * retrain); `n` cells per vector, nearest first.
+    */
+  private def nearestCells(centers: Array[(Int, Array[Double])], n: Int) =
+    udf((a: Seq[Float]) => {
+      val v = a.map(_.toDouble).toArray
+      centers.map { case (i, c) =>
+        var d = 0.0; var j = 0
+        while (j < v.length) { val t = v(j) - c(j); d += t * t; j += 1 }
+        (d, i)
+      }.sortBy(_._1).take(n).map(_._2)
+    })
+
+  /** Append new vectors to the inverted file without retraining. */
+  def add(spark: SparkSession, newVectors: DataFrame, indexDir: String): Unit = {
+    val assign = nearestCells(loadCenters(spark, indexDir), 1)
+    newVectors.select(col("vec_id"), col("embedding"),
+        assign(col("embedding")).getItem(0).as("cell"))
+      .write.mode("append").partitionBy("cell").parquet(corpusPath(indexDir))
+  }
+
+  /** Top-k cosine neighbors per query, probing nProbe cells.
+    * `queries` needs (qid: long, embedding: array<float>); returns
+    * (qid, rn, nid, cos_sim) — self-matches (qid == nid) excluded.
+    */
+  def query(spark: SparkSession, queries: DataFrame, indexDir: String,
+      nProbe: Int = 4, topK: Int = 5): DataFrame = {
+    graft.functions.FloatVecDot.register(spark)
+    val probe = nearestCells(loadCenters(spark, indexDir), nProbe)
+    val corpus = spark.read.parquet(corpusPath(indexDir))
+      .select(col("vec_id").as("nid"), col("embedding").as("ne"), col("cell"))
+    val q = queries
+      .select(col("qid"), col("embedding").as("qe"),
+        explode(probe(col("embedding"))).as("cell"))
+    // broadcast the query batch: dynamic partition pruning then skips
+    // every unprobed cell directory in the corpus scan
+    broadcast(q).join(corpus, "cell")
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        round(expr("fvec_dot(qe, ne)"), 6).as("cos_sim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("nid"))))
+      .filter(col("rn") <= topK)
+      .select(col("qid"), col("rn"), col("nid"), col("cos_sim"))
+      .orderBy("qid", "rn")
+  }
+}
