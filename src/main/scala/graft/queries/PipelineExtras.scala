@@ -392,9 +392,89 @@ object PipelineExtras {
       |FROM r WHERE rank <= 5
       |ORDER BY lang, rank""".stripMargin
 
+  // ---- #83 q_decontaminate -----------------------------------------------
+  // Benchmark decontamination — the cross-set counterpart of dedup: a
+  // TRAIN doc is contaminated if it shares >= DECON_MIN_SHARED distinct
+  // 5-gram shingles with any EVAL doc (the GPT-3-style n-gram overlap
+  // check; eval here = doc_id < 20, standing in for a benchmark
+  // suite). Scale shape: the eval side is benchmark-sized by
+  // definition, so its shingle set BROADCASTS and the corpus is
+  // touched in one linear pass — no self-join at all.
+  val DECON_MIN_SHARED = 3
+
+  private def shingles5(base: DataFrame): DataFrame = base
+    .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    .filter(size(col("ws")) >= 5)
+    .select(col("doc_id"), explode(expr(
+      "transform(sequence(0, size(ws) - 5), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3], ws[i+4]))"))
+      .as("sh"))
+    .distinct()
+
+  val qDecontaminate: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val ev = shingles5(docs.filter(col("doc_id") < 20))
+      .select(col("doc_id").as("eval_doc"), col("sh"))
+    val tr = shingles5(docs.filter(col("doc_id") >= 20))
+      .select(col("doc_id").as("train_doc"), col("sh"))
+    tr.join(broadcast(ev), "sh")
+      .groupBy(col("train_doc"), col("eval_doc"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= DECON_MIN_SHARED)
+      .orderBy("train_doc", "eval_doc")
+      .select(col("train_doc"), col("eval_doc"), col("n_shared"))
+  }
+
+  val qDecontaminateSql: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |           WHERE LEN(string_split(text, ' ')) >= 5),
+      |sh AS (SELECT DISTINCT doc_id, sh FROM (
+      |  SELECT doc_id, UNNEST(list_transform(generate_series(1, LEN(ws) - 4),
+      |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS sh
+      |  FROM d)),
+      |ev AS (SELECT doc_id AS eval_doc, sh FROM sh WHERE doc_id < 20),
+      |tr AS (SELECT doc_id AS train_doc, sh FROM sh WHERE doc_id >= 20)
+      |SELECT train_doc, eval_doc, COUNT(*) AS n_shared
+      |FROM tr JOIN ev USING (sh)
+      |GROUP BY 1, 2
+      |HAVING COUNT(*) >= $DECON_MIN_SHARED
+      |ORDER BY train_doc, eval_doc""".stripMargin
+
+  // ---- #84 q_sample_mix ---------------------------------------------------
+  // Deterministic mixture sampling — training-data mixing without
+  // RNG: per-source sampling rates derived from an md5 hash of the
+  // source name (rate = 10 + h(source) % 80, i.e. 10–89 %), membership
+  // decided by h(doc_id) % 100 < rate. Hash-gated sampling is the
+  // shape that matters at scale: reproducible across runs/engines,
+  // embarrassingly parallel, no sampling state, and re-weighting a
+  // source only flips that source's rows. Exactly oracle-checked
+  // (identical md5 arithmetic both engines).
+  private val SPARK_HASH4 = (c: String) =>
+    s"CAST(conv(substring(md5($c), 1, 4), 16, 10) AS BIGINT)"
+  private val DUCK_HASH4 = (c: String) =>
+    s"""CAST(list_sum(list_transform(generate_series(1, 4),
+       |  i -> (CAST(strpos('0123456789abcdef', substring(md5($c), i, 1)) AS BIGINT) - 1)
+       |       << (4 * (4 - i)))) AS BIGINT)""".stripMargin
+
+  val qSampleMix: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .withColumn("rate", expr(s"10 + ${SPARK_HASH4("source")} % 80"))
+      .filter(expr(s"${SPARK_HASH4("CAST(doc_id AS STRING)")} % 100") < col("rate"))
+      .select(col("doc_id"), col("source"), col("rate").cast("int").as("rate"))
+      .orderBy("doc_id")
+
+  val qSampleMixSql: String =
+    s"""SELECT doc_id, source,
+      |       CAST(10 + ${DUCK_HASH4("source")} % 80 AS INT) AS rate
+      |FROM documents
+      |WHERE ${DUCK_HASH4("CAST(doc_id AS VARCHAR)")} % 100
+      |      < 10 + ${DUCK_HASH4("source")} % 80
+      |ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "q_text_topk_words" -> qTextTopkWords,
+    "q_decontaminate" -> qDecontaminate,
+    "q_sample_mix" -> qSampleMix,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_ngram_jaccard" -> qDedupNgramJaccard,
     "q_dedup_embed_cosine" -> qDedupEmbedCosine,
@@ -406,6 +486,8 @@ object PipelineExtras {
 
   val oracleSql: Map[String, String] = Map(
     "q_text_topk_words" -> qTextTopkWordsSql,
+    "q_decontaminate" -> qDecontaminateSql,
+    "q_sample_mix" -> qSampleMixSql,
     "q_dedup_simhash" -> qDedupSimhashSql,
     "q_dedup_ngram_jaccard" -> qDedupNgramJaccardSql,
     "q_dedup_embed_cosine" -> qDedupEmbedCosineSql,
