@@ -60,6 +60,12 @@ class PlanSuite extends GraftSuite {
     assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p)
   }
 
+  test("q_decontaminate (#83): eval shingles broadcast — corpus side never shuffles for the join") {
+    val p = plan(queries.PipelineExtras.qDecontaminate(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"),
+      s"benchmark-sized eval side must broadcast:\n$p")
+  }
+
   test("q_win_ntile (#27): no partition-less Window — global NTILE must not funnel into one task") {
     val exec = Relational.qWinNtile(spark, sf0001)
       .queryExecution.executedPlan
