@@ -80,11 +80,80 @@ object Multimodal {
       |FROM b
       |ORDER BY doc_id""".stripMargin
 
+  // ---- #85 q_multimodal_framesample --------------------------------------
+  // Frame sampling for "video" media: every 2nd frame of an
+  // n_frames-long container (n_frames from the metadata: 1 + n_chars
+  // div 40, capped at 8). The split of labor is the one that scales:
+  //  - frame-INDEX selection is declarative (explode(sequence(...)))
+  //    — Catalyst sees the one-to-many, prunes and pushes around it;
+  //  - frame DECODE is partition-wise imperative (mapPartitions with
+  //    per-partition codec init — here the FAKE decoder derives the
+  //    frame's 16 bytes as md5("<media hex>-<idx>"), a stand-in for
+  //    seeking a real container).
+  // Fully oracle-checked: DuckDB reproduces the same frame hashes and
+  // byte stats from MD5 strings.
+  val qMultimodalFramesample: Q = (s, dir) => {
+    import s.implicits._
+    val frames = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        unhex(md5(col("text"))).as("media"),
+        expr("CAST(least(n_chars div 40 + 1, 8) AS INT)").as("n_frames"))
+      .select(col("doc_id"), col("media"), col("n_frames"),
+        explode(expr("sequence(0, n_frames - 1, 2)")).as("frame_idx"))
+    val decoded = frames
+      .select(col("doc_id"), col("media"), col("n_frames"), col("frame_idx"))
+      .as[(Long, Array[Byte], Int, Int)]
+      .mapPartitions { it =>
+        // per-partition decoder init (real code: open codec once)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hexChars = "0123456789abcdef"
+        it.map { case (id, media, nFrames, idx) =>
+          val hex = media.map(b => s"${hexChars((b >> 4) & 0xf)}${hexChars(b & 0xf)}").mkString
+          md.reset()
+          val frame = md.digest(s"$hex-$idx".getBytes("UTF-8"))
+          val (nBytes, byteSum) = decodeStub(frame)
+          (id, idx, nFrames, nBytes, byteSum)
+        }
+      }
+      .toDF("doc_id", "frame_idx", "n_frames", "frame_bytes", "frame_byte_sum")
+    decoded
+      .select(col("doc_id"), col("frame_idx"), col("n_frames"),
+        col("frame_bytes"), col("frame_byte_sum"),
+        round(col("frame_byte_sum").cast("double") /
+          col("frame_bytes").cast("double"), 6).as("frame_mean"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  val qMultimodalFramesampleSql: String =
+    """WITH h AS (SELECT doc_id, MD5(text) AS hex,
+      |                  CAST(LEAST(n_chars // 40 + 1, 8) AS INT) AS n_frames
+      |           FROM documents),
+      |f AS (SELECT doc_id, hex, n_frames,
+      |             UNNEST(generate_series(0, n_frames - 1, 2)) AS frame_idx
+      |      FROM h),
+      |fr AS (SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx, n_frames,
+      |              MD5(hex || '-' || CAST(frame_idx AS VARCHAR)) AS fhex
+      |       FROM f),
+      |b AS (
+      |  SELECT doc_id, frame_idx, n_frames,
+      |         CAST(LENGTH(fhex) / 2 AS INT) AS frame_bytes,
+      |         CAST(list_sum(list_transform(generate_series(1, CAST(LENGTH(fhex) / 2 AS INT)),
+      |           i -> (CAST(strpos('0123456789abcdef', substring(fhex, 2*i-1, 1)) AS BIGINT) - 1) * 16
+      |                + CAST(strpos('0123456789abcdef', substring(fhex, 2*i, 1)) AS BIGINT) - 1))
+      |           AS BIGINT) AS frame_byte_sum
+      |  FROM fr)
+      |SELECT doc_id, frame_idx, n_frames, frame_bytes, frame_byte_sum,
+      |       ROUND(CAST(frame_byte_sum AS DOUBLE) / CAST(frame_bytes AS DOUBLE), 6) AS frame_mean
+      |FROM b
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_multimodal_decode" -> qMultimodalDecode,
+    "q_multimodal_framesample" -> qMultimodalFramesample,
   )
 
   val oracleSql: Map[String, String] = Map(
     "q_multimodal_decode" -> qMultimodalDecodeSql,
+    "q_multimodal_framesample" -> qMultimodalFramesampleSql,
   )
 }
