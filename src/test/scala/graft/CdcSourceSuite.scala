@@ -197,6 +197,31 @@ class CdcSourceSuite extends GraftSuite {
         s"unexpected=${(got.toSet diff want.toSet).take(5)}")
   }
 
+  test("file-source formats (§2A sources row): json, csv and text all stream == batch") {
+    val sess = spark; import sess.implicits._
+    val base = java.nio.file.Files.createTempDirectory("fmt_src").toString
+    val df = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("lang"), col("n_chars")).limit(100)
+    df.coalesce(1).write.json(s"$base/json")
+    df.coalesce(1).write.option("header", "true").csv(s"$base/csv")
+    df.select(concat_ws("|", col("doc_id"), col("lang")).as("value"))
+      .coalesce(1).write.text(s"$base/text")
+    def drain(dfS: org.apache.spark.sql.DataFrame, name: String) = {
+      val q = dfS.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(60000)); spark.table(name)
+    }
+    val sch = spark.read.json(s"$base/json").schema
+    assert(drain(spark.readStream.schema(sch).json(s"$base/json"), "fmt_json")
+      .count() == 100)
+    val csch = spark.read.option("header", "true").csv(s"$base/csv").schema
+    assert(drain(spark.readStream.schema(csch).option("header", "true")
+      .csv(s"$base/csv"), "fmt_csv").count() == 100)
+    val txt = drain(spark.readStream.text(s"$base/text"), "fmt_text")
+    assert(txt.count() == 100 &&
+      txt.filter(col("value").contains("|")).count() == 100)
+  }
+
   test("rate control API: cdcSource pollQuantum bounds every post-snapshot micro-batch") {
     val q = graft.api.StreamzOps
       .cdcSource(spark, s"$sf0001/events.parquet",
