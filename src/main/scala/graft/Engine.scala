@@ -31,5 +31,10 @@ object Engine {
       case t => spark.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(t)
     }
     FloatVecDot.register(spark)
+    // Misra–Gries frequent-items sketch as a SQL aggregate; capacity
+    // fixed at registration (SQL aggregates can't take constructor
+    // params per call) — register another name for other capacities.
+    spark.udf.register("frequent_items",
+      org.apache.spark.sql.functions.udaf(new functions.FrequentItems(64)))
   }
 }

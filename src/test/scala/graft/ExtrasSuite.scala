@@ -126,6 +126,17 @@ class ExtrasSuite extends GraftSuite {
       "SELECT ROUND(fvec_dot(embedding, embedding), 3) FROM embeddings WHERE vec_id = 0")
       .collect()(0).getDouble(0)
     assert(d == 1.0, s"unit vector self-dot, got $d")
+    // frequent-items sketch callable from SQL (exact here: vocab < 64)
+    val fi = spark.sql(
+      """SELECT explode(frequent_items(word)) AS (w, c)
+        |FROM (SELECT explode(split(text, ' ')) AS word FROM documents)
+        |ORDER BY c DESC, w LIMIT 1""".stripMargin).collect()(0)
+    val want = spark.sql(
+      """SELECT word, COUNT(*) c
+        |FROM (SELECT explode(split(text, ' ')) AS word FROM documents)
+        |GROUP BY word ORDER BY c DESC, word LIMIT 1""".stripMargin).collect()(0)
+    assert(fi.getString(0) == want.getString(0) && fi.getLong(1) == want.getLong(1),
+      s"SQL frequent_items top-1 must equal exact: $fi vs $want")
   }
 
   test("q_multimodal_decode: plumbing — schema, determinism, partition invariance") {
