@@ -212,4 +212,45 @@ class StreamingSuite extends GraftSuite {
     assert(got == Map(10L -> ((4L, "c")), 20L -> ((3L, "x")), 30L -> ((5L, "y"))),
       s"streaming latest-state must equal changelog fold, got $got")
   }
+
+  test("stream-stream interval join (combine_latest's streaming form): == batch interval join") {
+    // two live streams, watermarked, joined per key with a time-range
+    // condition (right row within 10 min BEFORE the left row) — the
+    // §2A combine_latest / as-of mapping for unbounded inputs
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx = sess.sqlContext
+    val lData = Seq((1L, ts("2024-01-01 00:10:00"), "L1"),
+      (1L, ts("2024-01-01 00:30:00"), "L2"),
+      (2L, ts("2024-01-01 00:20:00"), "L3"))
+    val rData = Seq((1L, ts("2024-01-01 00:05:00"), 10.0),
+      (1L, ts("2024-01-01 00:25:00"), 20.0),
+      (2L, ts("2024-01-01 00:01:00"), 30.0), // 19 min before L3: outside
+      (3L, ts("2024-01-01 00:10:00"), 40.0))
+    val lms = MemoryStream[(Long, Timestamp, String)]
+    val rms = MemoryStream[(Long, Timestamp, Double)]
+    val l = lms.toDF().toDF("lk", "lt", "tag").withWatermark("lt", "1 hour")
+    val r = rms.toDF().toDF("rk", "rt", "v").withWatermark("rt", "1 hour")
+    val joined = l.join(r,
+      expr("lk = rk AND rt BETWEEN lt - INTERVAL 10 MINUTES AND lt"))
+    val q = joined.select($"lk", $"tag", $"v")
+      .writeStream.format("memory").queryName("ssj_t")
+      .outputMode("append").start()
+    // interleaved arrival across micro-batches
+    lms.addData(lData.take(2): _*); rms.addData(rData.take(2): _*)
+    q.processAllAvailable()
+    lms.addData(lData.drop(2): _*); rms.addData(rData.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = sess.table("ssj_t").collect()
+      .map(r0 => (r0.getLong(0), r0.getString(1), r0.getDouble(2))).toSet
+    val want = lData.toDF("lk", "lt", "tag")
+      .join(rData.toDF("rk", "rt", "v"),
+        expr("lk = rk AND rt BETWEEN lt - INTERVAL 10 MINUTES AND lt"))
+      .select($"lk", $"tag", $"v").collect()
+      .map(r0 => (r0.getLong(0), r0.getString(1), r0.getDouble(2))).toSet
+    assert(got == want, s"stream-stream join must equal batch interval join:\n$got\n$want")
+    assert(got == Set((1L, "L1", 10.0), (1L, "L2", 20.0)),
+      "L3's candidate is outside the interval; key 3 matches nothing")
+  }
 }
