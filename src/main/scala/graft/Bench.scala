@@ -20,11 +20,15 @@ object Bench {
       catch { case _: Throwable => () }
     }
     try graft.Tables.events(spark, sfDir).count() catch { case _: Throwable => () }
-    // Optional comma-separated filter for targeted profiling runs.
+    // Optional comma-separated filter for targeted profiling runs. An
+    // explicit filter overrides benchExclude — profiling an excluded
+    // query is the most likely reason to filter at all.
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).toSet)
-    val hotSet = (SparkEntry.queries -- SparkEntry.benchExclude)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
+    val hotSet = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None => SparkEntry.queries -- SparkEntry.benchExclude
+    }
     val results = hotSet.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

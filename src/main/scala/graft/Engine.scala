@@ -34,7 +34,10 @@ object Engine {
     // Misra–Gries frequent-items sketch as a SQL aggregate; capacity
     // fixed at registration (SQL aggregates can't take constructor
     // params per call) — register another name for other capacities.
+    // Same capacity as q_text_topk_words so SQL and DataFrame forms
+    // agree (the exactness guard in ExtrasSuite covers both).
     spark.udf.register("frequent_items",
-      org.apache.spark.sql.functions.udaf(new functions.FrequentItems(64)))
+      org.apache.spark.sql.functions.udaf(
+        new functions.FrequentItems(queries.PipelineExtras.TOPK_WORDS_CAPACITY)))
   }
 }

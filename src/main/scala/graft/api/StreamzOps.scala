@@ -198,12 +198,16 @@ object StreamzOps {
       * merges to the same state), so exactly-once table state composes
       * with the source's checkpoint WAL.
       *
-      * The foreachBatch body here is a parquet read-modify-write
-      * (write tmp, swap); on a lakehouse table format the same
-      * contract is a single atomic MERGE INTO ... WHEN MATCHED AND
-      * op = 'D' THEN DELETE. At 100 TB the merge is a shuffled join
-      * on the key — partition `tablePath` by a key bucket so the
-      * rewrite touches only dirty buckets.
+      * The foreachBatch body here is a parquet read-modify-write:
+      * write the merged table to a tmp dir, then delete + rename over
+      * the target (one full write per batch, not a copy). The
+      * delete→rename window is NOT atomic — a crash inside it loses
+      * the table (the in-flight batch replays, but prior state is
+      * gone); on a lakehouse table format the same contract is a
+      * single ATOMIC MERGE INTO ... WHEN MATCHED AND op = 'D' THEN
+      * DELETE, which is the production form. At 100 TB the merge is a
+      * shuffled join on the key — partition `tablePath` by a key
+      * bucket so the rewrite touches only dirty buckets.
       */
     def sinkUpsert(tablePath: String, keys: Seq[String], orderCol: String,
         checkpointLocation: String,
@@ -215,12 +219,16 @@ object StreamzOps {
         .trigger(trigger)
         .foreachBatch { (batch: DataFrame, _: Long) =>
           val sess = batch.sparkSession
+          // Hadoop FS, not java.io.File: tablePath may be hdfs://s3a://
+          val target = new org.apache.hadoop.fs.Path(tablePath)
+          val tmp = new org.apache.hadoop.fs.Path(tmpPath)
+          val fs = target.getFileSystem(sess.sparkContext.hadoopConfiguration)
           val w = Window.partitionBy(keys.map(col): _*)
             .orderBy(col(orderCol).desc)
           val latest = batch.withColumn("_rn", row_number().over(w))
             .filter(col("_rn") === 1).drop("_rn")
           val merged =
-            if (new java.io.File(tablePath).exists()) {
+            if (fs.exists(target)) {
               sess.read.parquet(tablePath).unionByName(latest)
                 .withColumn("_rn", row_number().over(w))
                 .filter(col("_rn") === 1).drop("_rn")
@@ -230,9 +238,13 @@ object StreamzOps {
           // so no earlier-committed row can resurrect a deleted key.
           // A source with broader re-delivery (Kafka earliest reset)
           // needs retained tombstones + a retention window instead.
-          val alive = opCol.fold(merged)(oc => merged.filter(col(oc) =!= deleteOp))
+          // Null-safe inequality: rows with a NULL op are live, not
+          // silently dropped.
+          val alive = opCol.fold(merged)(oc =>
+            merged.filter(!(col(oc) <=> lit(deleteOp))))
           alive.write.mode("overwrite").parquet(tmpPath)
-          sess.read.parquet(tmpPath).write.mode("overwrite").parquet(tablePath)
+          fs.delete(target, true)
+          fs.rename(tmp, target)
           ()
         }.start()
     }

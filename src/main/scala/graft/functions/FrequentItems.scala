@@ -28,7 +28,9 @@ class FrequentItems(capacity: Int) extends Aggregator[String, Map[String, Long],
   override def zero: Map[String, Long] = Map.empty
 
   override def reduce(buf: Map[String, Long], w: String): Map[String, Long] =
-    buf.get(w) match {
+    if (w == null) buf // SQL aggregates skip NULL inputs; also a null
+                       // map key would break the MapType serializer
+    else buf.get(w) match {
       case Some(c) => buf.updated(w, c + 1)
       case None if buf.size < capacity => buf.updated(w, 1L)
       case None => // decrement-all step: drop counters reaching zero

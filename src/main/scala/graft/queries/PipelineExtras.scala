@@ -64,12 +64,24 @@ object PipelineExtras {
 
   // ---- #62 q_dedup_ngram_jaccard -----------------------------------------
   // Exact 3-gram Jaccard at scale — inverted-index + prefix-filter
-  // shape, three linear passes, NO all-pairs work:
-  //  1. Postings with document frequency <= NGRAM_DF_CUT self-join on
-  //     the shingle → per-pair count of shared RARE shingles
-  //     (`inter_r`). Hot shingles (stopword trigrams at corpus scale)
-  //     are excluded here, which is what bounds the self-join: each
-  //     shingle contributes <= df² <= CUT² pair rows.
+  // shape, linear passes, NO all-pairs work:
+  //  1. Candidate generation from TWO inverted indexes, unioned:
+  //     (a) postings with document frequency <= NGRAM_DF_CUT,
+  //         self-joined on the shingle → per-pair count of shared
+  //         RARE shingles (`inter_r`); a hot shingle (stopword
+  //         trigram at corpus scale) contributes no pairs here, which
+  //         bounds the join at <= CUT² rows per shingle;
+  //     (b) each doc's NGRAM_RAREST_K globally-rarest shingles
+  //         REGARDLESS of df — this is what catches heavily
+  //         duplicated boilerplate (a doc copied 60× makes ALL its
+  //         shingles df=60 > CUT, invisible to (a); but the copies
+  //         share their rarest shingles, and the join cost of a hot
+  //         rarest-shingle is the duplicate-cluster size squared —
+  //         proportional to the true output).
+  //     A pair escapes BOTH indexes only if its entire overlap is
+  //     shingles that are hot AND outside both docs' rarest-K — i.e.
+  //     generic boilerplate that isn't even the docs' own rarest
+  //     content; reported pairs are never approximate either way.
   //  2. Exact upper bound on each pair's TRUE Jaccard: true inter <=
   //     inter_r + min(hot_a, hot_b) where hot_x = |x| - |rare_x| (a
   //     shared hot shingle needs a hot posting on both sides). J is
@@ -78,41 +90,66 @@ object PipelineExtras {
   //  3. Full-set intersection recount ONLY for survivors (near-dups,
   //     a vanishing fraction), so the reported jaccard is the exact
   //     all-shingle value; final threshold re-applied on it.
-  // A pair sharing zero rare shingles is invisible to step 1; its true
-  // J is <= min(hot)/(sa+sb-min(hot)), below any useful near-dup
-  // threshold once CUT covers the corpus's content vocabulary. No
-  // doc_id cap — the df cut is the honest scale bound (round-1
+  // No doc_id cap — the df cut is the honest scale bound (round-1
   // verdict, perf item 2).
   val NGRAM_DF_CUT = 50
+  val NGRAM_RAREST_K = 5
   val NGRAM_JACCARD_MIN = 0.2
 
-  val qDedupNgramJaccard: Q = (s, dir) => {
-    val sh = Tables.documents(s, dir)
+  /** Core pipeline over any (doc_id, text) frame — factored out so
+    * tests can plant boilerplate clusters the fixture lacks.
+    */
+  private[graft] def ngramJaccardPairs(docs: DataFrame): DataFrame = {
+    val sh = docs
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 3)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
         .as("sh"))
       .distinct()
-      .cache() // consumed 4× (sizes, rare postings, recount both sides)
+      .cache() // consumed 5× (df, sizes, rarest-K, recount both sides)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val rare = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= NGRAM_DF_CUT)
-      .join(sh, "sh").select(col("doc_id"), col("sh"))
+    val dfc = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    // one postings⋈df relation feeds BOTH candidate indexes
+    val shDf = sh.join(dfc, "sh")
+      .select(col("doc_id"), col("sh"), col("df"))
+      .cache()
+    val rare = shDf.filter(col("df") <= NGRAM_DF_CUT)
+      .select(col("doc_id"), col("sh"))
       .cache() // consumed 3× (rsizes + both self-join sides)
     val rsizes = rare.groupBy(col("doc_id")).agg(count(lit(1)).as("rz"))
     val interR = rare.as("a").join(rare.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter_r"))
+    // (b): each doc's K globally-rarest shingles (by df, then shingle)
+    val rarestK = shDf
+      .withColumn("_r", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))))
+      .filter(col("_r") <= NGRAM_RAREST_K)
+      .select(col("doc_id"), col("sh"))
+    val candRarest = rarestK.as("a").join(rarestK.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val cand = interR.select(col("doc_a"), col("doc_b"))
+      .unionByName(candRarest).distinct()
+      .join(interR, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("inter_r"))
     // doc-level stats are corpus-cardinality (broadcast at any scale
     // where the doc COUNT fits a broadcast; else a shuffled join on
     // doc id — either way linear)
-    val withStats = interR
+    // rsizes joins are LEFT + fill(0): an all-hot doc has NO rare
+    // postings, and dropping it here would lose exactly the
+    // boilerplate pairs index (b) exists to catch
+    val withStats = cand
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sa"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sb"), "doc_b")
-      .join(rsizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("rz", "ra"), "doc_a")
-      .join(rsizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("rz", "rb"), "doc_b")
+      .join(rsizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("rz", "ra"),
+        Seq("doc_a"), "left")
+      .join(rsizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("rz", "rb"),
+        Seq("doc_b"), "left")
+      .na.fill(0L, Seq("ra", "rb"))
     val ub = col("inter_r") + least(col("sa") - col("ra"), col("sb") - col("rb"))
     val survivors = withStats
       .filter(ub.cast("double") / (col("sa") + col("sb") - ub).cast("double")
@@ -132,6 +169,8 @@ object PipelineExtras {
       .orderBy("doc_a", "doc_b")
   }
 
+  val qDedupNgramJaccard: Q = (s, dir) => ngramJaccardPairs(Tables.documents(s, dir))
+
   val qDedupNgramJaccardSql: String =
     s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
       |           WHERE LEN(string_split(text, ' ')) >= 3),
@@ -139,23 +178,38 @@ object PipelineExtras {
       |  SELECT doc_id, UNNEST(list_transform(generate_series(1, LEN(ws) - 2),
       |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh FROM d)),
       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+      |dfc AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh),
       |rare AS (SELECT sh.doc_id, sh.sh FROM sh
-      |         JOIN (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh
-      |               HAVING COUNT(*) <= $NGRAM_DF_CUT) r ON r.sh = sh.sh),
+      |         JOIN dfc ON dfc.sh = sh.sh WHERE dfc.df <= $NGRAM_DF_CUT),
       |rsizes AS (SELECT doc_id, COUNT(*) AS rz FROM rare GROUP BY doc_id),
       |inter_r AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter_r
       |  FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2),
+      |rarest_k AS (
+      |  SELECT doc_id, sh FROM (
+      |    SELECT sh.doc_id, sh.sh,
+      |           ROW_NUMBER() OVER (PARTITION BY sh.doc_id
+      |             ORDER BY dfc.df, sh.sh) AS _r
+      |    FROM sh JOIN dfc ON dfc.sh = sh.sh)
+      |  WHERE _r <= $NGRAM_RAREST_K),
+      |cand AS (
+      |  SELECT doc_a, doc_b, COALESCE(i.inter_r, 0) AS inter_r FROM (
+      |    SELECT doc_a, doc_b FROM inter_r
+      |    UNION
+      |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |    FROM rarest_k a JOIN rarest_k b
+      |      ON a.sh = b.sh AND a.doc_id < b.doc_id) c
+      |  LEFT JOIN inter_r i USING (doc_a, doc_b)),
       |survivors AS (
       |  SELECT doc_a, doc_b, sa.sz AS sa, sb.sz AS sb
-      |  FROM inter_r
+      |  FROM cand
       |  JOIN sizes sa ON sa.doc_id = doc_a
       |  JOIN sizes sb ON sb.doc_id = doc_b
-      |  JOIN rsizes ra ON ra.doc_id = doc_a
-      |  JOIN rsizes rb ON rb.doc_id = doc_b
-      |  WHERE CAST(inter_r + LEAST(sa.sz - ra.rz, sb.sz - rb.rz) AS DOUBLE)
-      |        / CAST(sa.sz + sb.sz - (inter_r + LEAST(sa.sz - ra.rz, sb.sz - rb.rz)) AS DOUBLE)
+      |  LEFT JOIN rsizes ra ON ra.doc_id = doc_a
+      |  LEFT JOIN rsizes rb ON rb.doc_id = doc_b
+      |  WHERE CAST(inter_r + LEAST(sa.sz - COALESCE(ra.rz, 0), sb.sz - COALESCE(rb.rz, 0)) AS DOUBLE)
+      |        / CAST(sa.sz + sb.sz - (inter_r + LEAST(sa.sz - COALESCE(ra.rz, 0), sb.sz - COALESCE(rb.rz, 0))) AS DOUBLE)
       |        >= ${NGRAM_JACCARD_MIN - 1e-6}),
       |exact AS (
       |  SELECT doc_a, doc_b, sa, sb, COUNT(*) AS inter

@@ -454,6 +454,11 @@ object Relational {
   // one-extra formula from the literal total. Identical output to
   // ntile(4) OVER (ORDER BY ...) for any total order (tiebreak is
   // unique), parallel at any scale.
+  // NOTE: constructing this DataFrame runs TWO small driver jobs
+  // (percentile cut points + per-bucket counts) — planning-scale
+  // aggregates, the same class as AQE statistics or a JDBC max-poll;
+  // `bucketed` is cached so the counts job and the main query share
+  // one scan.
   val qWinNtile: Q = (s, dir) => {
     val k = 4
     val cust = Tables.customer(s, dir)
@@ -470,7 +475,7 @@ object Relational {
     val bucketExpr = cuts.zipWithIndex.foldLeft(when(lit(false), 0)) {
       case (acc, (cut, i)) => acc.when(col("c_acctbal") > cut, i)
     }.otherwise(cuts.length)
-    val bucketed = cust.withColumn("_b", bucketExpr)
+    val bucketed = cust.withColumn("_b", bucketExpr).cache()
     val counts = bucketed.groupBy(col("_b")).count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     val total = counts.values.sum

@@ -101,8 +101,14 @@ object PgCdcSim {
   final case class CdcRow(seq: Long, key: Long, op: String, tsUs: Long,
       eventType: String, value: java.lang.Double) // value nullable per schema
 
-  /** Keys tombstoned when `deletes` is on: deterministic subset. */
-  def isDeletedKey(key: Long): Boolean = key % 10 == 7
+  /** Keys tombstoned when `deletes` is on: deterministic subset.
+    * MOD/REM are the single source of truth — changelogStats' SQL
+    * predicate derives from them too, so the planner's max-seq bound
+    * can never diverge from the readers' tombstone derivation.
+    */
+  val DELETED_KEY_MOD = 10L
+  val DELETED_KEY_REM = 7L
+  def isDeletedKey(key: Long): Boolean = key % DELETED_KEY_MOD == DELETED_KEY_REM
 
   /** Tombstone seq for a key: appended after the whole changelog, in
     * key order, collision-free because keys are unique.
@@ -118,7 +124,8 @@ object PgCdcSim {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val agg = spark.read.parquet(path).agg(
       max(col("event_id")).as("max_seq"),
-      max(when(col("user_id") % 10 === 7, col("user_id"))).as("max_del_key"))
+      max(when(col("user_id") % DELETED_KEY_MOD === DELETED_KEY_REM,
+        col("user_id"))).as("max_del_key"))
       .collect()(0)
     val maxSeq = if (agg.isNullAt(0)) -1L else agg.getLong(0)
     val maxAll =

@@ -181,6 +181,24 @@ class ExtrasSuite extends GraftSuite {
     }
   }
 
+  test("ngramJaccardPairs: heavily duplicated boilerplate (all shingles hotter than the df cut) is still found") {
+    val sess = spark; import sess.implicits._
+    // 60 identical docs: every shingle has df=60 > NGRAM_DF_CUT=50, so
+    // the rare-postings index alone would be blind to the cluster —
+    // the per-doc rarest-K index must catch it
+    val boiler = "the quick brown fox jumps over the lazy dog again and again"
+    val noise = (0 until 40).map(i =>
+      (1000L + i, s"unique$i words alpha$i beta$i gamma$i delta$i epsilon$i zeta$i"))
+    val docs = ((0 until 60).map(i => (i.toLong, boiler)) ++ noise)
+      .toDF("doc_id", "text")
+    val got = graft.queries.PipelineExtras.ngramJaccardPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val dupPairs = got.filter { case (a, b, _) => a < 60 && b < 60 }
+    assert(dupPairs.length == 60 * 59 / 2,
+      s"all ${60 * 59 / 2} boilerplate pairs must be reported, got ${dupPairs.length}")
+    assert(dupPairs.forall(_._3 == 1.0), "identical docs have exact Jaccard 1.0")
+  }
+
   test("q_dedup_ngram_jaccard: df-cut candidate generation loses NO pair vs brute-force all-pairs") {
     val got = PipelineExtras.qDedupNgramJaccard(spark, sf0001).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->

@@ -43,6 +43,10 @@ class IvfIndexSuite extends GraftSuite {
   }
 
   test("add: new vectors join the index without retraining and are findable") {
+    // own index dir: mutating the shared one would make the recall
+    // and pruning tests order-dependent
+    val indexDir = java.nio.file.Files.createTempDirectory("ivf_add").toString
+    IvfIndex.build(spark, Tables.embeddings(spark, sf0001), indexDir, k = 16, seed = 42L)
     // clone 3 corpus vectors under fresh ids — their nearest neighbor
     // is their twin at cos ~1.0, so top-1 must find them
     val clones = Tables.embeddings(spark, sf0001)
