@@ -1,0 +1,61 @@
+package graft
+
+import java.security.MessageDigest
+import org.apache.spark.sql.functions._
+import graft.api.CuratePipeline
+
+/** The composed curation pipeline: every stage's invariant must hold
+  * on the final curated set, and the whole run must be reproducible.
+  */
+class CuratePipelineSuite extends GraftSuite {
+
+  private lazy val (curated, report) = CuratePipeline.curate(spark, sf0001)
+  private lazy val rows = curated.collect()
+
+  test("funnel is monotone and non-empty") {
+    assert(report.input >= report.afterQuality)
+    assert(report.afterQuality >= report.afterExactDedup)
+    assert(report.afterExactDedup >= report.afterFuzzyDedup)
+    assert(report.afterFuzzyDedup >= report.afterDecontaminate)
+    assert(report.afterDecontaminate >= report.curated)
+    assert(report.curated > 0, s"curated set must be non-empty: $report")
+  }
+
+  test("no exact duplicates survive") {
+    val texts = rows.map(_.getAs[String]("text"))
+    assert(texts.length == texts.distinct.length, "exact-dup texts remain")
+  }
+
+  test("no minhash near-dup (higher id of a pair) survives") {
+    val dropped = queries.MinHashDf.qDedupMinhashDf(spark, sf0001)
+      .select(col("doc_b")).collect().map(_.getLong(0)).toSet
+    val ids = rows.map(_.getAs[Long]("doc_id")).toSet
+    assert(ids.intersect(dropped).isEmpty)
+  }
+
+  test("no contaminated doc survives") {
+    val contaminated = queries.PipelineExtras.qDecontaminate(spark, sf0001)
+      .select(col("train_doc")).collect().map(_.getLong(0)).toSet
+    val ids = rows.map(_.getAs[Long]("doc_id")).toSet
+    assert(ids.intersect(contaminated).isEmpty)
+  }
+
+  test("every curated doc satisfies the mixture-sampling hash rule (driver-side recompute)") {
+    def h4(s: String): Long = {
+      val hex = MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .take(2).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id"); val src = r.getAs[String]("source")
+      assert(h4(id.toString) % 100 < 10 + h4(src) % 80,
+        s"doc $id violates the sampling rule for source $src")
+    }
+  }
+
+  test("bit-for-bit reproducible") {
+    val (again, report2) = CuratePipeline.curate(spark, sf0001)
+    assert(report2 == report)
+    assert(again.collect().toSeq == rows.toSeq)
+  }
+}
