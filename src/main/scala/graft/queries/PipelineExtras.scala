@@ -122,8 +122,19 @@ object PipelineExtras {
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter_r"))
-    // (b): each doc's K globally-rarest shingles (by df, then shingle)
-    val rarestK = shDf
+    // (b): each doc's K globally-rarest shingles — restricted to docs
+    // with FEWER than K rare postings, which is coverage-equivalent:
+    // a doc with >= K rare shingles has its K rarest all rare (rare
+    // df <= any hot df), so any pair it generates here shares a rare
+    // shingle and is already in index (a). Only mostly-hot docs (the
+    // boilerplate case) need this index, so its cost is ~zero on a
+    // corpus with a healthy rare vocabulary.
+    val mostlyHot = sh.select(col("doc_id")).distinct()
+      .join(rsizes, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("rz"))
+      .filter(col("rz") < NGRAM_RAREST_K)
+      .select(col("doc_id"))
+    val rarestK = shDf.join(mostlyHot, "doc_id")
       .withColumn("_r", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))))
       .filter(col("_r") <= NGRAM_RAREST_K)
@@ -186,12 +197,18 @@ object PipelineExtras {
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter_r
       |  FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2),
+      |mostly_hot AS (
+      |  SELECT d.doc_id FROM (SELECT DISTINCT doc_id FROM sh) d
+      |  LEFT JOIN rsizes r ON r.doc_id = d.doc_id
+      |  WHERE COALESCE(r.rz, 0) < $NGRAM_RAREST_K),
       |rarest_k AS (
       |  SELECT doc_id, sh FROM (
       |    SELECT sh.doc_id, sh.sh,
       |           ROW_NUMBER() OVER (PARTITION BY sh.doc_id
       |             ORDER BY dfc.df, sh.sh) AS _r
-      |    FROM sh JOIN dfc ON dfc.sh = sh.sh)
+      |    FROM sh
+      |    JOIN mostly_hot mh ON mh.doc_id = sh.doc_id
+      |    JOIN dfc ON dfc.sh = sh.sh)
       |  WHERE _r <= $NGRAM_RAREST_K),
       |cand AS (
       |  SELECT doc_a, doc_b, COALESCE(i.inter_r, 0) AS inter_r FROM (
