@@ -32,7 +32,12 @@ object Bench {
     val results = hotSet.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val t = (System.nanoTime() - t0) / 1e9
+      // Drop the query's leftover .cache() blocks: without this, later
+      // queries inherit the whole run's cache residue and their times
+      // depend on map iteration order (eviction churn, not plan cost).
+      spark.catalog.clearCache()
+      name -> t
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
