@@ -50,6 +50,33 @@ class RecoverySuite extends GraftSuite {
       s"exactly-once violated: ${all.length} rows, dupes=${all.groupBy(identity).count(_._2.length > 1)}")
   }
 
+  test("sinkUpsert kill mid-stream + resume: final table state exactly equals the batch fold") {
+    import graft.api.StreamzOps._
+    val base = java.nio.file.Files.createTempDirectory("upsert_kill").toString
+    val table = s"$base/state"; val cp = s"$base/cp"
+    def start() = spark.readStream.format("pg-cdc-sim")
+      .option("path", s"$sf0001/events.parquet")
+      .option("batchSize", "100")
+      .option("snapshotSeq", "99")
+      .option("numPartitions", "4")
+      .load()
+      .sinkUpsert(table, Seq("key"), "seq", cp)
+    val q1 = start()
+    // kill once the first merge has landed (table dir exists)
+    val deadline = System.currentTimeMillis() + 60000
+    while (!new java.io.File(table).exists() && System.currentTimeMillis() < deadline)
+      Thread.sleep(10)
+    q1.stop(); q1.awaitTermination(60000)
+    val q2 = start() // resume from the offset WAL
+    assert(q2.awaitTermination(120000))
+    val got = spark.read.parquet(table).collect()
+      .map(r => r.getAs[Long]("key") -> r.getAs[Long]("seq")).toMap
+    val want = queries.Streaming.qCdcLatestByKey(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("last_event_id")).toMap
+    assert(got == want,
+      s"post-recovery table must equal the batch fold; diff=${(got.toSet diff want.toSet).take(5)}")
+  }
+
   test("stateful aggregation runs on the RocksDB state store provider") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",

@@ -127,6 +127,31 @@ class StreamzOpsSuite extends GraftSuite {
     assert(got == batch, s"stream fold must equal batch fold:\n$got\n$batch")
   }
 
+  test("accumulateStream state survives on the RocksDB state store provider") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val sess = spark; import sess.implicits._
+      implicit val sqlCtx = sess.sqlContext
+      val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Double)]
+      val q = graft.api.StreamzStateOps
+        .accumulateStream(ms.toDF().toDF("k", "seq", "v"), "k", "seq", "v")
+        .writeStream.format("memory").queryName("acc_rocks")
+        .outputMode("append").start()
+      ms.addData((1L, 1L, 2.0)); q.processAllAvailable()
+      ms.addData((1L, 2L, 3.0)); q.processAllAvailable() // fold carried in RocksDB
+      q.stop()
+      val acc = spark.table("acc_rocks").orderBy("ord").collect().map(_.getDouble(3)).toSeq
+      assert(acc == Seq(2.0, 5.0), s"RocksDB-backed fold, got $acc")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("slidingWindowStream: last-n ring across micro-batches == batch slidingWindow") {
     val sess = spark; import sess.implicits._
     implicit val sqlCtx = sess.sqlContext
