@@ -107,17 +107,22 @@ object PipelineExtras {
         "transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
         .as("sh"))
       .distinct()
-      .cache() // consumed 5× (df, sizes, rarest-K, recount both sides)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      .cache() // consumed 4× (df, postings⋈df, recount both sides)
     val dfc = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     // one postings⋈df relation feeds BOTH candidate indexes
     val shDf = sh.join(dfc, "sh")
       .select(col("doc_id"), col("sh"), col("df"))
       .cache()
+    // ONE doc-stats aggregate carrying both the total shingle count
+    // and the rare-posting count: replaces the round-2 sizes+rsizes
+    // pair (two shuffles, and two extra left-join+fill(0) hops in the
+    // stats join below — rz=0 now falls out of the conditional sum).
+    val stats = shDf.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("sz"),
+        sum(when(col("df") <= NGRAM_DF_CUT, 1L).otherwise(0L)).as("rz"))
+      .cache() // consumed 3× (mostlyHot + both sides of the stats join)
     val rare = shDf.filter(col("df") <= NGRAM_DF_CUT)
       .select(col("doc_id"), col("sh"))
-      .cache() // consumed 3× (rsizes + both self-join sides)
-    val rsizes = rare.groupBy(col("doc_id")).agg(count(lit(1)).as("rz"))
     val interR = rare.as("a").join(rare.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -129,10 +134,7 @@ object PipelineExtras {
     // shingle and is already in index (a). Only mostly-hot docs (the
     // boilerplate case) need this index, so its cost is ~zero on a
     // corpus with a healthy rare vocabulary.
-    val mostlyHot = sh.select(col("doc_id")).distinct()
-      .join(rsizes, Seq("doc_id"), "left")
-      .na.fill(0L, Seq("rz"))
-      .filter(col("rz") < NGRAM_RAREST_K)
+    val mostlyHot = stats.filter(col("rz") < NGRAM_RAREST_K)
       .select(col("doc_id"))
     val rarestK = shDf.join(mostlyHot, "doc_id")
       .withColumn("_r", row_number().over(
@@ -143,32 +145,41 @@ object PipelineExtras {
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val cand = interR.select(col("doc_a"), col("doc_b"))
-      .unionByName(candRarest).distinct()
-      .join(interR, Seq("doc_a", "doc_b"), "left")
+    // Union of both indexes with inter_r carried through = FULL OUTER
+    // join on the pair key: references interR exactly ONCE (the
+    // round-2 union + left-join shape executed the rare self-join
+    // twice — Spark does not fuse the two identical subtrees across
+    // a union), and a rarest-K-only pair naturally gets inter_r=0.
+    val cand = interR
+      .join(candRarest, Seq("doc_a", "doc_b"), "full_outer")
       .na.fill(0L, Seq("inter_r"))
     // doc-level stats are corpus-cardinality (broadcast at any scale
     // where the doc COUNT fits a broadcast; else a shuffled join on
-    // doc id — either way linear)
-    // rsizes joins are LEFT + fill(0): an all-hot doc has NO rare
-    // postings, and dropping it here would lose exactly the
-    // boilerplate pairs index (b) exists to catch
+    // doc id — either way linear). stats covers every doc with a
+    // shingle and rz=0 falls out of the conditional sum, so an
+    // all-hot doc (NO rare postings — exactly the boilerplate case
+    // index (b) exists to catch) survives with ra/rb = 0.
     val withStats = cand
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sa"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sb"), "doc_b")
-      .join(rsizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("rz", "ra"),
-        Seq("doc_a"), "left")
-      .join(rsizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("rz", "rb"),
-        Seq("doc_b"), "left")
-      .na.fill(0L, Seq("ra", "rb"))
+      .join(stats.select(col("doc_id").as("doc_a"), col("sz").as("sa"), col("rz").as("ra")), "doc_a")
+      .join(stats.select(col("doc_id").as("doc_b"), col("sz").as("sb"), col("rz").as("rb")), "doc_b")
     val ub = col("inter_r") + least(col("sa") - col("ra"), col("sb") - col("rb"))
     val survivors = withStats
       .filter(ub.cast("double") / (col("sa") + col("sb") - ub).cast("double")
         >= lit(NGRAM_JACCARD_MIN - 1e-6))
       .select(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
+      .cache() // consumed twice (survivor-id set + recount join); tiny
+    // Recount reads ONLY survivor docs' postings: the pa/pb join keys
+    // are survivor doc ids, so semi-joining the (vanishing) survivor
+    // id set into the postings first is an exact restriction — it
+    // turns a full-postings⋈full-postings shuffle into a
+    // broadcast-filtered scan of the cached postings + a tiny join.
+    val survIds = survivors.select(col("doc_a").as("doc_id"))
+      .unionByName(survivors.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val shSurv = sh.join(broadcast(survIds), Seq("doc_id"), "left_semi")
     val exact = survivors
-      .join(sh.as("pa"), col("doc_a") === col("pa.doc_id"))
-      .join(sh.as("pb"),
+      .join(shSurv.as("pa"), col("doc_a") === col("pa.doc_id"))
+      .join(shSurv.as("pb"),
         col("doc_b") === col("pb.doc_id") && col("pa.sh") === col("pb.sh"))
       .groupBy(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
       .agg(count(lit(1)).as("inter"))
@@ -188,19 +199,17 @@ object PipelineExtras {
       |sh AS (SELECT DISTINCT doc_id, sh FROM (
       |  SELECT doc_id, UNNEST(list_transform(generate_series(1, LEN(ws) - 2),
       |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh FROM d)),
-      |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
       |dfc AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh),
+      |stats AS (SELECT doc_id, COUNT(*) AS sz,
+      |                 COUNT(*) FILTER (WHERE dfc.df <= $NGRAM_DF_CUT) AS rz
+      |          FROM sh JOIN dfc ON dfc.sh = sh.sh GROUP BY doc_id),
       |rare AS (SELECT sh.doc_id, sh.sh FROM sh
       |         JOIN dfc ON dfc.sh = sh.sh WHERE dfc.df <= $NGRAM_DF_CUT),
-      |rsizes AS (SELECT doc_id, COUNT(*) AS rz FROM rare GROUP BY doc_id),
       |inter_r AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter_r
       |  FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2),
-      |mostly_hot AS (
-      |  SELECT d.doc_id FROM (SELECT DISTINCT doc_id FROM sh) d
-      |  LEFT JOIN rsizes r ON r.doc_id = d.doc_id
-      |  WHERE COALESCE(r.rz, 0) < $NGRAM_RAREST_K),
+      |mostly_hot AS (SELECT doc_id FROM stats WHERE rz < $NGRAM_RAREST_K),
       |rarest_k AS (
       |  SELECT doc_id, sh FROM (
       |    SELECT sh.doc_id, sh.sh,
@@ -211,28 +220,32 @@ object PipelineExtras {
       |    JOIN dfc ON dfc.sh = sh.sh)
       |  WHERE _r <= $NGRAM_RAREST_K),
       |cand AS (
-      |  SELECT doc_a, doc_b, COALESCE(i.inter_r, 0) AS inter_r FROM (
-      |    SELECT doc_a, doc_b FROM inter_r
-      |    UNION
-      |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  SELECT COALESCE(i.doc_a, c.doc_a) AS doc_a,
+      |         COALESCE(i.doc_b, c.doc_b) AS doc_b,
+      |         COALESCE(i.inter_r, 0) AS inter_r
+      |  FROM inter_r i
+      |  FULL OUTER JOIN (
+      |    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |    FROM rarest_k a JOIN rarest_k b
       |      ON a.sh = b.sh AND a.doc_id < b.doc_id) c
-      |  LEFT JOIN inter_r i USING (doc_a, doc_b)),
+      |  ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b),
       |survivors AS (
       |  SELECT doc_a, doc_b, sa.sz AS sa, sb.sz AS sb
       |  FROM cand
-      |  JOIN sizes sa ON sa.doc_id = doc_a
-      |  JOIN sizes sb ON sb.doc_id = doc_b
-      |  LEFT JOIN rsizes ra ON ra.doc_id = doc_a
-      |  LEFT JOIN rsizes rb ON rb.doc_id = doc_b
-      |  WHERE CAST(inter_r + LEAST(sa.sz - COALESCE(ra.rz, 0), sb.sz - COALESCE(rb.rz, 0)) AS DOUBLE)
-      |        / CAST(sa.sz + sb.sz - (inter_r + LEAST(sa.sz - COALESCE(ra.rz, 0), sb.sz - COALESCE(rb.rz, 0))) AS DOUBLE)
+      |  JOIN stats sa ON sa.doc_id = doc_a
+      |  JOIN stats sb ON sb.doc_id = doc_b
+      |  WHERE CAST(inter_r + LEAST(sa.sz - sa.rz, sb.sz - sb.rz) AS DOUBLE)
+      |        / CAST(sa.sz + sb.sz - (inter_r + LEAST(sa.sz - sa.rz, sb.sz - sb.rz)) AS DOUBLE)
       |        >= ${NGRAM_JACCARD_MIN - 1e-6}),
+      |surv_ids AS (
+      |  SELECT doc_a AS doc_id FROM survivors
+      |  UNION SELECT doc_b FROM survivors),
+      |sh_surv AS (SELECT sh.doc_id, sh.sh FROM sh JOIN surv_ids USING (doc_id)),
       |exact AS (
       |  SELECT doc_a, doc_b, sa, sb, COUNT(*) AS inter
       |  FROM survivors
-      |  JOIN sh pa ON pa.doc_id = doc_a
-      |  JOIN sh pb ON pb.doc_id = doc_b AND pb.sh = pa.sh
+      |  JOIN sh_surv pa ON pa.doc_id = doc_a
+      |  JOIN sh_surv pb ON pb.doc_id = doc_b AND pb.sh = pa.sh
       |  GROUP BY 1, 2, 3, 4)
       |SELECT doc_a, doc_b,
       |       ROUND(CAST(inter AS DOUBLE) / CAST(sa + sb - inter AS DOUBLE), 6) AS jaccard
