@@ -198,55 +198,197 @@ object StreamzOps {
       * merges to the same state), so exactly-once table state composes
       * with the source's checkpoint WAL.
       *
-      * The foreachBatch body here is a parquet read-modify-write:
-      * write the merged table to a tmp dir, then delete + rename over
-      * the target (one full write per batch, not a copy). The
-      * delete→rename window is NOT atomic — a crash inside it loses
-      * the table (the in-flight batch replays, but prior state is
-      * gone); on a lakehouse table format the same contract is a
-      * single ATOMIC MERGE INTO ... WHEN MATCHED AND op = 'D' THEN
-      * DELETE, which is the production form. At 100 TB the merge is a
-      * shuffled join on the key — partition `tablePath` by a key
-      * bucket so the rewrite touches only dirty buckets.
+      * Storage layout — a minimal snapshot-manifest table format,
+      * built for the two properties a 100 TB replication target needs:
+      *
+      *   - INCREMENTAL: rows live in `numBuckets` key-hash buckets
+      *     (`pmod(hash(keys), numBuckets)`). A batch reads and
+      *     rewrites ONLY the buckets its keys touch; a 1-key batch
+      *     rewrites 1 bucket, not the table. Per-batch cost is
+      *     O(dirty-bucket bytes + batch), not O(table).
+      *   - ATOMIC: each commit writes its dirty buckets to a fresh
+      *     `data/m<N>/_bp=<K>/` dir, then publishes manifest
+      *     `manifest/m<N>` — a text file mapping every bucket to the
+      *     data dir currently holding it (clean buckets keep their old
+      *     entries) — via write-to-temp-name + rename-to-fresh-name,
+      *     which is atomic on HDFS and local FS. Readers resolve the
+      *     HIGHEST committed manifest, so a crash anywhere before the
+      *     rename leaves the previous snapshot fully intact and merely
+      *     orphans in-progress data files (overwritten on replay,
+      *     since the retried batch recomputes the same manifest
+      *     number). GC of superseded data/manifests runs only AFTER
+      *     the new manifest is durable. This is the same
+      *     snapshot-isolation design as Iceberg/Delta commits, sized
+      *     down; on a real lakehouse the whole body is one atomic
+      *     MERGE INTO ... WHEN MATCHED AND op = 'D' THEN DELETE.
+      *
+      * Read the table back with [[StreamzOps.readUpsertTable]].
+      *
+      * @param numBuckets key-hash bucket count — fixed at table
+      *        creation (recorded in the manifest; later calls must
+      *        match). Size so one bucket ≈ a comfortable rewrite unit.
+      * @param failpoint test hook: called with ("data-written" |
+      *        "pre-commit" | "post-commit", batchId) at the publish
+      *        barriers; a throw simulates a crash at that point.
       */
     def sinkUpsert(tablePath: String, keys: Seq[String], orderCol: String,
         checkpointLocation: String,
         opCol: Option[String] = None, deleteOp: String = "D",
-        trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-      val tmpPath = tablePath + "_tmp"
+        trigger: Trigger = Trigger.AvailableNow(),
+        numBuckets: Int = 16,
+        failpoint: (String, Long) => Unit = (_, _) => ()): StreamingQuery = {
+      require(numBuckets > 0, s"numBuckets must be > 0 (got $numBuckets)")
       df.writeStream.outputMode("append")
         .option("checkpointLocation", checkpointLocation)
         .trigger(trigger)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
           val sess = batch.sparkSession
           // Hadoop FS, not java.io.File: tablePath may be hdfs://s3a://
-          val target = new org.apache.hadoop.fs.Path(tablePath)
-          val tmp = new org.apache.hadoop.fs.Path(tmpPath)
-          val fs = target.getFileSystem(sess.sparkContext.hadoopConfiguration)
+          val fs = new org.apache.hadoop.fs.Path(tablePath)
+            .getFileSystem(sess.sparkContext.hadoopConfiguration)
           val w = Window.partitionBy(keys.map(col): _*)
             .orderBy(col(orderCol).desc)
           val latest = batch.withColumn("_rn", row_number().over(w))
             .filter(col("_rn") === 1).drop("_rn")
-          val merged =
-            if (fs.exists(target)) {
-              sess.read.parquet(tablePath).unionByName(latest)
+            .withColumn(BucketCol,
+              pmod(hash(keys.map(col): _*), lit(numBuckets)))
+          // dirty buckets: ≤ numBuckets values — planning-scale collect
+          val dirty = latest.select(BucketCol).distinct()
+            .collect().map(_.getInt(0)).toSet
+          if (dirty.nonEmpty) {
+            val cur = currentManifest(fs, tablePath)
+            cur.foreach { case (nb, _, _) => require(nb == numBuckets,
+              s"table was created with numBuckets=$nb, called with $numBuckets") }
+            val priorDirty = cur.toSeq.flatMap(_._3.toSeq)
+              .collect { case (b, dir) if dirty(b) => s"$tablePath/$dir" }
+            val merged0 =
+              if (priorDirty.isEmpty) latest
+              else sess.read.parquet(priorDirty: _*).unionByName(latest)
                 .withColumn("_rn", row_number().over(w))
                 .filter(col("_rn") === 1).drop("_rn")
-            } else latest
-          // dropping tombstoned keys at write is safe under Structured
-          // Streaming recovery: only the in-flight batch ever replays,
-          // so no earlier-committed row can resurrect a deleted key.
-          // A source with broader re-delivery (Kafka earliest reset)
-          // needs retained tombstones + a retention window instead.
-          // Null-safe inequality: rows with a NULL op are live, not
-          // silently dropped.
-          val alive = opCol.fold(merged)(oc =>
-            merged.filter(!(col(oc) <=> lit(deleteOp))))
-          alive.write.mode("overwrite").parquet(tmpPath)
-          fs.delete(target, true)
-          fs.rename(tmp, target)
+            // dropping tombstoned keys at write is safe under Structured
+            // Streaming recovery: only the in-flight batch ever replays,
+            // so no earlier-committed row can resurrect a deleted key.
+            // A source with broader re-delivery (Kafka earliest reset)
+            // needs retained tombstones + a retention window instead.
+            // Null-safe inequality: rows with a NULL op are live, not
+            // silently dropped.
+            val alive = opCol.fold(merged0)(oc =>
+              merged0.filter(!(col(oc) <=> lit(deleteOp))))
+            val n = cur.map(_._2 + 1).getOrElse(1L)
+            val dataRel = s"data/m$n"
+            // _bp duplicates _gb_bucket because partitionBy consumes its
+            // column into the dir name; keeping the value as data too
+            // lets a single-dir read recover the bucket without
+            // basePath inference
+            alive.withColumn("_bp", col(BucketCol))
+              .write.mode("overwrite").partitionBy("_bp")
+              .parquet(s"$tablePath/$dataRel")
+            failpoint("data-written", batchId)
+            // buckets that survived with rows = the _bp dirs written
+            // (a fully-tombstoned bucket writes no dir and drops out)
+            val written = fs.listStatus(
+                new org.apache.hadoop.fs.Path(s"$tablePath/$dataRel"))
+              .filter(_.isDirectory).map(_.getPath.getName)
+              .collect { case s if s.startsWith("_bp=") =>
+                s.stripPrefix("_bp=").toInt }
+              .toSet
+            val entries =
+              cur.toSeq.flatMap(_._3.toSeq).filterNot { case (b, _) => dirty(b) } ++
+              written.toSeq.sorted.map(b => b -> s"$dataRel/_bp=$b")
+            failpoint("pre-commit", batchId)
+            commitManifest(fs, tablePath, n, numBuckets, entries)
+            failpoint("post-commit", batchId)
+            gcSuperseded(fs, tablePath, n, entries)
+          }
           ()
         }.start()
+    }
+  }
+
+  /** Bucket column persisted in sinkUpsert data files (dropped by the
+    * reader); prefixed to stay clear of user schemas.
+    */
+  private[graft] val BucketCol = "_gb_bucket"
+
+  /** Read the current snapshot of a [[StreamzDataFrame.sinkUpsert]]
+    * table: resolve the highest committed manifest and union its
+    * bucket dirs. Always sees a complete, committed snapshot — never
+    * a half-published batch.
+    */
+  def readUpsertTable(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(tablePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    currentManifest(fs, tablePath) match {
+      case Some((_, _, entries)) if entries.nonEmpty =>
+        spark.read.parquet(entries.values.map(d => s"$tablePath/$d").toSeq: _*)
+          .drop(BucketCol)
+      case _ => throw new IllegalStateException(
+        s"no committed sinkUpsert manifest under $tablePath/manifest")
+    }
+  }
+
+  /** Highest committed manifest: (numBuckets, n, bucket -> data dir). */
+  private def currentManifest(fs: org.apache.hadoop.fs.FileSystem,
+      tablePath: String): Option[(Int, Long, Map[Int, String])] = {
+    val dir = new org.apache.hadoop.fs.Path(s"$tablePath/manifest")
+    if (!fs.exists(dir)) return None
+    val committed = fs.listStatus(dir).map(_.getPath.getName)
+      .collect { case s if s.matches("m\\d+") => s.stripPrefix("m").toLong }
+    if (committed.isEmpty) return None
+    val n = committed.max
+    val lines = {
+      val in = fs.open(new org.apache.hadoop.fs.Path(s"$tablePath/manifest/m$n"))
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+      finally in.close()
+    }
+    val nb = lines.head.stripPrefix("numBuckets=").toInt
+    val entries = lines.tail.map { l =>
+      val Array(b, d) = l.split("\t", 2); b.toInt -> d
+    }.toMap
+    Some((nb, n, entries))
+  }
+
+  /** Atomic publish: write to a dot-temp name, rename to the fresh
+    * final name (atomic on HDFS/local — the destination never exists,
+    * so there is no delete→rename hole).
+    */
+  private def commitManifest(fs: org.apache.hadoop.fs.FileSystem,
+      tablePath: String, n: Long, numBuckets: Int,
+      entries: Seq[(Int, String)]): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(s"$tablePath/manifest/.m$n.inprogress")
+    val out = fs.create(tmp, true)
+    try out.write((s"numBuckets=$numBuckets\n" +
+      entries.map { case (b, d) => s"$b\t$d" }.mkString("\n"))
+      .getBytes("UTF-8"))
+    finally out.close()
+    val fin = new org.apache.hadoop.fs.Path(s"$tablePath/manifest/m$n")
+    if (!fs.rename(tmp, fin))
+      throw new java.io.IOException(s"manifest commit rename failed: $fin")
+  }
+
+  /** Post-commit GC: drop manifests < n and data/m<J> dirs no entry
+    * of manifest n references. Runs strictly after the new manifest
+    * is durable, so a crash mid-GC only leaves garbage, never breaks
+    * the committed snapshot. (A production table format would keep a
+    * retention window for time travel / in-flight readers.)
+    */
+  private def gcSuperseded(fs: org.apache.hadoop.fs.FileSystem,
+      tablePath: String, n: Long, entries: Seq[(Int, String)]): Unit = {
+    val live = entries.map(_._2.split("/")(1)).toSet // data/mJ/_bp=K -> mJ
+    val dataDir = new org.apache.hadoop.fs.Path(s"$tablePath/data")
+    if (fs.exists(dataDir))
+      fs.listStatus(dataDir).map(_.getPath).foreach { p =>
+        if (p.getName.matches("m\\d+") && !live(p.getName))
+          fs.delete(p, true)
+      }
+    val manDir = new org.apache.hadoop.fs.Path(s"$tablePath/manifest")
+    fs.listStatus(manDir).map(_.getPath).foreach { p =>
+      val nm = p.getName
+      if ((nm.matches("m\\d+") && nm.stripPrefix("m").toLong < n) ||
+          nm.endsWith(".inprogress"))
+        fs.delete(p, false)
     }
   }
 }

@@ -169,7 +169,7 @@ class CdcSourceSuite extends GraftSuite {
     run()
     val want = queries.Streaming.qCdcLatestByKey(spark, sf0001).collect()
       .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("last_event_id")).toMap
-    def tableState() = spark.read.parquet(table).collect()
+    def tableState() = graft.api.StreamzOps.readUpsertTable(spark, table).collect()
       .map(r => r.getAs[Long]("key") -> r.getAs[Long]("seq")).toMap
     assert(tableState() == want, "sinkUpsert table must equal the batch changelog fold")
     run() // restart from the same checkpoint: fully caught up -> no change
@@ -186,7 +186,7 @@ class CdcSourceSuite extends GraftSuite {
       .load()
       .sinkUpsert(s"$base/state", Seq("key"), "seq", s"$base/cp", opCol = Some("op"))
     q.awaitTermination(120000)
-    val got = spark.read.parquet(s"$base/state").collect()
+    val got = graft.api.StreamzOps.readUpsertTable(spark, s"$base/state").collect()
       .map(r => r.getAs[Long]("key") -> r.getAs[Long]("seq")).toMap
     val full = queries.Streaming.qCdcLatestByKey(spark, sf0001).collect()
       .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("last_event_id")).toMap
@@ -195,6 +195,41 @@ class CdcSourceSuite extends GraftSuite {
     assert(got == want,
       s"tombstoned keys must be dropped, others keep latest seq; " +
         s"unexpected=${(got.toSet diff want.toSet).take(5)}")
+  }
+
+  test("sinkUpsert incremental publish: a 1-key batch rewrites exactly 1 bucket") {
+    import graft.api.StreamzOps._
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx = sess.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("upsert_bucket").toString
+    val table = s"$base/state"
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Double)]
+    val q = ms.toDF().toDF("key", "seq", "value")
+      .sinkUpsert(table, Seq("key"), "seq", s"$base/cp", numBuckets = 8,
+        trigger = Trigger.ProcessingTime(0))
+    try {
+      ms.addData((1L to 40L).map(k => (k, k, k * 1.0)): _*)
+      q.processAllAvailable()
+      ms.addData((1L, 1000L, 9.9))
+      q.processAllAvailable()
+    } finally q.stop()
+    // commit m2 (the 1-key batch) wrote exactly one bucket dir…
+    val m2buckets = new java.io.File(s"$table/data/m2").listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("_bp=")).map(_.getName)
+    assert(m2buckets.length == 1,
+      s"1-key batch must rewrite exactly 1 bucket, wrote ${m2buckets.toSeq}")
+    // …and every clean bucket's manifest entry still points into m1
+    val manifest = scala.io.Source.fromFile(s"$table/manifest/m2").getLines().toVector
+    val entries = manifest.tail.map(_.split("\t")).map(a => a(0).toInt -> a(1))
+    assert(entries.count(_._2.startsWith("data/m2/")) == 1)
+    assert(entries.count(_._2.startsWith("data/m1/")) == entries.size - 1)
+    assert(entries.size > 1, "fixture must span multiple buckets")
+    // and the snapshot reads back as the correct fold
+    val got = readUpsertTable(spark, table).collect()
+      .map(r => r.getAs[Long]("key") -> r.getAs[Long]("seq")).toMap
+    assert(got == ((2L to 40L).map(k => k -> k).toMap + (1L -> 1000L)))
   }
 
   test("file-source formats (§2A sources row): json, csv and text all stream == batch") {

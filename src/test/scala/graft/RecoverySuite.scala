@@ -62,19 +62,71 @@ class RecoverySuite extends GraftSuite {
       .load()
       .sinkUpsert(table, Seq("key"), "seq", cp)
     val q1 = start()
-    // kill once the first merge has landed (table dir exists)
+    // kill once the first merge has COMMITTED (a manifest exists)
+    def committed() = {
+      val d = new java.io.File(s"$table/manifest")
+      d.exists && d.listFiles.exists(_.getName.matches("m\\d+"))
+    }
     val deadline = System.currentTimeMillis() + 60000
-    while (!new java.io.File(table).exists() && System.currentTimeMillis() < deadline)
+    while (!committed() && System.currentTimeMillis() < deadline)
       Thread.sleep(10)
     q1.stop(); q1.awaitTermination(60000)
     val q2 = start() // resume from the offset WAL
     assert(q2.awaitTermination(120000))
-    val got = spark.read.parquet(table).collect()
+    val got = graft.api.StreamzOps.readUpsertTable(spark, table).collect()
       .map(r => r.getAs[Long]("key") -> r.getAs[Long]("seq")).toMap
     val want = queries.Streaming.qCdcLatestByKey(spark, sf0001).collect()
       .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("last_event_id")).toMap
     assert(got == want,
       s"post-recovery table must equal the batch fold; diff=${(got.toSet diff want.toSet).take(5)}")
+  }
+
+  test("sinkUpsert crash INSIDE the publish window: committed snapshot survives, restart converges") {
+    import graft.api.StreamzOps._
+    // batch 0 = snapshot seqs 0..99 (commits manifest m1); the
+    // injected failure then kills batch 1 at each publish barrier in
+    // turn — after the data write, before the manifest rename, after
+    // the manifest rename (the old delete→rename design lost the
+    // whole table on the first two)
+    for (crashAt <- Seq("data-written", "pre-commit", "post-commit")) {
+      val base = java.nio.file.Files.createTempDirectory(s"upsert_crash").toString
+      val table = s"$base/state"; val cp = s"$base/cp"
+      def start(fp: (String, Long) => Unit) = spark.readStream.format("pg-cdc-sim")
+        .option("path", s"$sf0001/events.parquet")
+        .option("batchSize", "100")
+        .option("snapshotSeq", "99")
+        .option("numPartitions", "4")
+        .load()
+        .sinkUpsert(table, Seq("key"), "seq", cp, failpoint = fp)
+      val q1 = start((p, b) => if (p == crashAt && b == 1L)
+        throw new RuntimeException(s"injected crash at $p"))
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q1.awaitTermination(120000)
+      }
+      // the table must still read as a complete committed snapshot:
+      // exactly the changelog fold up to its own max seq (prefix-
+      // consistent), and when the crash hit before the commit that
+      // prefix is batch 0 alone
+      val afterCrash = readUpsertTable(spark, table).collect()
+        .map(r => r.getAs[Long]("key") -> r.getAs[Long]("seq")).toMap
+      def foldTo(maxSeq: Long) = spark.read.format("pg-cdc-sim")
+        .option("path", s"$sf0001/events.parquet").load()
+        .filter(col("seq") <= maxSeq)
+        .groupBy("key").agg(max("seq").as("seq")).collect()
+        .map(r => r.getAs[Long]("key") -> r.getAs[Long]("seq")).toMap
+      val hi = afterCrash.values.max
+      assert(afterCrash == foldTo(hi),
+        s"$crashAt: surviving snapshot is not a prefix-consistent fold")
+      if (crashAt != "post-commit")
+        assert(hi == 99L, s"$crashAt: only batch 0 may be visible, saw seq $hi")
+      val q2 = start((_, _) => ()) // restart without the failpoint
+      assert(q2.awaitTermination(120000))
+      val want = queries.Streaming.qCdcLatestByKey(spark, sf0001).collect()
+        .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("last_event_id")).toMap
+      val got = readUpsertTable(spark, table).collect()
+        .map(r => r.getAs[Long]("key") -> r.getAs[Long]("seq")).toMap
+      assert(got == want, s"$crashAt: post-recovery state must equal the batch fold")
+    }
   }
 
   test("stateful aggregation runs on the RocksDB state store provider") {
