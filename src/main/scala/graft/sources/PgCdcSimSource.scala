@@ -1,10 +1,17 @@
 package graft.sources
 
 import java.util
+import scala.jdk.CollectionConverters._
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
-import org.apache.parquet.hadoop.ParquetReader
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.filter2.compat.FilterCompat
+import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate, Statistics, UserDefinedPredicate}
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
+import org.apache.parquet.hadoop.api.ReadSupport
 import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.MessageType
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
@@ -204,7 +211,7 @@ class PgCdcSimScan(path: String, batchSize: Long, snapshotSeqOpt: Long,
     override def planInputPartitions(): Array[InputPartition] =
       ChangelogSlice.plan(path, Long.MinValue, Long.MaxValue, numPartitions, deletes)
     override def createReaderFactory(): PartitionReaderFactory =
-      new ChangelogReaderFactory
+      ChangelogReaderFactory.forSession()
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
@@ -262,7 +269,7 @@ class PgCdcSimMicroBatchStream(path: String, batchSize: Long,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ChangelogReaderFactory
+    ChangelogReaderFactory.forSession()
   override def deserializeOffset(json: String): Offset = SeqOffset(json.toLong)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
