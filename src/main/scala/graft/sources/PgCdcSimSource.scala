@@ -1,18 +1,18 @@
 package graft.sources
 
 import java.util
-import scala.jdk.CollectionConverters._
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.parquet.example.data.Group
 import org.apache.parquet.filter2.compat.FilterCompat
-import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate, Statistics, UserDefinedPredicate}
+import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
 import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
 import org.apache.parquet.hadoop.api.ReadSupport
 import org.apache.parquet.hadoop.example.GroupReadSupport
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.parquet.schema.MessageType
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.util.SerializableConfiguration
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
@@ -208,8 +208,13 @@ class PgCdcSimScan(path: String, batchSize: Long, snapshotSeqOpt: Long,
   override def description(): String = s"PgCdcSim(path=$path, batchSize=$batchSize)"
 
   override def toBatch: Batch = new Batch {
+    // one tiny driver-side aggregate (the `SELECT max(xmin)` analog);
+    // readers need the data horizon to place tombstone seqs without
+    // scanning the log themselves
+    private lazy val maxDataSeq: Long = PgCdcSim.changelogStats(path, deletes)._1
     override def planInputPartitions(): Array[InputPartition] =
-      ChangelogSlice.plan(path, Long.MinValue, Long.MaxValue, numPartitions, deletes)
+      ChangelogSlice.plan(path, Long.MinValue, Long.MaxValue, numPartitions,
+        deletes, maxDataSeq)
     override def createReaderFactory(): PartitionReaderFactory =
       ChangelogReaderFactory.forSession()
   }
@@ -223,7 +228,9 @@ class PgCdcSimMicroBatchStream(path: String, batchSize: Long,
     extends MicroBatchStream
     with SupportsAdmissionControl with SupportsTriggerAvailableNow {
   // planning stats only — the driver never materializes changelog rows
-  private lazy val maxSeq: Long = PgCdcSim.changelogStats(path, deletes)._2
+  private lazy val stats: (Long, Long) = PgCdcSim.changelogStats(path, deletes)
+  private lazy val maxDataSeq: Long = stats._1
+  private lazy val maxSeq: Long = stats._2
   // clamped to maxSeq on BOTH paths: an out-of-range snapshotSeq or an
   // empty changelog (maxSeq = -1, where -1/2 == 0 in Scala) must not
   // create offsets beyond the data — otherwise latestOffset would
@@ -265,7 +272,7 @@ class PgCdcSimMicroBatchStream(path: String, batchSize: Long,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[SeqOffset].seq
     val e = end.asInstanceOf[SeqOffset].seq
-    ChangelogSlice.plan(path, s, e, numPartitions, deletes)
+    ChangelogSlice.plan(path, s, e, numPartitions, deletes, maxDataSeq)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -280,76 +287,192 @@ class PgCdcSimMicroBatchStream(path: String, batchSize: Long,
   * executor-side reader resolves the predicate against the changelog
   * itself. This is the exact shape of a JDBC-polling partition
   * (`WHERE seq > ? AND seq <= ? AND hash(key) % n = ?`) or a Kafka
-  * topic-partition offset range.
+  * topic-partition offset range. `maxDataSeq` is the driver-planned
+  * data horizon (max seq in the log, tombstones excluded): readers
+  * place tombstone seqs with it instead of re-deriving it by scanning.
   */
 final case class ChangelogSlice(path: String, start: Long, end: Long,
-    partId: Int, numPartitions: Int, deletes: Boolean) extends InputPartition
+    partId: Int, numPartitions: Int, deletes: Boolean,
+    maxDataSeq: Long) extends InputPartition
 
 object ChangelogSlice {
   def plan(path: String, start: Long, end: Long, numPartitions: Int,
-      deletes: Boolean): Array[InputPartition] =
+      deletes: Boolean, maxDataSeq: Long): Array[InputPartition] =
     (0 until numPartitions).map { i =>
-      ChangelogSlice(path, start, end, i, numPartitions, deletes): InputPartition
+      ChangelogSlice(path, start, end, i, numPartitions, deletes,
+        maxDataSeq): InputPartition
     }.toArray
 }
 
-class ChangelogReaderFactory extends PartitionReaderFactory {
+/** Test-visible read-amplification telemetry: every record a
+  * changelog pass actually MATERIALIZES (i.e. survived parquet
+  * row-group statistics + record-level filtering). CdcSourceSuite
+  * asserts a narrow slice stays far below full-log materialization.
+  */
+object ChangelogReadMetrics {
+  val recordsMaterialized = new java.util.concurrent.atomic.LongAdder
+}
+
+object ChangelogReaderFactory {
+  /** Built on the DRIVER at plan time: captures the session Hadoop
+    * conf (filesystem credentials, legacy-parquet flags, …) so
+    * executor-side readers resolve the changelog exactly as the
+    * session would — not via a bare `new Configuration()`.
+    */
+  def forSession(): ChangelogReaderFactory =
+    new ChangelogReaderFactory(new SerializableConfiguration(
+      SparkSession.active.sessionState.newHadoopConf()))
+}
+
+class ChangelogReaderFactory(conf: SerializableConfiguration)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new ChangelogReader(partition.asInstanceOf[ChangelogSlice])
+    new ChangelogReader(partition.asInstanceOf[ChangelogSlice], conf.value)
 }
 
 /** Executor-side changelog reader: pulls THIS partition's rows
   * directly from the parquet changelog via parquet-hadoop (no
-  * SparkSession on executors, no driver shipping). Scans the file
-  * once, keeps only its key-hash subset, derives op locally (the key
-  * subset's full history lives in exactly this partition), then clips
-  * to the slice's seq range. In production this `open()` is a JDBC
-  * query / Kafka seek resolving the same predicate server-side.
+  * SparkSession on executors, no driver shipping). In production
+  * each pass below is a JDBC query / Kafka seek resolving the same
+  * predicate server-side.
+  *
+  * The slice's predicates are PUSHED INTO the parquet read as
+  * `FilterPredicate`s (row-group statistics skip whole groups on a
+  * seq-sorted changelog; record-level filtering drops the rest before
+  * materialization) and each pass projects only the columns it needs:
+  *
+  *  1. output pass — rows with seq ∈ (start, end], all columns: the
+  *     only full-width read, and it touches only row groups
+  *     overlapping the slice, not the whole log;
+  *  2. history pass — seq ≤ start on (event_id, user_id) ONLY, to
+  *     learn which of this partition's keys appeared before the
+  *     slice (op = I on a key's global first change). Skipped
+  *     entirely for the snapshot batch (start < 0);
+  *  3. tombstone pass — only when the slice range extends past the
+  *     data horizon: tombstone seqs are maxDataSeq+1+key, so the seq
+  *     range inverts to a KEY range pushed down on (user_id, ts) to
+  *     recover each deleted key's final timestamp.
+  *
+  * vs the pre-round-6 reader (full-log scan, all columns, per slice,
+  * per micro-batch): a narrow poll now reads its own row groups plus
+  * a two-column prefix — the per-batch O(full log × width) cost is
+  * gone.
   */
-class ChangelogReader(slice: ChangelogSlice) extends PartitionReader[InternalRow] {
+class ChangelogReader(slice: ChangelogSlice, hadoopConf: Configuration)
+    extends PartitionReader[InternalRow] {
   import PgCdcSim.CdcRow
 
-  private lazy val rows: Array[CdcRow] = {
-    val reader = ParquetReader
-      .builder(new GroupReadSupport(), new Path(slice.path))
-      .withConf(new Configuration())
-      .build()
-    val mine = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, String, java.lang.Double)]
-    var maxSeq = -1L
-    try {
-      var g = reader.read()
-      while (g != null) {
-        val seq = g.getLong("event_id", 0)
-        if (seq > maxSeq) maxSeq = seq
-        val key = g.getLong("user_id", 0)
-        if (math.floorMod(key, slice.numPartitions.toLong) == slice.partId) {
-          val tsUs = g.getLong("ts", 0) / 1000L // TIMESTAMP(NANOS) raw int64
-          val et = if (g.getFieldRepetitionCount("event_type") == 0) null
-                   else g.getString("event_type", 0)
-          val v: java.lang.Double =
-            if (g.getFieldRepetitionCount("value") == 0) null
-            else g.getDouble("value", 0)
-          mine += ((seq, key, tsUs, et, v))
-        }
-        g = reader.read()
-      }
-    } finally reader.close()
-    val sorted = mine.sortBy(_._1).toArray
-    val seen = scala.collection.mutable.HashSet.empty[Long]
-    val data = sorted.map { case (seq, key, tsUs, et, v) =>
-      CdcRow(seq, key, if (seen.add(key)) "I" else "U", tsUs, et, v)
+  /** Footer schema of the changelog (first data file under `path`);
+    * None for an empty directory. Needed to build column projections
+    * that preserve the file's exact physical types/annotations.
+    */
+  private def changelogSchema(): Option[MessageType] = {
+    val p = new Path(slice.path)
+    val fs = p.getFileSystem(hadoopConf)
+    if (!fs.exists(p)) return None
+    val dataFiles =
+      if (!fs.getFileStatus(p).isDirectory) Array(p)
+      else fs.listStatus(p).map(_.getPath)
+        .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        .sortBy(_.toString)
+    dataFiles.headOption.map { f =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(f, hadoopConf))
+      try r.getFooter.getFileMetaData.getSchema finally r.close()
     }
-    val all =
-      if (!slice.deletes) data
-      else {
-        val tombs = data.groupBy(_.key).collect {
-          case (k, hist) if PgCdcSim.isDeletedKey(k) =>
-            CdcRow(PgCdcSim.deleteSeq(maxSeq, k), k, "D",
-              hist.map(_.tsUs).max + 1000000L, null, null)
-        }.toArray
-        (data ++ tombs).sortBy(_.seq)
+  }
+
+  /** One filtered, column-projected pass over the changelog. */
+  private def scanPass(cols: Seq[String], pred: FilterPredicate)
+      (f: Group => Unit): Unit =
+    changelogSchema().foreach { schema =>
+      val conf = new Configuration(hadoopConf)
+      val projection = new MessageType("graft_changelog_projection",
+        cols.map(c => schema.getType(schema.getFieldIndex(c))): _*)
+      conf.set(ReadSupport.PARQUET_READ_SCHEMA, projection.toString)
+      val reader = ParquetReader
+        .builder(new GroupReadSupport(), new Path(slice.path))
+        .withConf(conf)
+        .withFilter(FilterCompat.get(pred))
+        .build()
+      try {
+        var g = reader.read()
+        while (g != null) {
+          ChangelogReadMetrics.recordsMaterialized.increment()
+          f(g)
+          g = reader.read()
+        }
+      } finally reader.close()
+    }
+
+  private def mineKey(key: Long): Boolean =
+    math.floorMod(key, slice.numPartitions.toLong) == slice.partId
+
+  private lazy val rows: Array[CdcRow] = {
+    val seqCol = FilterApi.longColumn("event_id")
+    val keyCol = FilterApi.longColumn("user_id")
+
+    // 2-col history pass: which of my keys already changed at or
+    // before `start`? (A key's op depends only on EARLIER seqs, so
+    // seq ≤ start is sufficient history for every row in the slice.)
+    val seenBefore = scala.collection.mutable.HashSet.empty[Long]
+    if (slice.start >= 0L)
+      scanPass(Seq("event_id", "user_id"),
+          FilterApi.ltEq(seqCol, Long.box(slice.start))) { g =>
+        val key = g.getLong("user_id", 0)
+        if (mineKey(key)) seenBefore += key
       }
-    all.filter(r => r.seq > slice.start && r.seq <= slice.end)
+
+    // full-width output pass, clipped to (start, end] at the scan
+    val mine = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, String, java.lang.Double)]
+    scanPass(Seq("event_id", "user_id", "ts", "event_type", "value"),
+        FilterApi.and(FilterApi.gt(seqCol, Long.box(slice.start)),
+          FilterApi.ltEq(seqCol, Long.box(slice.end)))) { g =>
+      val key = g.getLong("user_id", 0)
+      if (mineKey(key)) {
+        val tsUs = g.getLong("ts", 0) / 1000L // TIMESTAMP(NANOS) raw int64
+        val et = if (g.getFieldRepetitionCount("event_type") == 0) null
+                 else g.getString("event_type", 0)
+        val v: java.lang.Double =
+          if (g.getFieldRepetitionCount("value") == 0) null
+          else g.getDouble("value", 0)
+        mine += ((g.getLong("event_id", 0), key, tsUs, et, v))
+      }
+    }
+    val seen = scala.collection.mutable.HashSet.empty[Long]
+    val data = mine.sortBy(_._1).toArray.map { case (seq, key, tsUs, et, v) =>
+      val op = if (!seenBefore.contains(key) && seen.add(key)) "I" else "U"
+      CdcRow(seq, key, op, tsUs, et, v)
+    }
+
+    // tombstone pass: seq range (start, end] ∩ (maxDataSeq, ∞) maps
+    // 1:1 to key range (start-maxDataSeq-1, end-maxDataSeq-1] — push
+    // THAT down and read only (user_id, ts) of the affected keys
+    val tombs =
+      if (!slice.deletes || slice.maxDataSeq < 0L ||
+          slice.end <= slice.maxDataSeq) Array.empty[CdcRow]
+      else {
+        val kLo = if (slice.start < 0L) -1L
+                  else slice.start - slice.maxDataSeq - 1L // exclusive
+        val kHi = if (slice.end == Long.MaxValue) Long.MaxValue
+                  else slice.end - slice.maxDataSeq - 1L // inclusive
+        val maxTsUs = scala.collection.mutable.HashMap.empty[Long, Long]
+        scanPass(Seq("user_id", "ts"),
+            FilterApi.and(FilterApi.gt(keyCol, Long.box(kLo)),
+              FilterApi.ltEq(keyCol, Long.box(kHi)))) { g =>
+          val key = g.getLong("user_id", 0)
+          if (mineKey(key) && PgCdcSim.isDeletedKey(key)) {
+            val tsUs = g.getLong("ts", 0) / 1000L
+            maxTsUs.updateWith(key)(p =>
+              Some(math.max(p.getOrElse(Long.MinValue), tsUs)))
+          }
+        }
+        maxTsUs.toArray.map { case (k, t) =>
+          CdcRow(PgCdcSim.deleteSeq(slice.maxDataSeq, k), k, "D",
+            t + 1000000L, null, null)
+        }.sortBy(_.seq)
+      }
+    data ++ tombs // tombstone seqs all exceed data seqs: still sorted
   }
 
   private var i = -1

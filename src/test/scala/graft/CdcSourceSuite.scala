@@ -232,6 +232,65 @@ class CdcSourceSuite extends GraftSuite {
     assert(got == ((2L to 40L).map(k => k -> k).toMap + (1L -> 1000L)))
   }
 
+  test("predicate pushdown: a narrow slice of a multi-row-group changelog materializes far less than the log") {
+    import graft.sources.{ChangelogReadMetrics, ChangelogReader, ChangelogSlice}
+    val sess = spark; import sess.implicits._
+    val base = java.nio.file.Files.createTempDirectory("cdc_push").toString + "/log"
+    val n = 40000
+    // seq-sorted changelog written with tiny row groups: the shape a
+    // real appended changelog has (monotone seq across row groups)
+    (0 until n).map(i => (i.toLong, (i % 97).toLong,
+        i.toLong * 1000000000L, "e" + (i % 3), i / 10.0))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+      .coalesce(1).sortWithinPartitions("event_id")
+      .write.option("parquet.block.size", 64 * 1024)
+      .option("parquet.page.size", 16 * 1024).parquet(base)
+    val part = new java.io.File(base).listFiles
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+    val hconf = spark.sessionState.newHadoopConf()
+    val inFile = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(part.getAbsolutePath), hconf)
+    val totalGroups = {
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(inFile)
+      try r.getRowGroups.size finally r.close()
+    }
+    assert(totalGroups >= 4, s"fixture must be multi-row-group (got $totalGroups)")
+
+    // (a) row-group STATS skip: the reader's seq-range FilterPredicate
+    // prunes non-overlapping groups before any page IO
+    val seqCol = org.apache.parquet.filter2.predicate.FilterApi.longColumn("event_id")
+    val pred = org.apache.parquet.filter2.predicate.FilterApi.and(
+      org.apache.parquet.filter2.predicate.FilterApi.gt(seqCol, Long.box(30000L)),
+      org.apache.parquet.filter2.predicate.FilterApi.ltEq(seqCol, Long.box(30500L)))
+    val survivingGroups = {
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(inFile,
+        org.apache.parquet.ParquetReadOptions.builder()
+          .withRecordFilter(org.apache.parquet.filter2.compat.FilterCompat.get(pred))
+          .build())
+      try r.getRowGroups.size finally r.close()
+    }
+    assert(survivingGroups < totalGroups && survivingGroups >= 1,
+      s"seq-range predicate must skip row groups: $survivingGroups of $totalGroups survive")
+
+    // (b) reader-level materialization: slice (30000, 30500] with one
+    // partition materializes the 500 output rows (record filter) plus
+    // the 2-column history prefix (seqs 0..30000) — and nothing else.
+    // The pre-pushdown reader materialized all 40000 full-width rows
+    // per slice per pass.
+    ChangelogReadMetrics.recordsMaterialized.reset()
+    val rdr = new ChangelogReader(
+      ChangelogSlice(base, 30000L, 30500L, 0, 1, deletes = false, maxDataSeq = n - 1L), hconf)
+    var cnt = 0
+    val ops = scala.collection.mutable.Set.empty[String]
+    while (rdr.next()) { ops += rdr.get().getString(2); cnt += 1 }
+    rdr.close()
+    assert(cnt == 500, s"slice rows (got $cnt)")
+    assert(ops == Set("U"), "every key in the slice already appeared in the prefix -> all U")
+    val mat = ChangelogReadMetrics.recordsMaterialized.sum()
+    assert(mat == 30001 + 500,
+      s"materialized must be history prefix (30001) + in-range rows (500), got $mat")
+  }
+
   test("file-source formats (§2A sources row): json, csv and text all stream == batch") {
     val sess = spark; import sess.implicits._
     val base = java.nio.file.Files.createTempDirectory("fmt_src").toString
