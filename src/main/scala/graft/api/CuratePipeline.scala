@@ -35,43 +35,62 @@ object CuratePipeline {
   final case class Report(input: Long, afterQuality: Long, afterExactDedup: Long,
       afterFuzzyDedup: Long, afterDecontaminate: Long, curated: Long)
 
+  /** One-pass execution: every stage contributes a per-doc survival
+    * FLAG to a single annotated plan, and the whole Report is ONE
+    * aggregate over it — six conditional counts in one action — where
+    * the naive fold-of-filters pays six `count()` actions each
+    * re-executing its whole upstream lineage (O(stages²) recompute).
+    * The flagged frame is cached so the returned curated DataFrame
+    * reuses the same computed flags instead of re-deriving them.
+    */
   def curate(spark: SparkSession, dir: String,
       minLenScore: Double = 0.2): (DataFrame, Report) = {
-    val docs = Tables.documents(spark, dir).cache()
-    val input = docs.count()
+    val docs = Tables.documents(spark, dir)
 
     // 1. quality gate (same scoring as q_text_quality's len_score)
-    val quality = docs.filter(
-      round(least(col("n_chars").cast("double") / 500.0, lit(1.0)), 6) >= minLenScore)
-    val nQuality = quality.count()
+    val qualityPred =
+      round(least(col("n_chars").cast("double") / 500.0, lit(1.0)), 6) >= minLenScore
 
-    // 2. exact dedup: keep min doc_id per text hash
-    val exemplars = quality
+    // 2. exact dedup: exemplar ids = min doc_id per text hash AMONG
+    // quality survivors (stage predicates compose sequentially)
+    val exemplars = docs.filter(qualityPred)
       .groupBy(md5(col("text")).as("_h")).agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"))
-    val exact = quality.join(exemplars, "doc_id")
-    val nExact = exact.count()
+      .select(col("doc_id"), lit(true).as("_ex"))
 
-    // 3. fuzzy dedup: MinHash band-join pairs; drop the higher id of
-    // every near-dup pair (keeps each cluster's minimum)
-    val fuzzyPairs = MinHashDf.qDedupMinhashDf(spark, dir)
+    // 3. fuzzy dedup drop set: the higher id of every MinHash
+    // band-join near-dup pair (keeps each cluster's minimum)
+    val fuzzyDrop = MinHashDf.qDedupMinhashDf(spark, dir)
       .select(col("doc_b").as("doc_id")).distinct()
-    val fuzzy = exact.join(fuzzyPairs, Seq("doc_id"), "left_anti")
-    val nFuzzy = fuzzy.count()
+      .select(col("doc_id"), lit(true).as("_fz"))
 
-    // 4. decontamination vs the eval set
+    // 4. decontamination drop set vs the eval set
     val contaminated = PipelineExtras.qDecontaminate(spark, dir)
       .select(col("train_doc").as("doc_id")).distinct()
-    val clean = fuzzy.join(contaminated, Seq("doc_id"), "left_anti")
-    val nClean = clean.count()
+      .select(col("doc_id"), lit(true).as("_ct"))
 
     // 5. deterministic mixture sampling (q_sample_mix's rule)
     val h4 = (c: String) => s"CAST(conv(substring(md5($c), 1, 4), 16, 10) AS BIGINT)"
-    val curated = clean.filter(
-      expr(s"${h4("CAST(doc_id AS STRING)")} % 100 < 10 + ${h4("source")} % 80"))
-    val nCurated = curated.count()
+    val mixPred = expr(s"${h4("CAST(doc_id AS STRING)")} % 100 < 10 + ${h4("source")} % 80")
 
-    (curated.select("doc_id", "text", "lang", "source", "n_chars").orderBy("doc_id"),
-      Report(input, nQuality, nExact, nFuzzy, nClean, nCurated))
+    val flagged = docs
+      .join(exemplars, Seq("doc_id"), "left")
+      .join(fuzzyDrop, Seq("doc_id"), "left")
+      .join(contaminated, Seq("doc_id"), "left")
+      .withColumn("_q", qualityPred)
+      .withColumn("_e", col("_q") && coalesce(col("_ex"), lit(false)))
+      .withColumn("_f", col("_e") && !coalesce(col("_fz"), lit(false)))
+      .withColumn("_c", col("_f") && !coalesce(col("_ct"), lit(false)))
+      .withColumn("_s", col("_c") && mixPred)
+      .cache()
+
+    def surv(c: String) = count(when(col(c), 1)).as(c)
+    val r = flagged.agg(count(lit(1)).as("_n"),
+      surv("_q"), surv("_e"), surv("_f"), surv("_c"), surv("_s")).head()
+    val report = Report(r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5))
+
+    (flagged.filter(col("_s"))
+      .select("doc_id", "text", "lang", "source", "n_chars").orderBy("doc_id"),
+      report)
   }
 }

@@ -167,16 +167,19 @@ object PipelineExtras {
       .filter(ub.cast("double") / (col("sa") + col("sb") - ub).cast("double")
         >= lit(NGRAM_JACCARD_MIN - 1e-6))
       .select(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
-      .cache() // consumed twice (survivor-id set + recount join); tiny
+      .cache() // scanned 3× (both survIds union branches + recount join); tiny
     // Recount reads ONLY survivor docs' postings: the pa/pb join keys
     // are survivor doc ids, so semi-joining the (vanishing) survivor
-    // id set into the postings first is an exact restriction — it
-    // turns a full-postings⋈full-postings shuffle into a
-    // broadcast-filtered scan of the cached postings + a tiny join.
+    // id set into the postings first is an exact restriction. No
+    // forced broadcast hint: survIds is usually tiny, but on a
+    // duplicate-heavy corpus it is not, and a forced broadcast past
+    // the limit fails the job — AQE picks broadcast when it fits,
+    // same as the stats joins above.
     val survIds = survivors.select(col("doc_a").as("doc_id"))
       .unionByName(survivors.select(col("doc_b").as("doc_id")))
       .distinct()
-    val shSurv = sh.join(broadcast(survIds), Seq("doc_id"), "left_semi")
+    val shSurv = sh.join(survIds, Seq("doc_id"), "left_semi")
+      .cache() // feeds BOTH sides (pa, pb) of the recount join
     val exact = survivors
       .join(shSurv.as("pa"), col("doc_a") === col("pa.doc_id"))
       .join(shSurv.as("pb"),

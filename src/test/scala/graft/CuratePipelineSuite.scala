@@ -53,6 +53,30 @@ class CuratePipelineSuite extends GraftSuite {
     }
   }
 
+  test("the whole Report is computed in ONE action (no per-stage lineage recount)") {
+    val actions = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        actions.incrementAndGet()
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    try {
+      CuratePipeline.curate(spark, sf0001)
+      // listener delivery is async: wait until the count stops moving
+      var last = -1; var stable = 0; var waited = 0
+      while (stable < 8 && waited < 30000) {
+        Thread.sleep(250); waited += 250
+        val c = actions.get()
+        if (c == last) stable += 1 else { stable = 0; last = c }
+      }
+      assert(actions.get() == 1,
+        s"curate must fold all six funnel counts into one aggregate action, saw ${actions.get()}")
+    } finally spark.listenerManager.unregister(l)
+  }
+
   test("bit-for-bit reproducible") {
     val (again, report2) = CuratePipeline.curate(spark, sf0001)
     assert(report2 == report)
