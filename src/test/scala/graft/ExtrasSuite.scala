@@ -152,14 +152,21 @@ class ExtrasSuite extends GraftSuite {
 
   test("FrequentItems (Misra-Gries): exact when capacity covers the vocabulary; bounded undercount when not") {
     val docs = Tables.documents(spark, sf0001)
-    // (a) justify the q_text_topk_words oracle: per-lang distinct
-    // words must fit the query's capacity, making MG provably exact
-    val maxDistinct = docs
-      .select(col("lang"), explode(split(col("text"), " ")).as("word"))
-      .groupBy("lang").agg(countDistinct("word").as("d"))
-      .agg(max("d")).collect()(0).getLong(0)
-    assert(maxDistinct <= PipelineExtras.TOPK_WORDS_CAPACITY,
-      s"capacity ${PipelineExtras.TOPK_WORDS_CAPACITY} must cover vocab $maxDistinct for the exact oracle")
+    // (a) justify the q_text_topk_words oracle at EVERY oracled SF:
+    // per-lang distinct words must fit the query's capacity at each
+    // scale the driver hash-compares, making MG provably exact there
+    // (an overflow at a bigger SF would otherwise surface only as an
+    // unexplained driver hash mismatch)
+    for (dir <- Seq(sf0001, "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+         if new java.io.File(dir).isDirectory) {
+      val maxDistinct = Tables.documents(spark, dir)
+        .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+        .groupBy("lang").agg(countDistinct("word").as("d"))
+        .agg(max("d")).collect()(0).getLong(0)
+      assert(maxDistinct <= PipelineExtras.TOPK_WORDS_CAPACITY,
+        s"capacity ${PipelineExtras.TOPK_WORDS_CAPACITY} must cover vocab " +
+          s"$maxDistinct at $dir for the exact oracle")
+    }
     // (b) under-capacity sketch: never overcounts; undercount bounded
     // by N/(capacity+1); every truly-frequent item survives
     val cap = 8
