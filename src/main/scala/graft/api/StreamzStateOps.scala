@@ -67,6 +67,52 @@ object StreamzStateOps {
       .toDF("key", "ord", "value", "acc")
   }
 
+  // not private: Catalyst's generated (de)serializers must access them
+  case class GroupedItem(group: String, item: String)
+  case class TopKOut(group: String, rank: Int, item: String, cnt: Long)
+
+  /** STREAMING grouped frequent-items: q_text_topk_words' Misra–Gries
+    * sketch (functions.FrequentItems) held as `flatMapGroupsWithState`
+    * state. Each trigger folds the batch's items into the group's
+    * sketch with the SAME `reduce` the batch Aggregator uses, then
+    * re-emits that group's current top-`k` (Update semantics — only
+    * groups touched by the batch emit).
+    *
+    * Inherited MG guarantees, now per UNBOUNDED stream key: state
+    * bounded at `capacity` counters per group whatever the vocabulary;
+    * estimates never overcount; undercount ≤ N/(capacity+1); and when
+    * a group's distinct-item count stays ≤ capacity the stream's final
+    * top-k EQUALS the batch query's on the same input — including
+    * across a checkpoint restart, because the sketch is the state
+    * (StreamingSuite proves both).
+    */
+  def topKStream(df: DataFrame, k: Int, capacity: Int, groupCol: String,
+      itemCol: String): DataFrame = {
+    require(k > 0 && capacity > 0, s"need k > 0, capacity > 0 (got $k, $capacity)")
+    val mg = new graft.functions.FrequentItems(capacity)
+    implicit val inEnc = Encoders.product[GroupedItem]
+    implicit val outEnc = Encoders.product[TopKOut]
+    implicit val stateEnc =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+    implicit val keyEnc = Encoders.STRING
+    val typed: Dataset[GroupedItem] = df.select(
+      col(groupCol).cast("string").as("group"),
+      col(itemCol).cast("string").as("item")).as[GroupedItem]
+    typed.groupByKey(_.group)
+      .flatMapGroupsWithState[Map[String, Long], TopKOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (group: String, rows: Iterator[GroupedItem], state: GroupState[Map[String, Long]]) =>
+          val sketch = rows.foldLeft(state.getOption.getOrElse(mg.zero)) {
+            (buf, r) => mg.reduce(buf, r.item)
+          }
+          state.update(sketch)
+          sketch.toSeq.sortBy { case (w, c) => (-c, w) }.take(k)
+            .zipWithIndex.map { case ((w, c), i) => TopKOut(group, i + 1, w, c) }
+            .iterator
+      }
+      .toDF("group", "rank", "item", "cnt")
+  }
+
   /** streamz `sliding_window(n)` on a STREAM: per key, the last n
     * values (oldest→newest, ≤ n while warming up) emitted per row as
     * an array column `win` — callers aggregate it with

@@ -253,4 +253,75 @@ class StreamingSuite extends GraftSuite {
     assert(got == Set((1L, "L1", 10.0), (1L, "L2", 20.0)),
       "L3's candidate is outside the interval; key 3 matches nothing")
   }
+
+  test("topKStream: streaming MG top-k == batch q_text_topk_words, across a mid-stream restart") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx = sess.sqlContext
+    // identical input to the batch query: (lang, word) pairs from the
+    // documents fixture, split in two chunks on doc_id for the restart
+    val words = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("word"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val (chunk1, chunk2) = words.partition(_._1 % 2 == 0)
+    val cp = java.nio.file.Files.createTempDirectory("topk_cp").toString
+    // Update-mode emissions re-emit a touched group's FULL top-k, so
+    // last-emission-per-group is the stream's current answer
+    val latest = scala.collection.concurrent.TrieMap.empty[String, Seq[(Int, String, Long)]]
+    val ms = MemoryStream[(String, String)]
+    def start() = graft.api.StreamzStateOps
+      .topKStream(ms.toDF().toDF("lang", "word"), k = 5,
+        capacity = graft.queries.PipelineExtras.TOPK_WORDS_CAPACITY,
+        groupCol = "lang", itemCol = "word")
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.ProcessingTime(0))
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().groupBy(_.getString(0)).foreach { case (g, rows) =>
+          latest(g) = rows.toSeq.map(r => (r.getInt(1), r.getString(2), r.getLong(3))).sorted
+        }
+        ()
+      }.start()
+    val q1 = start()
+    ms.addData(chunk1.map(w => (w._2, w._3)).toSeq: _*)
+    q1.processAllAvailable()
+    q1.stop() // mid-stream kill: the sketch survives only via the state store
+    val q2 = start()
+    ms.addData(chunk2.map(w => (w._2, w._3)).toSeq: _*)
+    q2.processAllAvailable()
+    q2.stop()
+    val got = latest.toSeq.flatMap { case (g, rows) =>
+      rows.map { case (rank, w, c) => (g, rank, w, c) } }.toSet
+    val want = graft.queries.PipelineExtras.qTextTopkWords(spark, sf0001)
+      .collect().map(r =>
+        (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3))).toSet
+    assert(got == want,
+      s"stream top-k after restart must equal batch; diff=${(got diff want).take(5)} / ${(want diff got).take(5)}")
+
+    // bounded state: capacity 8 < vocabulary — emissions stay ≤ 8 rows
+    // per group and never overcount the true frequency
+    val truth = words.groupBy(w => (w._2, w._3)).map { case (k, v) => k -> v.length.toLong }
+    val latest8 = scala.collection.concurrent.TrieMap.empty[String, Seq[(Int, String, Long)]]
+    val ms8 = MemoryStream[(String, String)]
+    val q8 = graft.api.StreamzStateOps
+      .topKStream(ms8.toDF().toDF("lang", "word"), k = 8, capacity = 8,
+        groupCol = "lang", itemCol = "word")
+      .writeStream.outputMode("update").trigger(Trigger.ProcessingTime(0))
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().groupBy(_.getString(0)).foreach { case (g, rows) =>
+          latest8(g) = rows.toSeq.map(r => (r.getInt(1), r.getString(2), r.getLong(3))).sorted
+        }
+        ()
+      }.start()
+    ms8.addData(words.map(w => (w._2, w._3)).toSeq: _*)
+    q8.processAllAvailable()
+    q8.stop()
+    latest8.foreach { case (g, rows) =>
+      assert(rows.size <= 8, s"group $g emitted ${rows.size} > capacity rows")
+      rows.foreach { case (_, w, c) =>
+        assert(c <= truth((g, w)), s"MG must never overcount: $g/$w est=$c true=${truth((g, w))}")
+      }
+    }
+  }
 }
