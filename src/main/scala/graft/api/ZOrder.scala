@@ -1,0 +1,74 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton-curve) clustering — the classic lakehouse layout
+  * tool for MULTI-dimensional data skipping (SURVEY.md §4.3). A
+  * single-column sort gives min/max-stats skipping on its lead column
+  * and nothing on the others; interleaving the bits of several
+  * dimension codes and range-partitioning on the combined z-value
+  * gives every file a compact rectangle of the dimension space, so a
+  * conjunction of dimension predicates overlaps roughly the PRODUCT
+  * of the per-dimension fractions of files — and even a predicate on
+  * a non-lead dimension alone still skips.
+  *
+  * Scale shape: the per-dimension code tables are planning-scale by
+  * the definition of a clustering dimension (low cardinality — else
+  * range-cluster on the raw value instead); the z-value itself is a
+  * pure codegen'd bit expression per row, and the layout write is one
+  * `repartitionByRange` shuffle — exactly what a periodic OPTIMIZE
+  * ZORDER BY compaction job does on a lakehouse table.
+  */
+object ZOrder {
+
+  /** Interleave the low `bits` bits of the given integer dimension
+    * codes: bit i of dimension j lands at position i*ndims + j.
+    */
+  def zValue(dims: Seq[Column], bits: Int = 8): Column = {
+    require(dims.nonEmpty && bits > 0 && bits * dims.length <= 63,
+      s"need 0 < bits*ndims <= 63 (got $bits x ${dims.length})")
+    (for {
+      (d, j) <- dims.zipWithIndex
+      i <- 0 until bits
+    } yield shiftleft(shiftright(d.cast("long"), i).bitwiseAND(lit(1L)),
+        i * dims.length + j))
+      .reduce(_.bitwiseOR(_))
+  }
+
+  /** Dense integer code for a (categorical) dimension column: the
+    * rank of the value among the column's distinct values. The
+    * distinct set is collected driver-side — planning-scale, same
+    * class as NTILE cut points — and compiled into a codegen'd CASE
+    * chain (values absent at code-build time fall back to 0, which
+    * only weakens skipping, never correctness: skipping is done by
+    * parquet min/max stats on the ORIGINAL columns).
+    */
+  def dimCode(df: DataFrame, dim: String, bits: Int = 8): Column = {
+    val vals = df.select(col(dim)).distinct().orderBy(col(dim))
+      .collect().map(_.get(0)).filter(_ != null)
+    require(vals.length <= (1 << bits),
+      s"dimension $dim has ${vals.length} distinct values > 2^$bits; " +
+        "raise bits or range-cluster on the raw value instead")
+    if (vals.isEmpty) lit(0L)
+    else vals.zipWithIndex.drop(1)
+      .foldLeft(when(col(dim) === lit(vals(0)), 0L)) {
+        case (acc, (v, i)) => acc.when(col(dim) === lit(v), i.toLong)
+      }.otherwise(lit(0L))
+  }
+
+  /** Rewrite `df` as `numFiles` z-ordered output partitions on the
+    * given dimension columns. Write the result with a plain
+    * `.write.parquet(...)`: each task's file then carries tight
+    * min/max footer stats on every dimension.
+    */
+  def clusterBy(df: DataFrame, dims: Seq[String], numFiles: Int,
+      bits: Int = 8): DataFrame = {
+    require(dims.nonEmpty && numFiles > 0)
+    val z = zValue(dims.map(d => dimCode(df, d, bits)), bits)
+    df.withColumn("_z", z)
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+  }
+}

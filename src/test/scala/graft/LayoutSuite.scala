@@ -64,6 +64,73 @@ class LayoutSuite extends GraftSuite {
     } finally restore.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("z-order layout: multi-dim predicates skip more row groups than a single-column sort") {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    // sf0.01 (5000 docs): enough rows that the lang-sorted layout's
+    // per-file source ranges are saturated — the realistic shape
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    val nf = 32
+    graft.api.ZOrder.clusterBy(docs, Seq("lang", "source"), nf)
+      .write.parquet(s"$dir/z")
+    // the single-column alternative: linear sort by the lead dimension
+    // (doc_id breaks ties so all nf files materialize)
+    docs.repartitionByRange(nf, col("lang"), col("doc_id"))
+      .sortWithinPartitions(col("lang"), col("doc_id"))
+      .write.parquet(s"$dir/linear")
+
+    /** (overlapping, total) row groups whose footer min/max stats
+      * admit ALL the given equality predicates — what any stats-based
+      * reader (parquet pushdown, a lakehouse file index) must read. */
+    def overlaps(path: String, preds: Map[String, String]): (Int, Int) = {
+      val conf = spark.sessionState.newHadoopConf()
+      val files = new java.io.File(path).listFiles
+        .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).sorted
+      var total = 0; var hit = 0
+      files.foreach { f =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f), conf))
+        try r.getRowGroups.asScala.foreach { rg =>
+          total += 1
+          val ok = preds.forall { case (c, v) =>
+            val cc = rg.getColumns.asScala.find(_.getPath.toDotString == c).get
+            val st = cc.getStatistics
+            val mn = st.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
+            val mx = st.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
+            mn <= v && v <= mx
+          }
+          if (ok) hit += 1
+        } finally r.close()
+      }
+      (hit, total)
+    }
+
+    val both = Map("lang" -> "es", "source" -> "src5")
+    val (zBoth, zTotal) = overlaps(s"$dir/z", both)
+    val (linBoth, linTotal) = overlaps(s"$dir/linear", both)
+    assert(zTotal >= nf && linTotal >= nf, s"both layouts must span >= $nf row groups ($zTotal, $linTotal)")
+    assert(zBoth < linBoth,
+      s"2-predicate scan: z-order must overlap fewer row groups ($zBoth) than linear sort ($linBoth)")
+
+    // non-lead dimension alone: linear-by-lang can skip (almost)
+    // nothing; z-order still prunes
+    val srcOnly = Map("source" -> "src5")
+    val (zSrc, _) = overlaps(s"$dir/z", srcOnly)
+    val (linSrc, _) = overlaps(s"$dir/linear", srcOnly)
+    assert(zSrc < linSrc,
+      s"non-lead predicate: z-order must still skip ($zSrc) where linear cannot ($linSrc)")
+
+    // correctness: layout changes bytes on disk, never query results
+    val want = docs.filter(col("lang") === "es" && col("source") === "src5")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val got = spark.read.parquet(s"$dir/z")
+      .filter(col("lang") === "es" && col("source") === "src5")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == want, "z-ordered table must return identical rows")
+  }
+
   test("date-partitioned layout: dim filter triggers dynamic partition pruning on the fact scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
     Tables.orders(spark, sf0001)
