@@ -86,9 +86,27 @@ object IvfIndex {
   /** Top-k cosine neighbors per query, probing nProbe cells.
     * `queries` needs (qid: long, embedding: array<float>); returns
     * (qid, rn, nid, cos_sim) — self-matches (qid == nid) excluded.
+    *
+    * Two probe-join regimes, chosen by `broadcastQueries`:
+    *
+    *  - `true` (default — interactive/small batches): the query
+    *    batch broadcasts, and dynamic partition pruning drops every
+    *    unprobed cell directory from the corpus scan — a probe reads
+    *    ~nProbe/k of the corpus bytes (IvfIndexSuite pins the
+    *    `dynamicpruning` filter in the plan). Correct while the
+    *    batch is broadcast-sized; a forced broadcast of a huge batch
+    *    would fail the job.
+    *  - `false` (bulk batches, e.g. corpus-vs-corpus linking): plain
+    *    shuffled hash join on `cell` — each side shuffles once, no
+    *    broadcast-size ceiling. No partition pruning, but a bulk
+    *    batch probes essentially every cell anyway, so one full
+    *    corpus pass is the optimal plan, and each (query, cell)
+    *    probe still joins only that cell's inverted list, never the
+    *    cross product. Results are identical (suite-proven).
     */
   def query(spark: SparkSession, queries: DataFrame, indexDir: String,
-      nProbe: Int = 4, topK: Int = 5): DataFrame = {
+      nProbe: Int = 4, topK: Int = 5,
+      broadcastQueries: Boolean = true): DataFrame = {
     graft.functions.FloatVecDot.register(spark)
     val probe = nearestCells(loadCenters(spark, indexDir), nProbe)
     val corpus = spark.read.parquet(corpusPath(indexDir))
@@ -96,9 +114,7 @@ object IvfIndex {
     val q = queries
       .select(col("qid"), col("embedding").as("qe"),
         explode(probe(col("embedding"))).as("cell"))
-    // broadcast the query batch: dynamic partition pruning then skips
-    // every unprobed cell directory in the corpus scan
-    broadcast(q).join(corpus, "cell")
+    (if (broadcastQueries) broadcast(q) else q).join(corpus, "cell")
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
         round(expr("fvec_dot(qe, ne)"), 6).as("cos_sim"))

@@ -227,6 +227,13 @@ object StreamzOps {
       * @param numBuckets key-hash bucket count — fixed at table
       *        creation (recorded in the manifest; later calls must
       *        match). Size so one bucket ≈ a comfortable rewrite unit.
+      * @param retainManifests how many SUPERSEDED snapshots to keep
+      *        (default 0 = GC everything below the new commit).
+      *        Retained snapshots stay fully readable — both for
+      *        in-flight readers that resolved an older manifest just
+      *        before a commit and for explicit time travel via
+      *        `readUpsertTable(..., snapshot = Some(n))`; GC keeps
+      *        every data dir any retained manifest references.
       * @param failpoint test hook: called with ("data-written" |
       *        "pre-commit" | "post-commit", batchId) at the publish
       *        barriers; a throw simulates a crash at that point.
@@ -236,8 +243,11 @@ object StreamzOps {
         opCol: Option[String] = None, deleteOp: String = "D",
         trigger: Trigger = Trigger.AvailableNow(),
         numBuckets: Int = 16,
+        retainManifests: Int = 0,
         failpoint: (String, Long) => Unit = (_, _) => ()): StreamingQuery = {
       require(numBuckets > 0, s"numBuckets must be > 0 (got $numBuckets)")
+      require(retainManifests >= 0,
+        s"retainManifests must be >= 0 (got $retainManifests)")
       df.writeStream.outputMode("append")
         .option("checkpointLocation", checkpointLocation)
         .trigger(trigger)
@@ -299,7 +309,7 @@ object StreamzOps {
             failpoint("pre-commit", batchId)
             commitManifest(fs, tablePath, n, numBuckets, entries)
             failpoint("post-commit", batchId)
-            gcSuperseded(fs, tablePath, n, entries)
+            gcSuperseded(fs, tablePath, n, retainManifests)
           }
           ()
         }.start()
@@ -311,35 +321,49 @@ object StreamzOps {
     */
   private[graft] val BucketCol = "_gb_bucket"
 
-  /** Read the current snapshot of a [[StreamzDataFrame.sinkUpsert]]
-    * table: resolve the highest committed manifest and union its
-    * bucket dirs. Always sees a complete, committed snapshot — never
-    * a half-published batch.
+  /** Read a committed snapshot of a [[StreamzDataFrame.sinkUpsert]]
+    * table: resolve the highest committed manifest (or, with
+    * `snapshot = Some(n)`, a RETAINED older manifest — time travel,
+    * available when the sink runs with `retainManifests > 0`) and
+    * union its bucket dirs. Always sees a complete, committed
+    * snapshot — never a half-published batch: an in-progress commit
+    * is invisible until its manifest rename lands.
     */
   def readUpsertTable(spark: org.apache.spark.sql.SparkSession,
-      tablePath: String): DataFrame = {
+      tablePath: String, snapshot: Option[Long] = None): DataFrame = {
     val fs = new org.apache.hadoop.fs.Path(tablePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    currentManifest(fs, tablePath) match {
+    val resolved = snapshot match {
+      case Some(n) => readManifest(fs, tablePath, n).map { case (nb, e) => (nb, n, e) }
+      case None => currentManifest(fs, tablePath)
+    }
+    resolved match {
       case Some((_, _, entries)) if entries.nonEmpty =>
         spark.read.parquet(entries.values.map(d => s"$tablePath/$d").toSeq: _*)
           .drop(BucketCol)
       case _ => throw new IllegalStateException(
-        s"no committed sinkUpsert manifest under $tablePath/manifest")
+        s"no committed sinkUpsert manifest${snapshot.fold("")(n => s" m$n")} " +
+          s"under $tablePath/manifest")
     }
   }
 
-  /** Highest committed manifest: (numBuckets, n, bucket -> data dir). */
-  private def currentManifest(fs: org.apache.hadoop.fs.FileSystem,
-      tablePath: String): Option[(Int, Long, Map[Int, String])] = {
+  /** Committed manifest numbers, ascending (empty if none). */
+  private def committedManifests(fs: org.apache.hadoop.fs.FileSystem,
+      tablePath: String): Seq[Long] = {
     val dir = new org.apache.hadoop.fs.Path(s"$tablePath/manifest")
-    if (!fs.exists(dir)) return None
-    val committed = fs.listStatus(dir).map(_.getPath.getName)
+    if (!fs.exists(dir)) return Nil
+    fs.listStatus(dir).map(_.getPath.getName)
       .collect { case s if s.matches("m\\d+") => s.stripPrefix("m").toLong }
-    if (committed.isEmpty) return None
-    val n = committed.max
+      .sorted.toSeq
+  }
+
+  /** Parse committed manifest n: (numBuckets, bucket -> data dir). */
+  private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
+      tablePath: String, n: Long): Option[(Int, Map[Int, String])] = {
+    val p = new org.apache.hadoop.fs.Path(s"$tablePath/manifest/m$n")
+    if (!fs.exists(p)) return None
     val lines = {
-      val in = fs.open(new org.apache.hadoop.fs.Path(s"$tablePath/manifest/m$n"))
+      val in = fs.open(p)
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
       finally in.close()
     }
@@ -347,8 +371,15 @@ object StreamzOps {
     val entries = lines.tail.map { l =>
       val Array(b, d) = l.split("\t", 2); b.toInt -> d
     }.toMap
-    Some((nb, n, entries))
+    Some((nb, entries))
   }
+
+  /** Highest committed manifest: (numBuckets, n, bucket -> data dir). */
+  private def currentManifest(fs: org.apache.hadoop.fs.FileSystem,
+      tablePath: String): Option[(Int, Long, Map[Int, String])] =
+    committedManifests(fs, tablePath).lastOption.flatMap { n =>
+      readManifest(fs, tablePath, n).map { case (nb, e) => (nb, n, e) }
+    }
 
   /** Atomic publish: write to a dot-temp name, rename to the fresh
     * final name (atomic on HDFS/local — the destination never exists,
@@ -368,15 +399,23 @@ object StreamzOps {
       throw new java.io.IOException(s"manifest commit rename failed: $fin")
   }
 
-  /** Post-commit GC: drop manifests < n and data/m<J> dirs no entry
-    * of manifest n references. Runs strictly after the new manifest
-    * is durable, so a crash mid-GC only leaves garbage, never breaks
-    * the committed snapshot. (A production table format would keep a
-    * retention window for time travel / in-flight readers.)
+  /** Post-commit GC with a retention window: keep the newest
+    * `retain + 1` committed manifests (the fresh commit n plus
+    * `retain` superseded snapshots) and every data/m<J> dir ANY
+    * retained manifest references; drop the rest. Runs strictly after
+    * the new manifest is durable, so a crash mid-GC only leaves
+    * garbage, never breaks a committed snapshot — and with
+    * retain > 0, a reader that resolved the previous manifest just
+    * before this commit still reads a complete snapshot.
     */
   private def gcSuperseded(fs: org.apache.hadoop.fs.FileSystem,
-      tablePath: String, n: Long, entries: Seq[(Int, String)]): Unit = {
-    val live = entries.map(_._2.split("/")(1)).toSet // data/mJ/_bp=K -> mJ
+      tablePath: String, n: Long, retain: Int): Unit = {
+    val keepMin = n - retain
+    val live = committedManifests(fs, tablePath)
+      .filter(_ >= keepMin)
+      .flatMap(j => readManifest(fs, tablePath, j).toSeq)
+      .flatMap(_._2.values)
+      .map(_.split("/")(1)).toSet // data/mJ/_bp=K -> mJ
     val dataDir = new org.apache.hadoop.fs.Path(s"$tablePath/data")
     if (fs.exists(dataDir))
       fs.listStatus(dataDir).map(_.getPath).foreach { p =>
@@ -386,7 +425,7 @@ object StreamzOps {
     val manDir = new org.apache.hadoop.fs.Path(s"$tablePath/manifest")
     fs.listStatus(manDir).map(_.getPath).foreach { p =>
       val nm = p.getName
-      if ((nm.matches("m\\d+") && nm.stripPrefix("m").toLong < n) ||
+      if ((nm.matches("m\\d+") && nm.stripPrefix("m").toLong < keepMin) ||
           nm.endsWith(".inprogress"))
         fs.delete(p, false)
     }

@@ -291,6 +291,47 @@ class CdcSourceSuite extends GraftSuite {
       s"materialized must be history prefix (30001) + in-range rows (500), got $mat")
   }
 
+  test("sinkUpsert retention: reader inside the publish window sees only committed snapshots; time travel") {
+    import graft.api.StreamzOps._
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx = sess.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("upsert_retain").toString
+    val table = s"$base/state"
+    def tableState(snapshot: Option[Long] = None) =
+      graft.api.StreamzOps.readUpsertTable(spark, table, snapshot).collect()
+        .map(r => r.getAs[Long]("key") -> r.getAs[Long]("seq")).toMap
+    // a "concurrent" reader placed at each publish barrier of batch 1
+    // (the m2 commit) via the failpoint hook
+    val observed = scala.collection.concurrent.TrieMap.empty[String, Map[Long, Long]]
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Double)]
+    val q = ms.toDF().toDF("key", "seq", "value")
+      .sinkUpsert(table, Seq("key"), "seq", s"$base/cp", numBuckets = 8,
+        retainManifests = 1, trigger = Trigger.ProcessingTime(0),
+        failpoint = (stage, batchId) =>
+          if (batchId == 1L) observed(stage) = tableState())
+    val m1 = (1L to 40L).map(k => k -> k).toMap
+    try {
+      ms.addData((1L to 40L).map(k => (k, k, k * 1.0)): _*) // -> m1
+      q.processAllAvailable()
+      ms.addData((1L, 1000L, 9.9)) // -> m2
+      q.processAllAvailable()
+      ms.addData((2L, 2000L, 8.8)) // -> m3 (m1 now beyond retain=1)
+      q.processAllAvailable()
+    } finally q.stop()
+    // the publish window of m2: both pre-rename barriers still read
+    // the COMPLETE m1 snapshot; the post-commit barrier reads m2
+    assert(observed("data-written") == m1, "mid-write reader must see m1")
+    assert(observed("pre-commit") == m1, "pre-rename reader must see m1")
+    assert(observed("post-commit") == m1 + (1L -> 1000L))
+    // time travel: m2 retained after the m3 commit and fully readable
+    assert(tableState() == m1 + (1L -> 1000L) + (2L -> 2000L))
+    assert(tableState(Some(2L)) == m1 + (1L -> 1000L))
+    // m1 fell out of the retention window
+    intercept[IllegalStateException](tableState(Some(1L)))
+  }
+
   test("file-source formats (§2A sources row): json, csv and text all stream == batch") {
     val sess = spark; import sess.implicits._
     val base = java.nio.file.Files.createTempDirectory("fmt_src").toString

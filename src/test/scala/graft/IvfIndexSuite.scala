@@ -42,6 +42,22 @@ class IvfIndexSuite extends GraftSuite {
       s"corpus scan must carry a dynamic partition-pruning filter on cell:\n$plan")
   }
 
+  test("large-batch path: shuffled cell join (no broadcast) returns identical results") {
+    val want = IvfIndex.query(spark, queryBatch, indexDir).collect().toSeq
+    // force the regime a too-big-to-broadcast batch lands in: hint off
+    // AND AQE/static broadcast planning disabled
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val dfq = IvfIndex.query(spark, queryBatch, indexDir, broadcastQueries = false)
+      val plan = dfq.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"non-broadcast path must plan a shuffled cell join:\n$plan")
+      assert(dfq.collect().toSeq == want,
+        "shuffled-join probe must return exactly the broadcast-path results")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("add: new vectors join the index without retraining and are findable") {
     // own index dir: mutating the shared one would make the recall
     // and pruning tests order-dependent
