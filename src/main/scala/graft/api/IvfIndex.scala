@@ -36,14 +36,26 @@ object IvfIndex {
 
   /** Train the quantizer and lay the corpus out as an inverted file.
     * `embeddings` needs (vec_id: long, embedding: array<float>).
+    *
+    * @param trainSampleMod quantizer-training sample gate: fit KMeans
+    *        on vectors with hash(vec_id) % mod == 0 (deterministic).
+    *        1 (default) trains on everything — fine at suite scale; at
+    *        corpus scale SET THIS so the sample is ~thousands of
+    *        vectors per cell: a coarse quantizer's quality saturates
+    *        there, and training must not scale with the corpus. Cell
+    *        ASSIGNMENT below always covers every vector.
     */
   def build(spark: SparkSession, embeddings: DataFrame, indexDir: String,
-      k: Int = 16, seed: Long = 42L): Unit = {
+      k: Int = 16, seed: Long = 42L, trainSampleMod: Int = 1): Unit = {
+    require(trainSampleMod >= 1, s"trainSampleMod must be >= 1 (got $trainSampleMod)")
     val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
     val feat = embeddings.select(col("vec_id"), col("embedding"),
       toVec(col("embedding")).as("features"))
+    val train =
+      if (trainSampleMod == 1) feat
+      else feat.filter(pmod(hash(col("vec_id")), lit(trainSampleMod)) === 0)
     val model = new KMeans().setK(k).setSeed(seed)
-      .setFeaturesCol("features").setPredictionCol("cell").fit(feat)
+      .setFeaturesCol("features").setPredictionCol("cell").fit(train)
     val centers = model.clusterCenters.map(_.toArray)
     val sess = spark
     import sess.implicits._

@@ -167,7 +167,11 @@ object LlmPipeline {
       .select(col("vec_id"), col("embedding"), toVec(col("embedding")).as("features"))
     val kmeans = new KMeans().setK(16).setSeed(42L)
       .setFeaturesCol("features").setPredictionCol("cell")
-    val model = kmeans.fit(e)
+    // the quantizer trains on a deterministic hash-gated SAMPLE — the
+    // 100 TB shape: a coarse quantizer needs ~thousands of vectors per
+    // cell, so training cost must stay bounded while the corpus grows
+    // (assignment below still covers every vector)
+    val model = kmeans.fit(e.filter(pmod(hash(col("vec_id")), lit(4)) === 0))
     val centers = model.clusterCenters.map(_.toArray)
     val nProbe = 4
     val probeCells = udf((a: Seq[Float]) => {
