@@ -214,23 +214,50 @@ class PgCdcSimScan(path: String, batchSize: Long, snapshotSeqOpt: Long,
     private lazy val maxDataSeq: Long = PgCdcSim.changelogStats(path, deletes)._1
     override def planInputPartitions(): Array[InputPartition] =
       ChangelogSlice.plan(path, Long.MinValue, Long.MaxValue, numPartitions,
-        deletes, maxDataSeq)
+        deletes, maxDataSeq, None) // full range ⇒ no history pass at all
     override def createReaderFactory(): PartitionReaderFactory =
       ChangelogReaderFactory.forSession()
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new PgCdcSimMicroBatchStream(path, batchSize, snapshotSeqOpt, numPartitions, deletes)
+    new PgCdcSimMicroBatchStream(path, batchSize, snapshotSeqOpt, numPartitions,
+      deletes, checkpointLocation)
 }
 
 class PgCdcSimMicroBatchStream(path: String, batchSize: Long,
-    snapshotSeqOpt: Long, numPartitions: Int, deletes: Boolean)
+    snapshotSeqOpt: Long, numPartitions: Int, deletes: Boolean,
+    checkpointLocation: String)
     extends MicroBatchStream
     with SupportsAdmissionControl with SupportsTriggerAvailableNow {
   // planning stats only — the driver never materializes changelog rows
   private lazy val stats: (Long, Long) = PgCdcSim.changelogStats(path, deletes)
   private lazy val maxDataSeq: Long = stats._1
   private lazy val maxSeq: Long = stats._2
+
+  /** First-seen key index sidecar, built ONCE per stream (one Spark
+    * job, no rows to the driver) under the checkpoint: (user_id,
+    * first_seq) bucketed by the reader partitioning. Mid-stream
+    * readers resolve "did this key change before my slice?" from
+    * their own bucket — O(keys/partition) — instead of re-scanning a
+    * two-column prefix of the changelog on EVERY micro-batch. Safe to
+    * reuse across restarts (same checkpoint ⇒ same changelog replay
+    * fixture); the bucket count is baked into the dir name so a
+    * restart with different numPartitions rebuilds it.
+    */
+  private lazy val firstSeenDir: String = {
+    val spark = SparkSession.active
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = s"$checkpointLocation/sources_graft/first_seen_n$numPartitions"
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(new Path(s"$dir/_SUCCESS")))
+      spark.read.parquet(path)
+        .groupBy(col("user_id"))
+        .agg(min(col("event_id")).as("first_seq"))
+        .withColumn("part", pmod(col("user_id"), lit(numPartitions.toLong)))
+        .repartition(numPartitions, col("part"))
+        .write.mode("overwrite").partitionBy("part").parquet(dir)
+    dir
+  }
   // clamped to maxSeq on BOTH paths: an out-of-range snapshotSeq or an
   // empty changelog (maxSeq = -1, where -1/2 == 0 in Scala) must not
   // create offsets beyond the data — otherwise latestOffset would
@@ -272,7 +299,10 @@ class PgCdcSimMicroBatchStream(path: String, batchSize: Long,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[SeqOffset].seq
     val e = end.asInstanceOf[SeqOffset].seq
-    ChangelogSlice.plan(path, s, e, numPartitions, deletes, maxDataSeq)
+    // the sidecar only pays off (and is only consulted) for
+    // mid-stream slices that would otherwise scan a history prefix
+    val idx = if (s >= 0L) Some(firstSeenDir) else None
+    ChangelogSlice.plan(path, s, e, numPartitions, deletes, maxDataSeq, idx)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -290,17 +320,21 @@ class PgCdcSimMicroBatchStream(path: String, batchSize: Long,
   * topic-partition offset range. `maxDataSeq` is the driver-planned
   * data horizon (max seq in the log, tombstones excluded): readers
   * place tombstone seqs with it instead of re-deriving it by scanning.
+  * `firstSeenDir`, when set, points at the stream's bucketed
+  * first-seen key index — readers resolve op derivation from their
+  * own bucket instead of scanning the changelog prefix.
   */
 final case class ChangelogSlice(path: String, start: Long, end: Long,
     partId: Int, numPartitions: Int, deletes: Boolean,
-    maxDataSeq: Long) extends InputPartition
+    maxDataSeq: Long, firstSeenDir: Option[String]) extends InputPartition
 
 object ChangelogSlice {
   def plan(path: String, start: Long, end: Long, numPartitions: Int,
-      deletes: Boolean, maxDataSeq: Long): Array[InputPartition] =
+      deletes: Boolean, maxDataSeq: Long,
+      firstSeenDir: Option[String]): Array[InputPartition] =
     (0 until numPartitions).map { i =>
       ChangelogSlice(path, start, end, i, numPartitions, deletes,
-        maxDataSeq): InputPartition
+        maxDataSeq, firstSeenDir): InputPartition
     }.toArray
 }
 
@@ -344,10 +378,13 @@ class ChangelogReaderFactory(conf: SerializableConfiguration)
   *  1. output pass — rows with seq ∈ (start, end], all columns: the
   *     only full-width read, and it touches only row groups
   *     overlapping the slice, not the whole log;
-  *  2. history pass — seq ≤ start on (event_id, user_id) ONLY, to
-  *     learn which of this partition's keys appeared before the
-  *     slice (op = I on a key's global first change). Skipped
-  *     entirely for the snapshot batch (start < 0);
+  *  2. history — which of this partition's keys appeared before the
+  *     slice (op = I on a key's global first change). Resolved from
+  *     this partition's bucket of the stream's first-seen key index
+  *     when one exists (built once per stream — O(keys/partition) per
+  *     batch), else a 2-column (event_id, user_id) prefix pass with
+  *     seq ≤ start pushed down. Skipped entirely for the snapshot
+  *     batch (start < 0);
   *  3. tombstone pass — only when the slice range extends past the
   *     data horizon: tombstone seqs are maxDataSeq+1+key, so the seq
   *     range inverts to a KEY range pushed down on (user_id, ts) to
@@ -411,16 +448,40 @@ class ChangelogReader(slice: ChangelogSlice, hadoopConf: Configuration)
     val seqCol = FilterApi.longColumn("event_id")
     val keyCol = FilterApi.longColumn("user_id")
 
-    // 2-col history pass: which of my keys already changed at or
-    // before `start`? (A key's op depends only on EARLIER seqs, so
-    // seq ≤ start is sufficient history for every row in the slice.)
+    // History: which of my keys already changed at or before `start`?
+    // (A key's op depends only on EARLIER seqs, so seq ≤ start is
+    // sufficient history for every row in the slice.) Preferred
+    // source: this partition's bucket of the stream's first-seen key
+    // index — O(keys/partition). Fallback (batch path / no sidecar):
+    // a 2-column prefix pass over the changelog itself.
     val seenBefore = scala.collection.mutable.HashSet.empty[Long]
-    if (slice.start >= 0L)
-      scanPass(Seq("event_id", "user_id"),
-          FilterApi.ltEq(seqCol, Long.box(slice.start))) { g =>
-        val key = g.getLong("user_id", 0)
-        if (mineKey(key)) seenBefore += key
-      }
+    if (slice.start >= 0L) slice.firstSeenDir match {
+      case Some(idx) =>
+        val bucket = new Path(s"$idx/part=${slice.partId}")
+        if (bucket.getFileSystem(hadoopConf).exists(bucket)) {
+          val reader = ParquetReader
+            .builder(new GroupReadSupport(), bucket)
+            .withConf(new Configuration(hadoopConf))
+            .withFilter(FilterCompat.get(
+              FilterApi.ltEq(FilterApi.longColumn("first_seq"),
+                Long.box(slice.start))))
+            .build()
+          try {
+            var g = reader.read()
+            while (g != null) {
+              ChangelogReadMetrics.recordsMaterialized.increment()
+              seenBefore += g.getLong("user_id", 0)
+              g = reader.read()
+            }
+          } finally reader.close()
+        }
+      case None =>
+        scanPass(Seq("event_id", "user_id"),
+            FilterApi.ltEq(seqCol, Long.box(slice.start))) { g =>
+          val key = g.getLong("user_id", 0)
+          if (mineKey(key)) seenBefore += key
+        }
+    }
 
     // full-width output pass, clipped to (start, end] at the scan
     val mine = scala.collection.mutable.ArrayBuffer

@@ -279,7 +279,8 @@ class CdcSourceSuite extends GraftSuite {
     // per slice per pass.
     ChangelogReadMetrics.recordsMaterialized.reset()
     val rdr = new ChangelogReader(
-      ChangelogSlice(base, 30000L, 30500L, 0, 1, deletes = false, maxDataSeq = n - 1L), hconf)
+      ChangelogSlice(base, 30000L, 30500L, 0, 1, deletes = false,
+        maxDataSeq = n - 1L, firstSeenDir = None), hconf)
     var cnt = 0
     val ops = scala.collection.mutable.Set.empty[String]
     while (rdr.next()) { ops += rdr.get().getString(2); cnt += 1 }
@@ -289,6 +290,47 @@ class CdcSourceSuite extends GraftSuite {
     val mat = ChangelogReadMetrics.recordsMaterialized.sum()
     assert(mat == 30001 + 500,
       s"materialized must be history prefix (30001) + in-range rows (500), got $mat")
+
+    // (c) with a first-seen key index, the history prefix pass is
+    // replaced by one bucket read: O(keys) = 97, not O(prefix) = 30001
+    val idx = java.nio.file.Files.createTempDirectory("cdc_push_idx").toString + "/first_seen"
+    spark.read.parquet(base)
+      .groupBy(col("user_id")).agg(min(col("event_id")).as("first_seq"))
+      .withColumn("part", pmod(col("user_id"), lit(1L)))
+      .write.partitionBy("part").parquet(idx)
+    ChangelogReadMetrics.recordsMaterialized.reset()
+    val rdr2 = new ChangelogReader(
+      ChangelogSlice(base, 30000L, 30500L, 0, 1, deletes = false,
+        maxDataSeq = n - 1L, firstSeenDir = Some(idx)), hconf)
+    var cnt2 = 0
+    val ops2 = scala.collection.mutable.Set.empty[String]
+    while (rdr2.next()) { ops2 += rdr2.get().getString(2); cnt2 += 1 }
+    rdr2.close()
+    assert(cnt2 == 500 && ops2 == Set("U"), "index path must agree with the prefix path")
+    val mat2 = ChangelogReadMetrics.recordsMaterialized.sum()
+    assert(mat2 == 97 + 500,
+      s"materialized must be index bucket (97 keys) + in-range rows (500), got $mat2")
+  }
+
+  test("streaming replay builds the first-seen index under the checkpoint and stays exact") {
+    val cp = java.nio.file.Files.createTempDirectory("cdc_idx_cp").toString
+    val q = readCdc(batchSize = 150, snapshotSeq = 299)
+      .writeStream.format("memory").queryName("cdc_idx_replay")
+      .option("checkpointLocation", cp)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // Spark scopes the source's checkpoint dir under sources/<i>
+    assert(new java.io.File(s"$cp/sources/0/sources_graft/first_seen_n4/_SUCCESS").exists,
+      "mid-stream batches must have built the bucketed first-seen index")
+    val got = spark.table("cdc_idx_replay")
+    assert(got.count() == 1000 && got.select("seq").distinct().count() == 1000)
+    // op exactness with index-resolved history: I = each key's global first seq
+    val collected = got.select("key", "seq", "op").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val firstSeqPerKey = collected.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val inserts = collected.filter(_._3 == "I")
+    assert(inserts.length == firstSeqPerKey.size)
+    assert(inserts.forall { case (k, s, _) => firstSeqPerKey(k) == s })
   }
 
   test("sinkUpsert retention: reader inside the publish window sees only committed snapshots; time travel") {
