@@ -57,16 +57,41 @@ object ZOrder {
       }.otherwise(lit(0L))
   }
 
+  /** Integer code for a NUMERIC (high-cardinality) dimension: linear
+    * min/max scaling into [0, 2^bits) buckets. One tiny driver-side
+    * two-value aggregate (planning-scale, the same class as stats
+    * collection in any OPTIMIZE job). Nulls code to 0 — again only a
+    * skipping, never a correctness, concern.
+    */
+  def dimCodeRange(df: DataFrame, dim: String, bits: Int = 8): Column = {
+    val r = df.agg(min(col(dim)).cast("double"), max(col(dim)).cast("double")).head()
+    if (r.isNullAt(0) || r.isNullAt(1) || r.getDouble(1) <= r.getDouble(0)) lit(0L)
+    else {
+      val (lo, hi) = (r.getDouble(0), r.getDouble(1))
+      val cells = (1L << bits) - 1L
+      least(lit(cells), greatest(lit(0L),
+        floor((coalesce(col(dim).cast("double"), lit(lo)) - lit(lo)) /
+          lit(hi - lo) * cells))).cast("long")
+    }
+  }
+
   /** Rewrite `df` as `numFiles` z-ordered output partitions on the
-    * given dimension columns. Write the result with a plain
-    * `.write.parquet(...)`: each task's file then carries tight
+    * given dimension columns — numeric dimensions get range codes,
+    * everything else dense categorical codes. Write the result with a
+    * plain `.write.parquet(...)`: each task's file then carries tight
     * min/max footer stats on every dimension.
     */
   def clusterBy(df: DataFrame, dims: Seq[String], numFiles: Int,
       bits: Int = 8): DataFrame = {
     require(dims.nonEmpty && numFiles > 0)
-    val z = zValue(dims.map(d => dimCode(df, d, bits)), bits)
-    df.withColumn("_z", z)
+    import org.apache.spark.sql.types.NumericType
+    val codes = dims.map { d =>
+      df.schema(d).dataType match {
+        case _: NumericType => dimCodeRange(df, d, bits)
+        case _ => dimCode(df, d, bits)
+      }
+    }
+    df.withColumn("_z", zValue(codes, bits))
       .repartitionByRange(numFiles, col("_z"))
       .sortWithinPartitions(col("_z"))
       .drop("_z")

@@ -131,6 +131,56 @@ class LayoutSuite extends GraftSuite {
     assert(got == want, "z-ordered table must return identical rows")
   }
 
+  test("z-order with a numeric dimension: range predicate on the non-lead column skips row groups") {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder_num").toString
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val nf = 32
+    graft.api.ZOrder.clusterBy(docs, Seq("lang", "n_chars"), nf)
+      .write.parquet(s"$dir/z")
+    docs.repartitionByRange(nf, col("lang"), col("doc_id"))
+      .sortWithinPartitions(col("lang"), col("doc_id"))
+      .write.parquet(s"$dir/linear")
+
+    /** (overlapping, total) row groups whose int64 n_chars stats admit
+      * the range [lo, hi]. */
+    def overlaps(path: String, lo: Long, hi: Long): (Int, Int) = {
+      val conf = spark.sessionState.newHadoopConf()
+      val files = new java.io.File(path).listFiles
+        .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).sorted
+      var total = 0; var hit = 0
+      files.foreach { f =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f), conf))
+        try r.getRowGroups.asScala.foreach { rg =>
+          total += 1
+          val cc = rg.getColumns.asScala.find(_.getPath.toDotString == "n_chars").get
+          val st = cc.getStatistics
+          val mn = st.genericGetMin.asInstanceOf[java.lang.Long].longValue
+          val mx = st.genericGetMax.asInstanceOf[java.lang.Long].longValue
+          if (mn <= hi && lo <= mx) hit += 1
+        } finally r.close()
+      }
+      (hit, total)
+    }
+
+    // a narrow n_chars band — under lang-sorted linear order every
+    // file spans (nearly) the whole n_chars range
+    val (loB, hiB) = (100L, 150L)
+    val (zHit, zTot) = overlaps(s"$dir/z", loB, hiB)
+    val (linHit, linTot) = overlaps(s"$dir/linear", loB, hiB)
+    assert(zTot >= nf && linTot >= nf)
+    assert(zHit < linHit,
+      s"numeric range on the non-lead dim: z-order $zHit vs linear $linHit of $linTot")
+    // correctness unchanged
+    val want = docs.filter(col("n_chars").between(loB, hiB)).count()
+    val got = spark.read.parquet(s"$dir/z")
+      .filter(col("n_chars").between(loB, hiB)).count()
+    assert(got == want)
+  }
+
   test("date-partitioned layout: dim filter triggers dynamic partition pruning on the fact scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
     Tables.orders(spark, sf0001)
