@@ -113,6 +113,57 @@ object StreamzStateOps {
       .toDF("group", "rank", "item", "cnt")
   }
 
+  // not private: Catalyst's generated (de)serializers must access it
+  case class GroupedItemTs(group: String, item: String, ts: java.sql.Timestamp)
+
+  /** [[topKStream]] with EVENT-TIME TTL eviction — the variant for an
+    * UNBOUNDED group space (per-user / per-domain trending items),
+    * where even capacity-bounded sketches accumulate without bound
+    * across groups. `df` must carry a watermarked timestamp column
+    * (`withWatermark(tsCol, ...)` upstream): a group idle for `ttlMs`
+    * past its newest event (vs the stream watermark) has its sketch
+    * evicted, so total state is bounded by ACTIVE groups × capacity.
+    * Deterministic: eviction rides the watermark, not wall clock.
+    */
+  def topKStreamExpiring(df: DataFrame, k: Int, capacity: Int,
+      groupCol: String, itemCol: String, tsCol: String,
+      ttlMs: Long): DataFrame = {
+    require(k > 0 && capacity > 0 && ttlMs > 0,
+      s"need k, capacity, ttlMs > 0 (got $k, $capacity, $ttlMs)")
+    val mg = new graft.functions.FrequentItems(capacity)
+    implicit val inEnc = Encoders.product[GroupedItemTs]
+    implicit val outEnc = Encoders.product[TopKOut]
+    implicit val stateEnc =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+    implicit val keyEnc = Encoders.STRING
+    val typed: Dataset[GroupedItemTs] = df.select(
+      col(groupCol).cast("string").as("group"),
+      col(itemCol).cast("string").as("item"),
+      // no cast: a cast would mint a fresh attribute WITHOUT the
+      // upstream watermark tag, and EventTimeTimeout requires it
+      col(tsCol).as("ts")).as[GroupedItemTs]
+    typed.groupByKey(_.group)
+      .flatMapGroupsWithState[Map[String, Long], TopKOut](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        (group: String, rows: Iterator[GroupedItemTs], state: GroupState[Map[String, Long]]) =>
+          if (state.hasTimedOut) {
+            state.remove() // sketch evicted; a returning group restarts cold
+            Iterator.empty
+          } else {
+            val rs = rows.toSeq
+            val sketch = rs.foldLeft(state.getOption.getOrElse(mg.zero)) {
+              (buf, r) => mg.reduce(buf, r.item)
+            }
+            state.update(sketch)
+            state.setTimeoutTimestamp(rs.map(_.ts.getTime).max + ttlMs)
+            sketch.toSeq.sortBy { case (w, c) => (-c, w) }.take(k)
+              .zipWithIndex.map { case ((w, c), i) => TopKOut(group, i + 1, w, c) }
+              .iterator
+          }
+      }
+      .toDF("group", "rank", "item", "cnt")
+  }
+
   /** streamz `sliding_window(n)` on a STREAM: per key, the last n
     * values (oldest→newest, ≤ n while warming up) emitted per row as
     * an array column `win` — callers aggregate it with

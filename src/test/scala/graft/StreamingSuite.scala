@@ -324,4 +324,40 @@ class StreamingSuite extends GraftSuite {
       }
     }
   }
+
+  test("topKStreamExpiring: idle group's sketch is evicted at the event-time TTL, active groups keep counting") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx = sess.sqlContext
+    val ms = MemoryStream[(Timestamp, String, String)]
+    val out = graft.api.StreamzStateOps.topKStreamExpiring(
+      ms.toDF().toDF("ts", "grp", "item").withWatermark("ts", "0 seconds"),
+      k = 3, capacity = 8, groupCol = "grp", itemCol = "item",
+      tsCol = "ts", ttlMs = 60000L) // 1 minute TTL
+    val q = out.writeStream.format("memory").queryName("topk_ttl")
+      .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
+    def emitted() = spark.table("topk_ttl").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    try {
+      ms.addData((ts("2024-01-01 00:00:00"), "A", "x"),
+        (ts("2024-01-01 00:00:01"), "A", "x"),
+        (ts("2024-01-01 00:00:02"), "A", "y"))
+      q.processAllAvailable()
+      assert(emitted().count(_._1 == "A") == 2) // x@2, y@1
+      // push the watermark past A's TTL with another group's events
+      ms.addData((ts("2024-01-01 00:05:00"), "B", "z"))
+      q.processAllAvailable()
+      ms.addData((ts("2024-01-01 00:05:01"), "B", "z")) // timeout fires this batch
+      q.processAllAvailable()
+      // A returns AFTER eviction: its sketch restarts cold — x counts
+      // from 1 again, not 3 (the observable proof state was removed)
+      ms.addData((ts("2024-01-01 00:05:30"), "A", "x"))
+      q.processAllAvailable()
+      val aRows = emitted().filter(t => t._1 == "A" && t._3 == "x").map(_._4)
+      assert(aRows.contains(2L) && aRows.contains(1L) && !aRows.contains(3L),
+        s"post-eviction count must restart at 1 (saw x-counts ${aRows.toSeq.sorted})")
+      // B unaffected throughout
+      assert(emitted().filter(_._1 == "B").map(_._4).max == 2L)
+    } finally q.stop()
+  }
 }
