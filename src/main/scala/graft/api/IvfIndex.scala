@@ -95,6 +95,69 @@ object IvfIndex {
       .write.mode("append").partitionBy("cell").parquet(corpusPath(indexDir))
   }
 
+  /** Per-cell inverted-list sizes (one metadata-cheap aggregate). */
+  def cellSizes(spark: SparkSession, indexDir: String): Map[Int, Long] =
+    spark.read.parquet(corpusPath(indexDir))
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+
+  /** Split ONE hot cell in place: train a 2-means on the cell's own
+    * vectors, retire its centroid, append two fresh-id centroids, and
+    * rewrite just that cell's inverted list into the two new cell
+    * directories. Nothing outside the split cell is touched — the
+    * standard IVF maintenance move when incremental `add` makes a
+    * cell hot (a hot cell inflates every probe that lands on it).
+    * Cost: O(one cell), never O(index).
+    */
+  def splitCell(spark: SparkSession, indexDir: String, cell: Int,
+      seed: Long = 42L): Unit = {
+    val centers = loadCenters(spark, indexDir)
+    require(centers.exists(_._1 == cell), s"no such cell $cell")
+    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
+    // partition-pruned read: exactly one cell directory
+    val cellRows = spark.read.parquet(corpusPath(indexDir))
+      .filter(col("cell") === cell)
+      .select(col("vec_id"), col("embedding"), toVec(col("embedding")).as("features"))
+      .cache()
+    val sub = new KMeans().setK(2).setSeed(seed)
+      .setFeaturesCol("features").setPredictionCol("half").fit(cellRows)
+    val base = centers.map(_._1).max + 1
+    val sess = spark
+    import sess.implicits._
+    // Ordering keeps concurrent probes consistent at every step:
+    // (1) append the two new cell dirs — no centroid routes there yet,
+    // old cell still probed as before; (2) publish the centroid table
+    // with the retired id dropped and the fresh ids appended — probes
+    // now route to the new cells only; (3) drop the orphaned old dir.
+    val reassigned = sub.transform(cellRows)
+      .select(col("vec_id"), col("embedding"), (col("half") + base).as("cell"))
+    reassigned.write.mode("append").partitionBy("cell").parquet(corpusPath(indexDir))
+    val newCenters = centers.filterNot(_._1 == cell).map { case (i, c) => (i, c.toSeq) } ++
+      sub.clusterCenters.zipWithIndex.map { case (c, i) => (base + i, c.toArray.toSeq) }
+    newCenters.sortBy(_._1).toSeq.toDF("cell", "center")
+      .repartition(1)
+      .write.mode("overwrite").parquet(centroidsPath(indexDir))
+    // the old cell dir is dead weight once the centroid table no
+    // longer routes probes to it; drop it
+    val old = new org.apache.hadoop.fs.Path(s"${corpusPath(indexDir)}/cell=$cell")
+    val fs = old.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(old)) fs.delete(old, true)
+    cellRows.unpersist()
+  }
+
+  /** Split every cell whose inverted list exceeds `factor` × the mean
+    * cell size. Returns the cells split. */
+  def rebalance(spark: SparkSession, indexDir: String,
+      factor: Double = 2.0, seed: Long = 42L): Seq[Int] = {
+    val sizes = cellSizes(spark, indexDir)
+    if (sizes.isEmpty) return Nil
+    val mean = sizes.values.sum.toDouble / sizes.size
+    val hot = sizes.filter { case (_, n) => n > factor * mean && n >= 2 }
+      .keys.toSeq.sorted
+    hot.foreach(c => splitCell(spark, indexDir, c, seed))
+    hot
+  }
+
   /** Top-k cosine neighbors per query, probing nProbe cells.
     * `queries` needs (qid: long, embedding: array<float>); returns
     * (qid, rn, nid, cos_sim) — self-matches (qid == nid) excluded.

@@ -58,6 +58,35 @@ class IvfIndexSuite extends GraftSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("splitCell/rebalance: hot cell splits in place — no vector lost, probes rerouted, O(one cell)") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_split").toString
+    IvfIndex.build(spark, Tables.embeddings(spark, sf0001), dir, k = 8, seed = 42L)
+    val before = IvfIndex.cellSizes(spark, dir)
+    val allIds = spark.read.parquet(s"$dir/corpus")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val hot = before.maxBy(_._2)._1
+    IvfIndex.splitCell(spark, dir, hot)
+    val after = IvfIndex.cellSizes(spark, dir)
+    // the hot cell is gone, replaced by exactly two fresh-id cells
+    assert(!after.contains(hot), "retired cell id must vanish")
+    assert(after.size == before.size + 1)
+    val fresh = after.keySet diff before.keySet
+    assert(fresh.size == 2 && fresh.forall(_ > before.keys.max))
+    assert(fresh.toSeq.map(after).sum == before(hot), "split conserves the cell's vectors")
+    // no vector lost or duplicated across the whole index
+    val idsAfter = spark.read.parquet(s"$dir/corpus")
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(idsAfter.length == allIds.size && idsAfter.toSet == allIds)
+    // centroid table routes consistently: every corpus row sits in its
+    // own nearest cell's list often enough for queries to still work
+    val probes = Tables.embeddings(spark, sf0001).filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val res = IvfIndex.query(spark, probes, dir, nProbe = 3, topK = 3).collect()
+    assert(res.nonEmpty && res.forall(_.getAs[Long]("qid") < 20))
+    // rebalance: nothing qualifies at a generous threshold (no-op)
+    assert(IvfIndex.rebalance(spark, dir, factor = 100.0) == Nil)
+  }
+
   test("add: new vectors join the index without retraining and are findable") {
     // own index dir: mutating the shared one would make the recall
     // and pruning tests order-dependent
