@@ -489,7 +489,7 @@ object PipelineExtras {
   // touched in one linear pass — no self-join at all.
   val DECON_MIN_SHARED = 3
 
-  private def shingles5(base: DataFrame): DataFrame = base
+  private[graft] def shingles5(base: DataFrame): DataFrame = base
     .select(col("doc_id"), split(col("text"), " ").as("ws"))
     .filter(size(col("ws")) >= 5)
     .select(col("doc_id"), explode(expr(

@@ -188,6 +188,27 @@ class ExtrasSuite extends GraftSuite {
     }
   }
 
+  test("BloomDecon: identical to exact q_decontaminate; Bloom prefilter passes only a sliver of the corpus") {
+    val docs = Tables.documents(spark, sf0001)
+    val ev = docs.filter(col("doc_id") < 20)
+    val tr = docs.filter(col("doc_id") >= 20)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("train_doc"), r.getAs[Long]("eval_doc"), r.getAs[Long]("n_shared"))
+    val got = graft.api.BloomDecon.decontaminate(tr, ev).collect().map(key)
+    val want = PipelineExtras.qDecontaminate(spark, sf0001).collect().map(key)
+    assert(got.length == want.length && got.toSet == want.toSet,
+      s"no false negatives, FPs die in exact verify: got ${got.length} vs ${want.length}")
+    // the prefilter's whole point: only ~(hits + fpp) of corpus
+    // shingles survive into the exact join
+    val evalSh = PipelineExtras.shingles5(ev)
+    val bloom = evalSh.stat.bloomFilter("sh", 100000L, 0.01)
+    val mightHit = udf((s: String) => s != null && bloom.mightContain(s))
+    val trSh = PipelineExtras.shingles5(tr)
+    val (total, pass) = (trSh.count(), trSh.filter(mightHit(col("sh"))).count())
+    assert(pass.toDouble / total < 0.2,
+      s"Bloom prefilter must drop most corpus shingles ($pass of $total passed)")
+  }
+
   test("ngramJaccardPairs: heavily duplicated boilerplate (all shingles hotter than the df cut) is still found") {
     val sess = spark; import sess.implicits._
     // 60 identical docs: every shingle has df=60 > NGRAM_DF_CUT=50, so
