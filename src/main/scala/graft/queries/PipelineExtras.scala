@@ -557,8 +557,49 @@ object PipelineExtras {
       |      < 10 + ${DUCK_HASH4("source")} % 80
       |ORDER BY doc_id""".stripMargin
 
+  // ---- #86 q_text_repetition (added r6) ----------------------------------
+  // Gopher-style repetition signal: the fraction of a doc's 2-gram
+  // occurrences covered by its single most frequent 2-gram, plus the
+  // distinct-gram fraction. High max fraction = looping/boilerplate
+  // text — a standard corpus-filter rule alongside q_text_quality.
+  // Shape: one explode + two aggregations, linear, no joins.
+  private[graft] def repetitionStats(docs: DataFrame): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ws) - 2), i -> concat_ws(' ', ws[i], ws[i+1]))"))
+        .as("g"))
+    grams.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(
+        sum(col("c")).as("n_grams"),
+        max(col("c")).as("max_c"),
+        count(lit(1)).as("n_distinct"))
+      .select(col("doc_id"), col("n_grams"),
+        round(col("max_c").cast("double") / col("n_grams").cast("double"), 6)
+          .as("max_gram_frac"),
+        round(col("n_distinct").cast("double") / col("n_grams").cast("double"), 6)
+          .as("uniq_frac"))
+      .orderBy("doc_id")
+  }
+
+  val qTextRepetition: Q = (s, dir) => repetitionStats(Tables.documents(s, dir))
+
+  val qTextRepetitionSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |           WHERE LEN(string_split(text, ' ')) >= 2),
+      |g AS (SELECT doc_id, UNNEST(list_transform(generate_series(1, LEN(ws) - 1),
+      |        i -> ws[i] || ' ' || ws[i+1])) AS g FROM d),
+      |c AS (SELECT doc_id, g, COUNT(*) AS c FROM g GROUP BY 1, 2)
+      |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+      |       ROUND(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS max_gram_frac,
+      |       ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS uniq_frac
+      |FROM c GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
+    "q_text_repetition" -> qTextRepetition,
     "q_text_topk_words" -> qTextTopkWords,
     "q_decontaminate" -> qDecontaminate,
     "q_sample_mix" -> qSampleMix,
@@ -572,6 +613,7 @@ object PipelineExtras {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_text_repetition" -> qTextRepetitionSql,
     "q_text_topk_words" -> qTextTopkWordsSql,
     "q_decontaminate" -> qDecontaminateSql,
     "q_sample_mix" -> qSampleMixSql,

@@ -188,6 +188,23 @@ class ExtrasSuite extends GraftSuite {
     }
   }
 
+  test("q_text_repetition: known-answer repetition fractions") {
+    val sess = spark; import sess.implicits._
+    // "a b a b a": 2-grams = [a b, b a, a b, b a] -> n=4, max=2,
+    // distinct=2 -> max_frac 0.5, uniq_frac 0.5
+    // "x y z": 2-grams = [x y, y z] -> all unique -> 0.5, 1.0
+    // "w w w w": [w w]x3 -> pure loop -> 1.0, 0.333333
+    val docs = Seq((1L, "a b a b a"), (2L, "x y z"), (3L, "w w w w"), (4L, "solo"))
+      .toDF("doc_id", "text")
+    val got = PipelineExtras.repetitionStats(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (1L, 4L, 0.5, 0.5),
+      (2L, 2L, 0.5, 1.0),
+      (3L, 3L, 1.0, 0.333333)), s"got ${got.toSeq}")
+    assert(!got.exists(_._1 == 4L), "single-word docs have no 2-grams")
+  }
+
   test("BloomDecon: identical to exact q_decontaminate; Bloom prefilter passes only a sliver of the corpus") {
     val docs = Tables.documents(spark, sf0001)
     val ev = docs.filter(col("doc_id") < 20)
