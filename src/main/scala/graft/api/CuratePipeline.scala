@@ -44,16 +44,30 @@ object CuratePipeline {
     * reuses the same computed flags instead of re-deriving them.
     */
   def curate(spark: SparkSession, dir: String,
-      minLenScore: Double = 0.2): (DataFrame, Report) = {
+      minLenScore: Double = 0.2,
+      maxRepetition: Option[Double] = None): (DataFrame, Report) = {
     val docs = Tables.documents(spark, dir)
 
-    // 1. quality gate (same scoring as q_text_quality's len_score)
-    val qualityPred =
+    // 1. quality gate: length score (q_text_quality's len_score),
+    // optionally AND the q_text_repetition looping-text rule
+    // (max_gram_frac <= maxRepetition) — joined in as a per-doc flag
+    // so the one-pass Report shape is preserved
+    val lenPred =
       round(least(col("n_chars").cast("double") / 500.0, lit(1.0)), 6) >= minLenScore
+    val qualityPred = maxRepetition match {
+      case None => lenPred
+      case Some(_) => lenPred && coalesce(col("_rep_ok"), lit(true))
+    }
+    val repFlag = maxRepetition.map { cap =>
+      PipelineExtras.repetitionStats(docs)
+        .select(col("doc_id"), (col("max_gram_frac") <= cap).as("_rep_ok"))
+    }
+    def withRepFlag(d: DataFrame): DataFrame =
+      repFlag.fold(d)(f => d.join(f, Seq("doc_id"), "left"))
 
     // 2. exact dedup: exemplar ids = min doc_id per text hash AMONG
     // quality survivors (stage predicates compose sequentially)
-    val exemplars = docs.filter(qualityPred)
+    val exemplars = withRepFlag(docs).filter(qualityPred)
       .groupBy(md5(col("text")).as("_h")).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"), lit(true).as("_ex"))
 
@@ -72,7 +86,7 @@ object CuratePipeline {
     val h4 = (c: String) => s"CAST(conv(substring(md5($c), 1, 4), 16, 10) AS BIGINT)"
     val mixPred = expr(s"${h4("CAST(doc_id AS STRING)")} % 100 < 10 + ${h4("source")} % 80")
 
-    val flagged = docs
+    val flagged = withRepFlag(docs)
       .join(exemplars, Seq("doc_id"), "left")
       .join(fuzzyDrop, Seq("doc_id"), "left")
       .join(contaminated, Seq("doc_id"), "left")

@@ -77,6 +77,18 @@ class CuratePipelineSuite extends GraftSuite {
     } finally spark.listenerManager.unregister(l)
   }
 
+  test("optional repetition gate: looping docs drop in stage 1, survivors all satisfy the rule") {
+    val (curated2, report2) = CuratePipeline.curate(spark, sf0001, maxRepetition = Some(0.05))
+    assert(report2.afterQuality < report.afterQuality,
+      s"the 0.05 cap must filter the fixture's high-repetition tail " +
+        s"(${report2.afterQuality} vs ${report.afterQuality})")
+    val reps = queries.PipelineExtras.repetitionStats(
+      curated2.select(col("doc_id"), col("text"))).collect()
+      .map(r => r.getAs[Double]("max_gram_frac"))
+    assert(reps.nonEmpty && reps.forall(_ <= 0.05 + 1e-9),
+      s"every curated doc must satisfy the repetition rule (max=${reps.max})")
+  }
+
   test("bit-for-bit reproducible") {
     val (again, report2) = CuratePipeline.curate(spark, sf0001)
     assert(report2 == report)
