@@ -39,24 +39,33 @@ object Bench {
     val results = hotSet.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case _: Throwable => false }
         val t = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
-        t
+        (t, ok)
       }
       name -> times
     }
     // full per-rep spread to a side file (BASELINE.md bookkeeping);
     // the stdout line stays min-only so the driver's 2 KB tail capture
-    // still holds the whole JSON
+    // still holds the whole JSON. Locale.ROOT: a comma decimal
+    // separator would corrupt the JSON.
     val spread = results.map { case (k, v) =>
-      "\"" + k + "\":[" + v.map(t => f"$t%.3f").mkString(",") + "]"
+      "\"" + k + "\":[" + v.map { case (t, ok) =>
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(if (ok) t else -t))
+      }.mkString(",") + "]"
     }.mkString("{", ",", "}")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(sys.env.getOrElse(
         "SPARK_GRAFT_SPREAD_OUT", "/tmp/graft_bench_spread.json")),
       spread.getBytes("UTF-8"))
-    val mins = results.map { case (k, v) => k -> v.min }
+    // min over SUCCESSFUL reps only — a fast failing rep must not win
+    // the min and masquerade as a good time; all-reps-failed → -1
+    val mins = results.map { case (k, v) =>
+      val good = v.collect { case (t, true) => t }
+      k -> (if (good.nonEmpty) good.min else -1.0)
+    }
     val qs = mins.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (mins.nonEmpty) mins.values.sum else 0.0

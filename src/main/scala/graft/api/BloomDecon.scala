@@ -38,6 +38,7 @@ object BloomDecon {
       fpp: Double = 0.01): DataFrame = {
     val evalSh = PipelineExtras.shingles5(eval)
       .select(col("doc_id").as("eval_doc"), col("sh"))
+      .cache() // consumed twice: the bloomFilter action + the verify join
     val bloom = evalSh.stat.bloomFilter("sh", expectedEvalShingles, fpp)
     val mightHit = udf((s: String) => s != null && bloom.mightContain(s))
     val trainHits = PipelineExtras.shingles5(train)

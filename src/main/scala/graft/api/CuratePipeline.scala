@@ -61,6 +61,8 @@ object CuratePipeline {
     val repFlag = maxRepetition.map { cap =>
       PipelineExtras.repetitionStats(docs)
         .select(col("doc_id"), (col("max_gram_frac") <= cap).as("_rep_ok"))
+        .cache() // joined twice (exemplars + flagged): the 2-gram
+                 // explode+agg subtree must not execute per join
     }
     def withRepFlag(d: DataFrame): DataFrame =
       repFlag.fold(d)(f => d.join(f, Seq("doc_id"), "left"))

@@ -124,11 +124,23 @@ object IvfIndex {
     val base = centers.map(_._1).max + 1
     val sess = spark
     import sess.implicits._
-    // Ordering keeps concurrent probes consistent at every step:
-    // (1) append the two new cell dirs — no centroid routes there yet,
-    // old cell still probed as before; (2) publish the centroid table
-    // with the retired id dropped and the fresh ids appended — probes
-    // now route to the new cells only; (3) drop the orphaned old dir.
+    // Ordering: (1) write the two new cell dirs — no centroid routes
+    // there yet, the old cell is still probed as before; (2) publish
+    // the centroid table with the retired id dropped and the fresh
+    // ids appended; (3) drop the orphaned old dir. Data-side steps
+    // are crash-retryable: a rerun recomputes the same `base` (the
+    // centroid table is unchanged until step 2) and the fresh-cell
+    // dirs are cleared before writing, so no duplicates survive.
+    // The centroid publish itself is a non-atomic overwrite — the
+    // same single-writer limitation as build(); a lakehouse table
+    // format (or the sinkUpsert manifest pattern) would make it a
+    // true atomic commit.
+    val fs = new org.apache.hadoop.fs.Path(corpusPath(indexDir))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(base, base + 1).foreach { c =>
+      val p = new org.apache.hadoop.fs.Path(s"${corpusPath(indexDir)}/cell=$c")
+      if (fs.exists(p)) fs.delete(p, true) // stale partial from a crashed retry
+    }
     val reassigned = sub.transform(cellRows)
       .select(col("vec_id"), col("embedding"), (col("half") + base).as("cell"))
     reassigned.write.mode("append").partitionBy("cell").parquet(corpusPath(indexDir))
@@ -140,7 +152,6 @@ object IvfIndex {
     // the old cell dir is dead weight once the centroid table no
     // longer routes probes to it; drop it
     val old = new org.apache.hadoop.fs.Path(s"${corpusPath(indexDir)}/cell=$cell")
-    val fs = old.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(old)) fs.delete(old, true)
     cellRows.unpersist()
   }

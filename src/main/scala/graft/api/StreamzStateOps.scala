@@ -133,8 +133,11 @@ object StreamzStateOps {
     val mg = new graft.functions.FrequentItems(capacity)
     implicit val inEnc = Encoders.product[GroupedItemTs]
     implicit val outEnc = Encoders.product[TopKOut]
+    // state carries the group's all-time max event ts alongside the
+    // sketch: a late (but watermark-admissible) out-of-order event
+    // must NOT move the eviction deadline backwards
     implicit val stateEnc =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Map[String, Long])]()
     implicit val keyEnc = Encoders.STRING
     val typed: Dataset[GroupedItemTs] = df.select(
       col(groupCol).cast("string").as("group"),
@@ -143,19 +146,21 @@ object StreamzStateOps {
       // upstream watermark tag, and EventTimeTimeout requires it
       col(tsCol).as("ts")).as[GroupedItemTs]
     typed.groupByKey(_.group)
-      .flatMapGroupsWithState[Map[String, Long], TopKOut](
+      .flatMapGroupsWithState[(Long, Map[String, Long]), TopKOut](
         OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
-        (group: String, rows: Iterator[GroupedItemTs], state: GroupState[Map[String, Long]]) =>
+        (group: String, rows: Iterator[GroupedItemTs],
+            state: GroupState[(Long, Map[String, Long])]) =>
           if (state.hasTimedOut) {
             state.remove() // sketch evicted; a returning group restarts cold
             Iterator.empty
           } else {
             val rs = rows.toSeq
-            val sketch = rs.foldLeft(state.getOption.getOrElse(mg.zero)) {
-              (buf, r) => mg.reduce(buf, r.item)
-            }
-            state.update(sketch)
-            state.setTimeoutTimestamp(rs.map(_.ts.getTime).max + ttlMs)
+            val (prevMaxTs, prevSketch) =
+              state.getOption.getOrElse((Long.MinValue, mg.zero))
+            val sketch = rs.foldLeft(prevSketch)((buf, r) => mg.reduce(buf, r.item))
+            val maxTs = math.max(prevMaxTs, rs.map(_.ts.getTime).max)
+            state.update((maxTs, sketch))
+            state.setTimeoutTimestamp(maxTs + ttlMs)
             sketch.toSeq.sortBy { case (w, c) => (-c, w) }.take(k)
               .zipWithIndex.map { case ((w, c), i) => TopKOut(group, i + 1, w, c) }
               .iterator

@@ -45,10 +45,14 @@ object ZOrder {
     * parquet min/max stats on the ORIGINAL columns).
     */
   def dimCode(df: DataFrame, dim: String, bits: Int = 8): Column = {
+    // limit BEFORE collect: the cardinality guard must fire as an
+    // error message, not as a driver OOM on a misapplied
+    // high-cardinality column
     val vals = df.select(col(dim)).distinct().orderBy(col(dim))
+      .limit((1 << bits) + 1)
       .collect().map(_.get(0)).filter(_ != null)
     require(vals.length <= (1 << bits),
-      s"dimension $dim has ${vals.length} distinct values > 2^$bits; " +
+      s"dimension $dim has > 2^$bits distinct values; " +
         "raise bits or range-cluster on the raw value instead")
     if (vals.isEmpty) lit(0L)
     else vals.zipWithIndex.drop(1)

@@ -402,26 +402,31 @@ class ChangelogReader(slice: ChangelogSlice, hadoopConf: Configuration)
   /** Footer schema of the changelog (first data file under `path`);
     * None for an empty directory. Needed to build column projections
     * that preserve the file's exact physical types/annotations.
+    * Lazy: one directory listing + footer open per READER, not per
+    * pass — three passes re-listing an object store would dominate
+    * small-batch latency.
     */
-  private def changelogSchema(): Option[MessageType] = {
+  private lazy val changelogSchema: Option[MessageType] = {
     val p = new Path(slice.path)
     val fs = p.getFileSystem(hadoopConf)
-    if (!fs.exists(p)) return None
-    val dataFiles =
-      if (!fs.getFileStatus(p).isDirectory) Array(p)
-      else fs.listStatus(p).map(_.getPath)
-        .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
-        .sortBy(_.toString)
-    dataFiles.headOption.map { f =>
-      val r = ParquetFileReader.open(HadoopInputFile.fromPath(f, hadoopConf))
-      try r.getFooter.getFileMetaData.getSchema finally r.close()
+    if (!fs.exists(p)) None
+    else {
+      val dataFiles =
+        if (!fs.getFileStatus(p).isDirectory) Array(p)
+        else fs.listStatus(p).map(_.getPath)
+          .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+          .sortBy(_.toString)
+      dataFiles.headOption.map { f =>
+        val r = ParquetFileReader.open(HadoopInputFile.fromPath(f, hadoopConf))
+        try r.getFooter.getFileMetaData.getSchema finally r.close()
+      }
     }
   }
 
   /** One filtered, column-projected pass over the changelog. */
   private def scanPass(cols: Seq[String], pred: FilterPredicate)
       (f: Group => Unit): Unit =
-    changelogSchema().foreach { schema =>
+    changelogSchema.foreach { schema =>
       val conf = new Configuration(hadoopConf)
       val projection = new MessageType("graft_changelog_projection",
         cols.map(c => schema.getType(schema.getFieldIndex(c))): _*)

@@ -360,4 +360,41 @@ class StreamingSuite extends GraftSuite {
       assert(emitted().filter(_._1 == "B").map(_._4).max == 2L)
     } finally q.stop()
   }
+
+  test("topKStreamExpiring: an out-of-order event must NOT pull the eviction deadline backwards") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx = sess.sqlContext
+    val ms = MemoryStream[(Timestamp, String, String)]
+    val out = graft.api.StreamzStateOps.topKStreamExpiring(
+      ms.toDF().toDF("ts", "grp", "item").withWatermark("ts", "2 minutes"),
+      k = 3, capacity = 8, groupCol = "grp", itemCol = "item",
+      tsCol = "ts", ttlMs = 60000L)
+    val q = out.writeStream.format("memory").queryName("topk_ttl_ooo")
+      .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // A's newest event 10:00:00 -> deadline 10:01:00
+      ms.addData((ts("2024-01-01 10:00:00"), "A", "x"))
+      q.processAllAvailable()
+      // admissible OUT-OF-ORDER A event (09:59:30 > watermark 09:58:00).
+      // A deadline derived from THIS event alone would be 10:00:30 —
+      // 30 s early; the state's all-time max ts must keep 10:01:00.
+      ms.addData((ts("2024-01-01 09:59:30"), "A", "x"))
+      q.processAllAvailable()
+      // advance the watermark to 10:00:31/10:00:32: past the WRONG
+      // deadline, before the RIGHT one
+      ms.addData((ts("2024-01-01 10:02:31"), "B", "z"))
+      q.processAllAvailable()
+      ms.addData((ts("2024-01-01 10:02:32"), "B", "z"))
+      q.processAllAvailable()
+      // A must still be alive: its x-count continues 2 -> 3
+      ms.addData((ts("2024-01-01 10:02:00"), "A", "x"))
+      q.processAllAvailable()
+      val xCounts = spark.table("topk_ttl_ooo").collect()
+        .filter(r => r.getString(0) == "A" && r.getString(2) == "x")
+        .map(_.getLong(3))
+      assert(xCounts.max == 3L,
+        s"sketch evicted early on out-of-order input (x-counts ${xCounts.toSeq.sorted})")
+    } finally q.stop()
+  }
 }
