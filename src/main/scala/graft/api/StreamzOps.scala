@@ -248,72 +248,153 @@ object StreamzOps {
       require(numBuckets > 0, s"numBuckets must be > 0 (got $numBuckets)")
       require(retainManifests >= 0,
         s"retainManifests must be >= 0 (got $retainManifests)")
+      val w = Window.partitionBy(keys.map(col): _*)
+        .orderBy(col(orderCol).desc)
       df.writeStream.outputMode("append")
         .option("checkpointLocation", checkpointLocation)
         .trigger(trigger)
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          val sess = batch.sparkSession
-          // Hadoop FS, not java.io.File: tablePath may be hdfs://s3a://
-          val fs = new org.apache.hadoop.fs.Path(tablePath)
-            .getFileSystem(sess.sparkContext.hadoopConfiguration)
-          val w = Window.partitionBy(keys.map(col): _*)
-            .orderBy(col(orderCol).desc)
+          // the batch pre-reduces to its latest row per key; the merge
+          // keeps the overall latest and drops tombstoned keys.
+          // Dropping tombstones at write is safe under Structured
+          // Streaming recovery: only the in-flight batch ever replays,
+          // so no earlier-committed row can resurrect a deleted key.
+          // A source with broader re-delivery (Kafka earliest reset)
+          // needs retained tombstones + a retention window instead.
+          // Null-safe inequality: rows with a NULL op are live, not
+          // silently dropped.
           val latest = batch.withColumn("_rn", row_number().over(w))
             .filter(col("_rn") === 1).drop("_rn")
-            .withColumn(BucketCol,
-              pmod(hash(keys.map(col): _*), lit(numBuckets)))
-          // dirty buckets: ≤ numBuckets values — planning-scale collect
-          val dirty = latest.select(BucketCol).distinct()
-            .collect().map(_.getInt(0)).toSet
-          if (dirty.nonEmpty) {
-            val cur = currentManifest(fs, tablePath)
-            cur.foreach { case (nb, _, _) => require(nb == numBuckets,
-              s"table was created with numBuckets=$nb, called with $numBuckets") }
-            val priorDirty = cur.toSeq.flatMap(_._3.toSeq)
-              .collect { case (b, dir) if dirty(b) => s"$tablePath/$dir" }
-            val merged0 =
-              if (priorDirty.isEmpty) latest
-              else sess.read.parquet(priorDirty: _*).unionByName(latest)
-                .withColumn("_rn", row_number().over(w))
-                .filter(col("_rn") === 1).drop("_rn")
-            // dropping tombstoned keys at write is safe under Structured
-            // Streaming recovery: only the in-flight batch ever replays,
-            // so no earlier-committed row can resurrect a deleted key.
-            // A source with broader re-delivery (Kafka earliest reset)
-            // needs retained tombstones + a retention window instead.
-            // Null-safe inequality: rows with a NULL op are live, not
-            // silently dropped.
-            val alive = opCol.fold(merged0)(oc =>
-              merged0.filter(!(col(oc) <=> lit(deleteOp))))
-            val n = cur.map(_._2 + 1).getOrElse(1L)
-            val dataRel = s"data/m$n"
-            // _bp duplicates _gb_bucket because partitionBy consumes its
-            // column into the dir name; keeping the value as data too
-            // lets a single-dir read recover the bucket without
-            // basePath inference
-            alive.withColumn("_bp", col(BucketCol))
-              .write.mode("overwrite").partitionBy("_bp")
-              .parquet(s"$tablePath/$dataRel")
-            failpoint("data-written", batchId)
-            // buckets that survived with rows = the _bp dirs written
-            // (a fully-tombstoned bucket writes no dir and drops out)
-            val written = fs.listStatus(
-                new org.apache.hadoop.fs.Path(s"$tablePath/$dataRel"))
-              .filter(_.isDirectory).map(_.getPath.getName)
-              .collect { case s if s.startsWith("_bp=") =>
-                s.stripPrefix("_bp=").toInt }
-              .toSet
-            val entries =
-              cur.toSeq.flatMap(_._3.toSeq).filterNot { case (b, _) => dirty(b) } ++
-              written.toSeq.sorted.map(b => b -> s"$dataRel/_bp=$b")
-            failpoint("pre-commit", batchId)
-            commitManifest(fs, tablePath, n, numBuckets, entries)
-            failpoint("post-commit", batchId)
-            gcSuperseded(fs, tablePath, n, retainManifests)
+          commitBucketedSnapshot(latest, tablePath, keys, numBuckets,
+            retainManifests, batchId, failpoint) { merged0 =>
+            val reduced = merged0.withColumn("_rn", row_number().over(w))
+              .filter(col("_rn") === 1).drop("_rn")
+            opCol.fold(reduced)(oc =>
+              reduced.filter(!(col(oc) <=> lit(deleteOp))))
           }
-          ()
         }.start()
     }
+
+    /** CDC HISTORY sink — the SCD2 counterpart of [[sinkUpsert]]:
+      * maintain `tablePath` as the full version history per key
+      * (q_cdc_scd2's semantic, keyed on `orderCol` instead of ts).
+      * Every change row becomes a version; each bucket rewrite
+      * recomputes, per key, `valid_to_ord` (the next version's
+      * orderCol — null while open) and `is_current`. `opCol` rows
+      * matching `deleteOp` are STORED (they close their
+      * predecessor's validity and must survive future rewrites to
+      * keep doing so) but are filtered from
+      * [[StreamzOps.readScd2Table]] output by default.
+      *
+      * Correctness leans on the same key-hash bucketing as
+      * sinkUpsert: a key's ENTIRE history lives in one bucket, so
+      * validity recomputation is bucket-local. Version identity is
+      * (keys, orderCol): a replayed batch dedups against the stored
+      * history — idempotent under recovery. Storage is the identical
+      * incremental + atomic snapshot-manifest format (same reader,
+      * same crash-safety machinery, same retention option).
+      */
+    def sinkScd2(tablePath: String, keys: Seq[String], orderCol: String,
+        checkpointLocation: String,
+        opCol: Option[String] = None, deleteOp: String = "D",
+        trigger: Trigger = Trigger.AvailableNow(),
+        numBuckets: Int = 16,
+        retainManifests: Int = 0,
+        failpoint: (String, Long) => Unit = (_, _) => ()): StreamingQuery = {
+      require(numBuckets > 0, s"numBuckets must be > 0 (got $numBuckets)")
+      require(retainManifests >= 0,
+        s"retainManifests must be >= 0 (got $retainManifests)")
+      val wAsc = Window.partitionBy(keys.map(col): _*)
+        .orderBy(col(orderCol).asc)
+      df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpointLocation)
+        .trigger(trigger)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val versions = batch.drop("valid_to_ord", "is_current")
+          commitBucketedSnapshot(versions, tablePath, keys, numBuckets,
+            retainManifests, batchId, failpoint) { merged0 =>
+            merged0.drop("valid_to_ord", "is_current")
+              .dropDuplicates(keys :+ orderCol)
+              .withColumn("valid_to_ord", lead(col(orderCol), 1).over(wAsc))
+              .withColumn("is_current", (col("valid_to_ord").isNull &&
+                opCol.fold(lit(true))(oc => !(col(oc) <=> lit(deleteOp))))
+                .cast("int"))
+          }
+        }.start()
+    }
+  }
+
+  /** Shared commit path of the bucketed snapshot-manifest sinks: add
+    * the key-hash bucket column, read the prior state of the dirty
+    * buckets, apply the sink-specific `merge` to (prior ∪ batch), and
+    * publish atomically (fresh data dirs → manifest rename → GC).
+    * See [[StreamzDataFrame.sinkUpsert]] for the format's invariants.
+    */
+  private def commitBucketedSnapshot(batchRows: DataFrame, tablePath: String,
+      keys: Seq[String], numBuckets: Int, retainManifests: Int,
+      batchId: Long, failpoint: (String, Long) => Unit)
+      (merge: DataFrame => DataFrame): Unit = {
+    val sess = batchRows.sparkSession
+    // Hadoop FS, not java.io.File: tablePath may be hdfs://s3a://
+    val fs = new org.apache.hadoop.fs.Path(tablePath)
+      .getFileSystem(sess.sparkContext.hadoopConfiguration)
+    val bucketed = batchRows.withColumn(BucketCol,
+      pmod(hash(keys.map(col): _*), lit(numBuckets)))
+    // dirty buckets: ≤ numBuckets values — planning-scale collect
+    val dirty = bucketed.select(BucketCol).distinct()
+      .collect().map(_.getInt(0)).toSet
+    if (dirty.nonEmpty) {
+      val cur = currentManifest(fs, tablePath)
+      cur.foreach { case (nb, _, _) => require(nb == numBuckets,
+        s"table was created with numBuckets=$nb, called with $numBuckets") }
+      val priorDirty = cur.toSeq.flatMap(_._3.toSeq)
+        .collect { case (b, dir) if dirty(b) => s"$tablePath/$dir" }
+      val merged0 =
+        if (priorDirty.isEmpty) bucketed
+        else sess.read.parquet(priorDirty: _*).unionByName(bucketed,
+          allowMissingColumns = true)
+      val toStore = merge(merged0)
+      val n = cur.map(_._2 + 1).getOrElse(1L)
+      val dataRel = s"data/m$n"
+      // _bp duplicates _gb_bucket because partitionBy consumes its
+      // column into the dir name; keeping the value as data too
+      // lets a single-dir read recover the bucket without
+      // basePath inference
+      toStore.withColumn("_bp", col(BucketCol))
+        .write.mode("overwrite").partitionBy("_bp")
+        .parquet(s"$tablePath/$dataRel")
+      failpoint("data-written", batchId)
+      // buckets that survived with rows = the _bp dirs written
+      // (a fully-tombstoned bucket writes no dir and drops out)
+      val written = fs.listStatus(
+          new org.apache.hadoop.fs.Path(s"$tablePath/$dataRel"))
+        .filter(_.isDirectory).map(_.getPath.getName)
+        .collect { case s if s.startsWith("_bp=") =>
+          s.stripPrefix("_bp=").toInt }
+        .toSet
+      val entries =
+        cur.toSeq.flatMap(_._3.toSeq).filterNot { case (b, _) => dirty(b) } ++
+        written.toSeq.sorted.map(b => b -> s"$dataRel/_bp=$b")
+      failpoint("pre-commit", batchId)
+      commitManifest(fs, tablePath, n, numBuckets, entries)
+      failpoint("post-commit", batchId)
+      gcSuperseded(fs, tablePath, n, retainManifests)
+    }
+  }
+
+  /** Read a [[StreamzDataFrame.sinkScd2]] history table: every stored
+    * version with its validity interval. Tombstone versions (op =
+    * deleteOp markers) are internal bookkeeping and dropped unless
+    * `includeDeletes`; snapshot addressing works as in
+    * [[readUpsertTable]].
+    */
+  def readScd2Table(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, opCol: Option[String] = None,
+      deleteOp: String = "D", includeDeletes: Boolean = false,
+      snapshot: Option[Long] = None): DataFrame = {
+    val all = readUpsertTable(spark, tablePath, snapshot)
+    if (includeDeletes) all
+    else opCol.fold(all)(oc => all.filter(!(col(oc) <=> lit(deleteOp))))
   }
 
   /** Bucket column persisted in sinkUpsert data files (dropped by the

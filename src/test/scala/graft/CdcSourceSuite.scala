@@ -333,6 +333,64 @@ class CdcSourceSuite extends GraftSuite {
     assert(inserts.forall { case (k, s, _) => firstSeqPerKey(k) == s })
   }
 
+  test("sinkScd2: CDC stream -> version history == batch lead-over-seq; restart no-op; deletes close validity") {
+    import graft.api.StreamzOps._
+    val base = java.nio.file.Files.createTempDirectory("sink_scd2").toString
+    val table = s"$base/state"
+    def run() = {
+      val q = readCdc(batchSize = 300, snapshotSeq = 99)
+        .sinkScd2(table, Seq("key"), "seq", s"$base/cp")
+      q.awaitTermination(120000)
+    }
+    run()
+    def history() = graft.api.StreamzOps.readScd2Table(spark, table).collect()
+      .map(r => (r.getAs[Long]("key"), r.getAs[Long]("seq"),
+        Option(r.getAs[java.lang.Long]("valid_to_ord")).map(_.longValue),
+        r.getAs[Int]("is_current"))).toSet
+    // batch truth: lead(seq) per key over the full changelog
+    val bySeq = spark.read.format("pg-cdc-sim")
+      .option("path", s"$sf0001/events.parquet").load()
+      .select("key", "seq").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val want = bySeq.toSeq.flatMap { case (k, seqs) =>
+      seqs.zipWithIndex.map { case (s, i) =>
+        val next = if (i + 1 < seqs.length) Some(seqs(i + 1)) else None
+        (k, s, next, if (next.isEmpty) 1 else 0)
+      }
+    }.toSet
+    assert(history() == want, "streamed SCD2 history must equal the batch fold")
+    run() // restart from the same checkpoint: fully caught up -> no change
+    assert(history() == want, "restart must be a no-op")
+
+    // with tombstones: the deleted key's last version is CLOSED at the
+    // tombstone seq, and no version of it is current
+    val q2 = spark.readStream.format("pg-cdc-sim")
+      .option("path", s"$sf0001/events.parquet")
+      .option("batchSize", "300").option("snapshotSeq", "99")
+      .option("numPartitions", "4").option("deletes", "true").load()
+      .sinkScd2(s"$base/state_del", Seq("key"), "seq", s"$base/cp_del",
+        opCol = Some("op"))
+    q2.awaitTermination(120000)
+    val hist = graft.api.StreamzOps
+      .readScd2Table(spark, s"$base/state_del", opCol = Some("op")).collect()
+      .map(r => (r.getAs[Long]("key"), r.getAs[Long]("seq"),
+        Option(r.getAs[java.lang.Long]("valid_to_ord")).map(_.longValue),
+        r.getAs[Int]("is_current")))
+    assert(!hist.exists(_._2 > 999), "op=D marker rows must not surface by default")
+    val deleted = hist.filter(_._1 % 10 == 7)
+    assert(deleted.nonEmpty && deleted.forall(_._4 == 0),
+      "no version of a tombstoned key may be current")
+    deleted.groupBy(_._1).foreach { case (k, vs) =>
+      val last = vs.maxBy(_._2)
+      assert(last._3.exists(_ > 999),
+        s"key $k's final version must be closed at its tombstone seq (got ${last._3})")
+    }
+    val alive = hist.filter(_._1 % 10 != 7)
+    assert(alive.groupBy(_._1).forall { case (_, vs) => vs.count(_._4 == 1) == 1 },
+      "every live key keeps exactly one current version")
+  }
+
   test("sinkUpsert retention: reader inside the publish window sees only committed snapshots; time travel") {
     import graft.api.StreamzOps._
     val sess = spark
