@@ -129,6 +129,48 @@ class RecoverySuite extends GraftSuite {
     }
   }
 
+  test("sinkScd2 crash inside the publish window: history stays prefix-consistent, restart converges") {
+    import graft.api.StreamzOps._
+    for (crashAt <- Seq("data-written", "pre-commit", "post-commit")) {
+      val base = java.nio.file.Files.createTempDirectory("scd2_crash").toString
+      val table = s"$base/state"; val cp = s"$base/cp"
+      def start(fp: (String, Long) => Unit) = spark.readStream.format("pg-cdc-sim")
+        .option("path", s"$sf0001/events.parquet")
+        .option("batchSize", "100").option("snapshotSeq", "99")
+        .option("numPartitions", "4").load()
+        .sinkScd2(table, Seq("key"), "seq", cp, failpoint = fp)
+      val q1 = start((p, b) => if (p == crashAt && b == 1L)
+        throw new RuntimeException(s"injected crash at $p"))
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q1.awaitTermination(120000)
+      }
+      // surviving snapshot must be the complete history of SOME seq
+      // prefix (batch 0 alone unless the commit landed)
+      def histTo(maxSeq: Long) = spark.read.format("pg-cdc-sim")
+        .option("path", s"$sf0001/events.parquet").load()
+        .filter(col("seq") <= maxSeq).select("key", "seq").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).toSeq.flatMap { case (k, rows) =>
+          val seqs = rows.map(_._2).sorted
+          seqs.zipWithIndex.map { case (s, i) =>
+            (k, s, if (i + 1 < seqs.length) Some(seqs(i + 1)) else None)
+          }
+        }.toSet
+      def tableHist() = readScd2Table(spark, table).collect()
+        .map(r => (r.getAs[Long]("key"), r.getAs[Long]("seq"),
+          Option(r.getAs[java.lang.Long]("valid_to_ord")).map(_.longValue))).toSet
+      val after = tableHist()
+      val hi = after.map(_._2).max
+      assert(after == histTo(hi), s"$crashAt: survivor is not a prefix-consistent history")
+      if (crashAt != "post-commit")
+        assert(hi == 99L, s"$crashAt: only batch 0 may be visible, saw seq $hi")
+      val q2 = start((_, _) => ())
+      assert(q2.awaitTermination(120000))
+      assert(tableHist() == histTo(999L),
+        s"$crashAt: post-recovery history must equal the full batch fold")
+    }
+  }
+
   test("stateful aggregation runs on the RocksDB state store provider") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
