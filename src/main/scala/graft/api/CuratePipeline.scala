@@ -15,10 +15,12 @@ import graft.queries.{MinHashDf, PipelineExtras}
   *   2. exact dedup     — md5 groups, keep the exemplar (min doc_id)
   *                        of every duplicate cluster (q_dedup_exact_docs);
   *   3. fuzzy dedup     — MinHash band-join pairs (q_dedup_minhash_df's
-  *                        pipeline); of each near-dup pair keep the
-  *                        lower doc_id (greedy: dropping every doc that
-  *                        is the HIGHER id of any pair keeps exactly
-  *                        the cluster minima for transitive clusters);
+  *                        pipeline); default greedy policy keeps every
+  *                        doc that is never the HIGHER id of a pair
+  *                        (drops directly-dominated docs; chain-middle
+  *                        docs can survive), `transitiveFuzzy = true`
+  *                        keeps exactly one exemplar per connected
+  *                        near-dup cluster via [[DedupClusters]];
   *   4. decontaminate   — drop docs sharing ≥ 3 distinct 5-gram
   *                        shingles with the eval set (q_decontaminate);
   *   5. mixture sample  — deterministic hash-gated per-source rates
@@ -45,7 +47,8 @@ object CuratePipeline {
     */
   def curate(spark: SparkSession, dir: String,
       minLenScore: Double = 0.2,
-      maxRepetition: Option[Double] = None): (DataFrame, Report) = {
+      maxRepetition: Option[Double] = None,
+      transitiveFuzzy: Boolean = false): (DataFrame, Report) = {
     val docs = Tables.documents(spark, dir)
 
     // 1. quality gate: length score (q_text_quality's len_score),
@@ -73,10 +76,19 @@ object CuratePipeline {
       .groupBy(md5(col("text")).as("_h")).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"), lit(true).as("_ex"))
 
-    // 3. fuzzy dedup drop set: the higher id of every MinHash
-    // band-join near-dup pair (keeps each cluster's minimum)
-    val fuzzyDrop = MinHashDf.qDedupMinhashDf(spark, dir)
-      .select(col("doc_b").as("doc_id")).distinct()
+    // 3. fuzzy dedup drop set from the MinHash band-join pairs.
+    // Default (greedy): drop every doc that is the HIGHER id of any
+    // pair — i.e. every directly-dominated doc. NOTE this is not full
+    // transitive clustering: in a chain 1–5, 3–5 the doc 3 survives
+    // greedy although it is transitively a near-dup of 1.
+    // `transitiveFuzzy` switches to connected-component clusters
+    // (DedupClusters) and keeps exactly one exemplar — the minimum —
+    // per cluster.
+    val fuzzyPairs = MinHashDf.qDedupMinhashDf(spark, dir)
+    val fuzzyDrop = (if (transitiveFuzzy)
+        DedupClusters.assign(fuzzyPairs)
+          .filter(col("doc_id") =!= col("cluster")).select(col("doc_id"))
+      else fuzzyPairs.select(col("doc_b").as("doc_id")).distinct())
       .select(col("doc_id"), lit(true).as("_fz"))
 
     // 4. decontamination drop set vs the eval set

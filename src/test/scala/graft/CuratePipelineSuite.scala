@@ -89,6 +89,41 @@ class CuratePipelineSuite extends GraftSuite {
       s"every curated doc must satisfy the repetition rule (max=${reps.max})")
   }
 
+  test("DedupClusters: min-label propagation == driver-side union-find; chains collapse to one exemplar") {
+    val sess = spark; import sess.implicits._
+    // chain 1-5, 3-5 (the case greedy higher-id dropping gets wrong),
+    // a 4-cycle, a big star, and an isolated pair
+    val pairs = Seq((1L, 5L), (3L, 5L), (10L, 11L), (11L, 12L), (12L, 13L),
+      (10L, 13L), (20L, 21L), (20L, 22L), (20L, 23L), (30L, 31L))
+      .toDF("doc_a", "doc_b")
+    val got = graft.api.DedupClusters.assign(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // driver-side union-find truth
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = { val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    pairs.collect().foreach { r =>
+      val (a, b) = (find(r.getLong(0)), find(r.getLong(1)))
+      if (a != b) parent(math.max(a, b)) = math.min(a, b)
+    }
+    val want = got.keys.map(k => k -> find(k)).toMap
+    assert(got == want, s"labels diverge from union-find: ${got.toSeq.sorted}")
+    assert(got(3L) == 1L, "chain-middle doc must join the chain minimum's cluster")
+
+    // curate with transitiveFuzzy: drops a superset of greedy's drop
+    // set, and still satisfies every downstream invariant
+    val (curatedT, reportT) = CuratePipeline.curate(spark, sf0001, transitiveFuzzy = true)
+    assert(reportT.afterFuzzyDedup <= report.afterFuzzyDedup,
+      "transitive clustering can only drop MORE docs than greedy")
+    assert(reportT.curated > 0)
+    val idsT = curatedT.collect().map(_.getAs[Long]("doc_id")).toSet
+    val clusters = graft.api.DedupClusters
+      .assign(queries.MinHashDf.qDedupMinhashDf(spark, sf0001)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(idsT.forall(id => clusters.get(id).forall(_ == id)),
+      "only cluster exemplars (minima) may survive transitive fuzzy dedup")
+  }
+
   test("bit-for-bit reproducible") {
     val (again, report2) = CuratePipeline.curate(spark, sf0001)
     assert(report2 == report)
