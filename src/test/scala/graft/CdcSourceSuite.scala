@@ -432,6 +432,28 @@ class CdcSourceSuite extends GraftSuite {
     intercept[IllegalStateException](tableState(Some(1L)))
   }
 
+  test("stream-static enrichment: CDC stream x broadcast dimension == batch join") {
+    val sess = spark; import sess.implicits._
+    // dimension: event_type -> category (static, broadcast-sized)
+    val dim = Tables.events(spark, sf0001).select("event_type").distinct()
+      .collect().map(_.getString(0)).sorted.zipWithIndex
+      .map { case (t, i) => (t, s"cat${i % 2}") }.toSeq.toDF("event_type", "category")
+    val q = readCdc(batchSize = 400, snapshotSeq = 499)
+      .join(broadcast(dim), "event_type")
+      .groupBy("category").count()
+      .writeStream.format("memory").queryName("cdc_enriched")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("cdc_enriched").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = spark.read.format("pg-cdc-sim")
+      .option("path", s"$sf0001/events.parquet").load()
+      .join(dim, "event_type").groupBy("category").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want && got.values.sum == 1000,
+      s"stream-static enrichment must equal the batch join: $got vs $want")
+  }
+
   test("file-source formats (§2A sources row): json, csv and text all stream == batch") {
     val sess = spark; import sess.implicits._
     val base = java.nio.file.Files.createTempDirectory("fmt_src").toString
