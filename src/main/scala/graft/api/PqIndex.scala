@@ -1,0 +1,132 @@
+package graft.api
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product-quantization ANN index — the memory-bounded encoding that
+  * makes billion-vector search feasible: each d-dim float vector is
+  * stored as `m` small codes (one per contiguous subspace), shrinking
+  * d×4 bytes to m×log2(k) bits (64-dim float32 → 8 codes of 4 bits =
+  * 4 bytes, a 64× reduction). Queries run ADC (asymmetric distance
+  * computation): the query stays exact, each corpus vector's distance
+  * is approximated as the sum of per-subspace distances between the
+  * query sub-vector and the corpus code's centroid — a table lookup.
+  *
+  * Spark-first shape:
+  *  - codebooks: m independent KMeans fits on a deterministic
+  *    hash-gated SAMPLE (training cost never scales with the corpus;
+  *    the codebooks are m×k×(d/m) doubles — broadcast-sized always);
+  *  - encoding: one linear pass, codes as array<int>;
+  *  - ADC scan: the per-query lookup table is computed ONCE per query
+  *    row (tiny UDF over the query batch), then the hot loop —
+  *    millions of corpus rows — is pure built-in array HOFs
+  *    (`transform` + `aggregate` lookups), fully codegen'd, no UDF;
+  *  - shortlist → EXACT re-rank: ADC keeps the top `shortlist`
+  *    candidates per query, which join back to the true vectors for
+  *    an exact cosine re-rank (`fvec_dot`) — the standard PQ
+  *    pipeline. At 100 TB this composes with [[IvfIndex]] (IVF-PQ):
+  *    cell partition pruning picks the lists, PQ codes keep them
+  *    RAM-resident, exact re-rank touches only the shortlist.
+  */
+object PqIndex {
+
+  private def codebooksPath(dir: String) = s"$dir/codebooks"
+  private def codesPath(dir: String) = s"$dir/codes"
+
+  /** Train per-subspace codebooks and encode the corpus.
+    * `embeddings` needs (vec_id: long, embedding: array<float>); d
+    * must be divisible by `m`.
+    */
+  def build(spark: SparkSession, embeddings: DataFrame, indexDir: String,
+      m: Int = 8, k: Int = 16, seed: Long = 42L,
+      trainSampleMod: Int = 1): Unit = {
+    require(m > 0 && k > 1, s"need m > 0, k > 1 (got $m, $k)")
+    val sess = spark
+    import sess.implicits._
+    val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    val train =
+      if (trainSampleMod == 1) embeddings
+      else embeddings.filter(pmod(hash(col("vec_id")), lit(trainSampleMod)) === 0)
+    // m small, independent KMeans fits on the subvectors
+    val toVec = udf((a: Seq[Float], j: Int) =>
+      Vectors.dense(a.slice(j * sub, (j + 1) * sub).map(_.toDouble).toArray))
+    val books = (0 until m).flatMap { j =>
+      val feat = train.select(toVec(col("embedding"), lit(j)).as("features"))
+      new KMeans().setK(k).setSeed(seed + j)
+        .setFeaturesCol("features").setPredictionCol("c").fit(feat)
+        .clusterCenters.zipWithIndex
+        .map { case (c, ci) => (j, ci, c.toArray.toSeq) }
+    }
+    books.toDF("subspace", "code", "center")
+      .repartition(1).write.mode("overwrite").parquet(codebooksPath(indexDir))
+    // encode: nearest sub-centroid id per subspace, one linear pass
+    val bk = books.map { case (j, ci, c) => (j, ci, c.toArray) }.toArray
+    val encode = udf((a: Seq[Float]) =>
+      (0 until m).map { j =>
+        val v = a.slice(j * sub, (j + 1) * sub).map(_.toDouble).toArray
+        bk.iterator.filter(_._1 == j).minBy { case (_, _, c) =>
+          var d = 0.0; var i = 0
+          while (i < v.length) { val t = v(i) - c(i); d += t * t; i += 1 }
+          d
+        }._2
+      })
+    embeddings.select(col("vec_id"), encode(col("embedding")).as("codes"))
+      .write.mode("overwrite").parquet(codesPath(indexDir))
+  }
+
+  /** Top-k cosine neighbors per query via ADC shortlist + exact
+    * re-rank. `queries` needs (qid, embedding); `corpus` must be the
+    * ORIGINAL embeddings table (vec_id, embedding) for the exact
+    * re-rank step. Returns (qid, rn, nid, cos_sim), self-matches
+    * excluded.
+    */
+  def query(spark: SparkSession, queries: DataFrame, corpus: DataFrame,
+      indexDir: String, topK: Int = 5, shortlist: Int = 50): DataFrame = {
+    graft.functions.FloatVecDot.register(spark)
+    val books = spark.read.parquet(codebooksPath(indexDir)).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray)).toMap
+    val m = books.keys.map(_._1).max + 1
+    val k = books.keys.map(_._2).max + 1
+    val sub = books((0, 0)).length
+    // per-QUERY lookup table: lut[j*k + c] = ||q_j - center(j,c)||^2.
+    // UDF is fine here — it runs once per query row, not per corpus row
+    val lutUdf = udf((a: Seq[Float]) =>
+      (0 until m).flatMap { j =>
+        val v = a.slice(j * sub, (j + 1) * sub).map(_.toDouble).toArray
+        (0 until k).map { c =>
+          val cen = books((j, c))
+          var d = 0.0; var i = 0
+          while (i < v.length) { val t = v(i) - cen(i); d += t * t; i += 1 }
+          d
+        }
+      })
+    val q = queries.select(col("qid"), col("embedding").as("qe"))
+      .withColumn("lut", lutUdf(col("qe")))
+    val codes = spark.read.parquet(codesPath(indexDir))
+    // ADC hot loop over every (query, corpus) pair: pure built-in
+    // HOFs — transform the code array into its LUT distances and sum.
+    // Fully codegen'd; no UDF touches the corpus-sized side.
+    val adc = codes.crossJoin(broadcast(q))
+      .withColumn("adc_dist", expr(
+        s"aggregate(transform(codes, (c, j) -> lut[j * $k + c]), 0D, (acc, x) -> acc + x)"))
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("_sr", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("adc_dist"), col("vec_id"))))
+      .filter(col("_sr") <= shortlist)
+      .select(col("qid"), col("qe"), col("vec_id").as("nid"))
+    // exact re-rank of the shortlist only
+    adc.join(corpus.select(col("vec_id").as("nid"), col("embedding").as("ne")), "nid")
+      .select(col("qid"), col("nid"),
+        round(expr("fvec_dot(qe, ne)"), 6).as("cos_sim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("nid"))))
+      .filter(col("rn") <= topK)
+      .select(col("qid"), col("rn"), col("nid"), col("cos_sim"))
+      .orderBy("qid", "rn")
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.api.PqIndex
+import graft.queries.LlmPipeline
+
+/** Product-quantization ANN: build → ADC shortlist → exact re-rank.
+  * The recall bar is the 100 TB claim: 4-bit-per-subspace codes (64×
+  * smaller than the float vectors) must still shortlist the true
+  * neighbors for the exact re-rank to recover.
+  */
+class PqIndexSuite extends GraftSuite {
+
+  private lazy val indexDir = {
+    val dir = java.nio.file.Files.createTempDirectory("pq_idx").toString
+    PqIndex.build(spark, Tables.embeddings(spark, sf0001), dir, m = 8, k = 16)
+    dir
+  }
+
+  test("codes are m small ints per vector — the 64x storage story") {
+    val codes = spark.read.parquet(s"$indexDir/codes")
+    assert(codes.count() == Tables.embeddings(spark, sf0001).count())
+    val r = codes.select(size(col("codes")).as("m"),
+      array_max(col("codes")).as("mx"), array_min(col("codes")).as("mn"))
+      .agg(max("m"), min("m"), max("mx"), min("mn")).head()
+    assert(r.getInt(0) == 8 && r.getInt(1) == 8, "exactly m=8 codes per vector")
+    assert(r.getInt(2) < 16 && r.getInt(3) >= 0, "codes fit 4 bits (k=16)")
+    val books = spark.read.parquet(s"$indexDir/codebooks")
+    assert(books.count() == 8 * 16, "m x k codebook entries")
+  }
+
+  test("ADC shortlist + exact re-rank: recall@5 well above random") {
+    val exact = LlmPipeline.qSimCosineTopk(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val queries = Tables.embeddings(spark, sf0001).filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val pq = PqIndex.query(spark, queries, Tables.embeddings(spark, sf0001),
+        indexDir, topK = 5, shortlist = 50).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (q, want) =>
+      pq.get(q).map(got => got.intersect(want).size.toDouble / want.size).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    // random 50-of-499 shortlist would give ~0.10 recall@5; the ADC
+    // shortlist must concentrate true neighbors
+    assert(mean >= 0.5, f"PQ mean recall@5 $mean%.2f (random-shortlist baseline ~0.10)")
+  }
+
+  test("exact re-rank scores are true cosines (bit-equal to fvec_dot on the originals)") {
+    val queries = Tables.embeddings(spark, sf0001).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val out = PqIndex.query(spark, queries, Tables.embeddings(spark, sf0001),
+      indexDir, topK = 3, shortlist = 20).collect()
+    val emb = Tables.embeddings(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding")).toMap
+    out.foreach { r =>
+      val (q, n) = (emb(r.getAs[Long]("qid")), emb(r.getAs[Long]("nid")))
+      val dot = q.zip(n).map { case (a, b) => a.toDouble * b.toDouble }.sum
+      assert(math.abs(r.getAs[Double]("cos_sim") - BigDecimal(dot)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    }
+  }
+}
