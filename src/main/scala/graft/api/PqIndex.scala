@@ -85,8 +85,14 @@ object PqIndex {
     * re-rank step. Returns (qid, rn, nid, cos_sim), self-matches
     * excluded.
     */
+  /** @param restrictTo optional (vec_id) set limiting the ADC scan —
+    *        the IVF-PQ hook: pass the probed cells' members from an
+    *        [[IvfIndex]] and the linear ADC scan shrinks to the
+    *        inverted lists a query actually probes.
+    */
   def query(spark: SparkSession, queries: DataFrame, corpus: DataFrame,
-      indexDir: String, topK: Int = 5, shortlist: Int = 50): DataFrame = {
+      indexDir: String, topK: Int = 5, shortlist: Int = 50,
+      restrictTo: Option[DataFrame] = None): DataFrame = {
     graft.functions.FloatVecDot.register(spark)
     val books = spark.read.parquet(codebooksPath(indexDir)).collect()
       .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray)).toMap
@@ -107,7 +113,9 @@ object PqIndex {
       })
     val q = queries.select(col("qid"), col("embedding").as("qe"))
       .withColumn("lut", lutUdf(col("qe")))
-    val codes = spark.read.parquet(codesPath(indexDir))
+    val codesAll = spark.read.parquet(codesPath(indexDir))
+    val codes = restrictTo.fold(codesAll)(ids =>
+      codesAll.join(ids.select(col("vec_id")), Seq("vec_id"), "left_semi"))
     // ADC hot loop over every (query, corpus) pair: pure built-in
     // HOFs — transform the code array into its LUT distances and sum.
     // Fully codegen'd; no UDF touches the corpus-sized side.

@@ -48,6 +48,38 @@ class PqIndexSuite extends GraftSuite {
     assert(mean >= 0.5, f"PQ mean recall@5 $mean%.2f (random-shortlist baseline ~0.10)")
   }
 
+  test("IVF-PQ composition: ADC scan restricted to probed IVF cells still recalls") {
+    // the canonical billion-vector layout: IVF picks the lists, PQ
+    // keeps them small, exact re-rank touches only the shortlist
+    val ivfDir = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    graft.api.IvfIndex.build(spark, Tables.embeddings(spark, sf0001), ivfDir, k = 16)
+    val cells = spark.read.parquet(s"$ivfDir/corpus").select("vec_id", "cell")
+    val queries = Tables.embeddings(spark, sf0001).filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    // probed members = union of each query's nProbe cells (the suite
+    // shortcut: one shared restriction set; per-query restriction is
+    // what IvfIndex.query's cell join does natively)
+    val probedCells = graft.api.IvfIndex
+      .query(spark, queries, ivfDir, nProbe = 6, topK = 500)
+      .select(col("nid").as("vec_id")).distinct()
+      .join(cells, "vec_id").select("cell").distinct()
+    val members = cells.join(probedCells, "cell").select("vec_id")
+    val restricted = members.count()
+    assert(restricted < 500, s"probed cells must be a strict corpus subset ($restricted)")
+    val exact = LlmPipeline.qSimCosineTopk(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val got = PqIndex.query(spark, queries, Tables.embeddings(spark, sf0001),
+        indexDir, topK = 5, shortlist = 50, restrictTo = Some(members)).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (q, want) =>
+      got.get(q).map(g => g.intersect(want).size.toDouble / want.size).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.4, f"IVF-restricted PQ recall@5 $mean%.2f over $restricted vectors")
+  }
+
   test("exact re-rank scores are true cosines (bit-equal to fvec_dot on the originals)") {
     val queries = Tables.embeddings(spark, sf0001).filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("embedding"))
