@@ -18,15 +18,21 @@ object PipelineDrive {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val (curated, r) = CuratePipeline.curate(spark, dir)
+    // the full round-6 gate set: repetition rule in stage 1 and
+    // transitive (connected-component) fuzzy dedup
+    val (curated, r) = CuratePipeline.curate(spark, dir,
+      maxRepetition = Some(0.5), transitiveFuzzy = true)
     println(s"[pipeline-drive] input                ${r.input}")
     println(s"[pipeline-drive] after quality gate   ${r.afterQuality}")
     println(s"[pipeline-drive] after exact dedup    ${r.afterExactDedup}")
-    println(s"[pipeline-drive] after fuzzy dedup    ${r.afterFuzzyDedup}")
+    println(s"[pipeline-drive] after fuzzy dedup    ${r.afterFuzzyDedup} (transitive clusters)")
     println(s"[pipeline-drive] after decontaminate  ${r.afterDecontaminate}")
     println(s"[pipeline-drive] curated (sampled)    ${r.curated}")
-    curated.write.mode("overwrite").parquet(out)
-    println(s"[pipeline-drive] wrote $out")
+    // z-ordered layout on the curation dimensions: downstream scans
+    // with (lang AND/OR source) predicates skip most row groups
+    graft.api.ZOrder.clusterBy(curated, Seq("lang", "source"), numFiles = 8)
+      .write.mode("overwrite").parquet(out)
+    println(s"[pipeline-drive] wrote $out (z-ordered on lang, source)")
     spark.stop()
   }
 }
