@@ -34,6 +34,39 @@ object IvfIndex {
   private def centroidsPath(dir: String) = s"$dir/centroids"
   private def corpusPath(dir: String) = s"$dir/corpus"
 
+  /** Versioned centroid publish: each writer lays down a FRESH
+    * `centroids/v<N>` dir and readers resolve the highest version
+    * whose `_SUCCESS` marker exists — a mutation in progress (or
+    * crashed) is invisible and the previous quantizer stays fully
+    * readable, replacing the old delete-then-write overwrite. The
+    * previous version is retained for in-flight readers; older ones
+    * are GC'd after publish.
+    */
+  private def publishCenters(spark: SparkSession, indexDir: String,
+      centers: Seq[(Int, Seq[Double])]): Unit = {
+    val sess = spark
+    import sess.implicits._
+    val fs = new org.apache.hadoop.fs.Path(centroidsPath(indexDir))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val n = committedCenterVersions(fs, indexDir).lastOption.getOrElse(0L) + 1
+    centers.sortBy(_._1).toDF("cell", "center")
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"${centroidsPath(indexDir)}/v$n")
+    committedCenterVersions(fs, indexDir).filter(_ < n - 1).foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"${centroidsPath(indexDir)}/v$v"), true)
+    }
+  }
+
+  private def committedCenterVersions(fs: org.apache.hadoop.fs.FileSystem,
+      indexDir: String): Seq[Long] = {
+    val dir = new org.apache.hadoop.fs.Path(centroidsPath(indexDir))
+    if (!fs.exists(dir)) return Nil
+    fs.listStatus(dir).map(_.getPath)
+      .filter(p => p.getName.matches("v\\d+") &&
+        fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+      .map(_.getName.stripPrefix("v").toLong).sorted.toSeq
+  }
+
   /** Train the quantizer and lay the corpus out as an inverted file.
     * `embeddings` needs (vec_id: long, embedding: array<float>).
     *
@@ -57,22 +90,24 @@ object IvfIndex {
     val model = new KMeans().setK(k).setSeed(seed)
       .setFeaturesCol("features").setPredictionCol("cell").fit(train)
     val centers = model.clusterCenters.map(_.toArray)
-    val sess = spark
-    import sess.implicits._
-    centers.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
-      .toDF("cell", "center")
-      .repartition(1)
-      .write.mode("overwrite").parquet(centroidsPath(indexDir))
+    publishCenters(spark, indexDir,
+      centers.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) })
     model.transform(feat)
       .select(col("vec_id"), col("embedding"), col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(corpusPath(indexDir))
   }
 
-  private def loadCenters(spark: SparkSession, indexDir: String): Array[(Int, Array[Double])] =
-    spark.read.parquet(centroidsPath(indexDir))
+  private def loadCenters(spark: SparkSession, indexDir: String): Array[(Int, Array[Double])] = {
+    val fs = new org.apache.hadoop.fs.Path(centroidsPath(indexDir))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = committedCenterVersions(fs, indexDir).lastOption.getOrElse(
+      throw new IllegalStateException(
+        s"no committed centroid version under ${centroidsPath(indexDir)}"))
+    spark.read.parquet(s"${centroidsPath(indexDir)}/v$v")
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
+  }
 
   /** Nearest-cell assignment against the persisted centroids (no
     * retrain); `n` cells per vector, nearest first.
@@ -122,19 +157,16 @@ object IvfIndex {
     val sub = new KMeans().setK(2).setSeed(seed)
       .setFeaturesCol("features").setPredictionCol("half").fit(cellRows)
     val base = centers.map(_._1).max + 1
-    val sess = spark
-    import sess.implicits._
     // Ordering: (1) write the two new cell dirs — no centroid routes
     // there yet, the old cell is still probed as before; (2) publish
-    // the centroid table with the retired id dropped and the fresh
-    // ids appended; (3) drop the orphaned old dir. Data-side steps
-    // are crash-retryable: a rerun recomputes the same `base` (the
-    // centroid table is unchanged until step 2) and the fresh-cell
-    // dirs are cleared before writing, so no duplicates survive.
-    // The centroid publish itself is a non-atomic overwrite — the
-    // same single-writer limitation as build(); a lakehouse table
-    // format (or the sinkUpsert manifest pattern) would make it a
-    // true atomic commit.
+    // the centroid table as a FRESH version (readers flip from the
+    // old quantizer to the new one at the _SUCCESS marker, never see
+    // a partial table, and an in-flight reader keeps the retained
+    // previous version); (3) drop the orphaned old dir. Data-side
+    // steps are crash-retryable: a rerun recomputes the same `base`
+    // (the committed centroid version is unchanged until step 2) and
+    // the fresh-cell dirs are cleared before writing, so no
+    // duplicates survive.
     val fs = new org.apache.hadoop.fs.Path(corpusPath(indexDir))
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     Seq(base, base + 1).foreach { c =>
@@ -144,11 +176,9 @@ object IvfIndex {
     val reassigned = sub.transform(cellRows)
       .select(col("vec_id"), col("embedding"), (col("half") + base).as("cell"))
     reassigned.write.mode("append").partitionBy("cell").parquet(corpusPath(indexDir))
-    val newCenters = centers.filterNot(_._1 == cell).map { case (i, c) => (i, c.toSeq) } ++
-      sub.clusterCenters.zipWithIndex.map { case (c, i) => (base + i, c.toArray.toSeq) }
-    newCenters.sortBy(_._1).toSeq.toDF("cell", "center")
-      .repartition(1)
-      .write.mode("overwrite").parquet(centroidsPath(indexDir))
+    publishCenters(spark, indexDir,
+      centers.filterNot(_._1 == cell).map { case (i, c) => (i, c.toSeq) } ++
+        sub.clusterCenters.zipWithIndex.map { case (c, i) => (base + i, c.toArray.toSeq) })
     // the old cell dir is dead weight once the centroid table no
     // longer routes probes to it; drop it
     val old = new org.apache.hadoop.fs.Path(s"${corpusPath(indexDir)}/cell=$cell")

@@ -83,6 +83,12 @@ class IvfIndexSuite extends GraftSuite {
       .select(col("vec_id").as("qid"), col("embedding"))
     val res = IvfIndex.query(spark, probes, dir, nProbe = 3, topK = 3).collect()
     assert(res.nonEmpty && res.forall(_.getAs[Long]("qid") < 20))
+    // versioned centroid publish: the split committed v2; v1 is
+    // retained for in-flight readers (old delete-then-write overwrite
+    // had a window with NO readable quantizer)
+    val cvs = new java.io.File(s"$dir/centroids").listFiles
+      .map(_.getName).filter(_.matches("v\\d+")).sorted
+    assert(cvs.toSeq == Seq("v1", "v2"), s"centroid versions: ${cvs.toSeq}")
     // rebalance: nothing qualifies at a generous threshold (no-op)
     assert(IvfIndex.rebalance(spark, dir, factor = 100.0) == Nil)
   }
