@@ -382,6 +382,44 @@ object StreamzOps {
     }
   }
 
+  /** Maintenance compaction for a [[StreamzDataFrame.sinkUpsert]] /
+    * [[StreamzDataFrame.sinkScd2]] table: rewrite every bucket as ONE
+    * file and publish the result as a fresh manifest commit — the
+    * OPTIMIZE step that keeps object-store file counts flat when
+    * micro-batches write many small files per bucket. Runs through
+    * the same atomic manifest rename as the sinks, so it is safe
+    * against crashes and concurrent readers (who keep resolving the
+    * previous committed snapshot until the rename lands); run it from
+    * the single writer between batches, like any table OPTIMIZE.
+    * Returns the number of data files before compaction.
+    */
+  def compactTable(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, retainManifests: Int = 0): Long = {
+    val fs = new org.apache.hadoop.fs.Path(tablePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (numBuckets, n, entries) = currentManifest(fs, tablePath).getOrElse(
+      throw new IllegalStateException(s"no committed manifest under $tablePath"))
+    val filesBefore = entries.values.toSeq.map { d =>
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$tablePath/$d"))
+        .count(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith("."))
+    }.sum.toLong
+    val next = n + 1
+    val dataRel = s"data/m$next"
+    spark.read.parquet(entries.values.map(d => s"$tablePath/$d").toSeq: _*)
+      .repartition(numBuckets, col(BucketCol)) // one task -> one file per bucket
+      .withColumn("_bp", col(BucketCol))
+      .write.mode("overwrite").partitionBy("_bp")
+      .parquet(s"$tablePath/$dataRel")
+    val written = fs.listStatus(new org.apache.hadoop.fs.Path(s"$tablePath/$dataRel"))
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .collect { case s if s.startsWith("_bp=") => s.stripPrefix("_bp=").toInt }
+    commitManifest(fs, tablePath, next, numBuckets,
+      written.sorted.map(b => b -> s"$dataRel/_bp=$b").toSeq)
+    gcSuperseded(fs, tablePath, next, retainManifests)
+    filesBefore
+  }
+
   /** Read a [[StreamzDataFrame.sinkScd2]] history table: every stored
     * version with its validity interval. Tombstone versions (op =
     * deleteOp markers) are internal bookkeeping and dropped unless

@@ -391,6 +391,53 @@ class CdcSourceSuite extends GraftSuite {
       "every live key keeps exactly one current version")
   }
 
+  test("compactTable: buckets collapse to one file each; snapshot identical; manifest advances") {
+    import graft.api.StreamzOps._
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx = sess.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("upsert_compact").toString
+    val table = s"$base/state"
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Double)]
+    // many-files-per-bucket shape needs (a) a bucket count that does
+    // not divide the shuffle parallelism (8 buckets on 4 shuffle
+    // partitions aligns 1 task : 1 bucket) and (b) AQE coalescing off
+    // (on this tiny fixture it folds the write into one task; at real
+    // sizes it would not)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    val q = ms.toDF().toDF("key", "seq", "value")
+      .sinkUpsert(table, Seq("key"), "seq", s"$base/cp", numBuckets = 3,
+        trigger = Trigger.ProcessingTime(0))
+    try {
+      ms.addData((1L to 64L).map(k => (k, k, k * 1.0)): _*)
+      q.processAllAvailable()
+      ms.addData((1L to 64L).map(k => (k, k + 1000L, k * 2.0)): _*)
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    }
+    def state() = readUpsertTable(spark, table).collect()
+      .map(r => r.getAs[Long]("key") -> r.getAs[Long]("seq")).toMap
+    def dataFiles() = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles.toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$table/data"))
+        .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    }
+    val before = state()
+    val nFilesBefore = dataFiles().size
+    val reported = graft.api.StreamzOps.compactTable(spark, table)
+    assert(reported == nFilesBefore, s"reported $reported != counted $nFilesBefore")
+    val after = dataFiles()
+    assert(after.size < nFilesBefore, s"compaction must shrink files ($nFilesBefore -> ${after.size})")
+    // exactly one file per surviving bucket dir
+    val perDir = after.groupBy(_.getParentFile.getName).values.map(_.size)
+    assert(perDir.forall(_ == 1), s"one file per bucket after compaction: $perDir")
+    assert(state() == before, "compaction must not change the snapshot")
+  }
+
   test("sinkUpsert retention: reader inside the publish window sees only committed snapshots; time travel") {
     import graft.api.StreamzOps._
     val sess = spark
