@@ -85,10 +85,11 @@ object CuratePipeline {
     // (DedupClusters) and keeps exactly one exemplar — the minimum —
     // per cluster.
     val fuzzyPairs = MinHashDf.qDedupMinhashDf(spark, dir)
-    val fuzzyDrop = (if (transitiveFuzzy)
-        DedupClusters.assign(fuzzyPairs)
-          .filter(col("doc_id") =!= col("cluster")).select(col("doc_id"))
-      else fuzzyPairs.select(col("doc_b").as("doc_id")).distinct())
+    val clusterLabels =
+      if (transitiveFuzzy) Some(DedupClusters.assign(fuzzyPairs)) else None
+    val fuzzyDrop = clusterLabels.fold(
+        fuzzyPairs.select(col("doc_b").as("doc_id")).distinct())(labels =>
+        labels.filter(col("doc_id") =!= col("cluster")).select(col("doc_id")))
       .select(col("doc_id"), lit(true).as("_fz"))
 
     // 4. decontamination drop set vs the eval set
@@ -114,6 +115,9 @@ object CuratePipeline {
     def surv(c: String) = count(when(col(c), 1)).as(c)
     val r = flagged.agg(count(lit(1)).as("_n"),
       surv("_q"), surv("_e"), surv("_f"), surv("_c"), surv("_s")).head()
+    // the Report action materialized flagged's cache, so the cluster
+    // labels (cached inside DedupClusters' iteration) can be released
+    clusterLabels.foreach(_.unpersist())
     val report = Report(r.getLong(0), r.getLong(1), r.getLong(2),
       r.getLong(3), r.getLong(4), r.getLong(5))
 

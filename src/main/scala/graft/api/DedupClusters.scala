@@ -28,6 +28,12 @@ object DedupClusters {
     * (columns doc_a, doc_b); cluster = min doc_id reachable via
     * pair edges. Docs in no pair are their own exemplar and are
     * simply absent here.
+    *
+    * Throws if labels have not converged within `maxIters` rounds (a
+    * component deeper than maxIters hops) — silently returning
+    * partial labels would break the one-exemplar-per-cluster
+    * guarantee downstream. The returned DataFrame is CACHED (it is
+    * the product of the iteration); `unpersist()` it when done.
     */
   def assign(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
     val edges = pairs
@@ -58,6 +64,10 @@ object DedupClusters {
       iter += 1
     }
     edges.unpersist()
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"DedupClusters did not converge in $maxIters rounds " +
+          s"($changed labels still moving) — raise maxIters for components deeper than that")
     labels
   }
 }

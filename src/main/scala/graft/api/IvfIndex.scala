@@ -52,10 +52,17 @@ object IvfIndex {
     centers.sortBy(_._1).toDF("cell", "center")
       .repartition(1)
       .write.mode("overwrite").parquet(s"${centroidsPath(indexDir)}/v$n")
+    // own commit marker, created AFTER the parquet write completes —
+    // Spark's _SUCCESS is optional (cloud committers often disable
+    // mapreduce...marksuccessfuljobs) and must not gate readability
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"${centroidsPath(indexDir)}/v$n/$CommitMarker"), true).close()
     committedCenterVersions(fs, indexDir).filter(_ < n - 1).foreach { v =>
       fs.delete(new org.apache.hadoop.fs.Path(s"${centroidsPath(indexDir)}/v$v"), true)
     }
   }
+
+  private val CommitMarker = "_graft_committed"
 
   private def committedCenterVersions(fs: org.apache.hadoop.fs.FileSystem,
       indexDir: String): Seq[Long] = {
@@ -63,7 +70,7 @@ object IvfIndex {
     if (!fs.exists(dir)) return Nil
     fs.listStatus(dir).map(_.getPath)
       .filter(p => p.getName.matches("v\\d+") &&
-        fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+        fs.exists(new org.apache.hadoop.fs.Path(p, CommitMarker)))
       .map(_.getName.stripPrefix("v").toLong).sorted.toSeq
   }
 
@@ -100,10 +107,14 @@ object IvfIndex {
   private def loadCenters(spark: SparkSession, indexDir: String): Array[(Int, Array[Double])] = {
     val fs = new org.apache.hadoop.fs.Path(centroidsPath(indexDir))
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val v = committedCenterVersions(fs, indexDir).lastOption.getOrElse(
-      throw new IllegalStateException(
-        s"no committed centroid version under ${centroidsPath(indexDir)}"))
-    spark.read.parquet(s"${centroidsPath(indexDir)}/v$v")
+    val path = committedCenterVersions(fs, indexDir).lastOption match {
+      case Some(v) => s"${centroidsPath(indexDir)}/v$v"
+      case None if fs.exists(new org.apache.hadoop.fs.Path(centroidsPath(indexDir))) =>
+        centroidsPath(indexDir) // pre-versioning flat layout: readable as-is
+      case None => throw new IllegalStateException(
+        s"no centroid table under ${centroidsPath(indexDir)}")
+    }
+    spark.read.parquet(path)
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
@@ -160,13 +171,16 @@ object IvfIndex {
     // Ordering: (1) write the two new cell dirs — no centroid routes
     // there yet, the old cell is still probed as before; (2) publish
     // the centroid table as a FRESH version (readers flip from the
-    // old quantizer to the new one at the _SUCCESS marker, never see
-    // a partial table, and an in-flight reader keeps the retained
-    // previous version); (3) drop the orphaned old dir. Data-side
+    // old quantizer to the new one at the commit marker and never see
+    // a partial table); (3) drop the orphaned old dir. Data-side
     // steps are crash-retryable: a rerun recomputes the same `base`
     // (the committed centroid version is unchanged until step 2) and
     // the fresh-cell dirs are cleared before writing, so no
-    // duplicates survive.
+    // duplicates survive. LIMITATION: a reader that resolved the
+    // PREVIOUS centroid version before step 3 probes the now-deleted
+    // old cell and quietly misses its vectors until it re-resolves —
+    // versioning protects against partial tables, not against the
+    // split cell's relocation; run splits from the single writer.
     val fs = new org.apache.hadoop.fs.Path(corpusPath(indexDir))
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     Seq(base, base + 1).foreach { c =>

@@ -33,8 +33,37 @@ import org.apache.spark.sql.functions._
   */
 object PqIndex {
 
-  private def codebooksPath(dir: String) = s"$dir/codebooks"
-  private def codesPath(dir: String) = s"$dir/codes"
+  private val CommitMarker = "_graft_committed"
+
+  /** Codebooks and codes are one CONSISTENT pair: both live under a
+    * versioned `v<N>` dir committed by a marker file written after
+    * both parquet writes finish. Readers resolve the highest
+    * committed version, so a crashed/in-progress rebuild is invisible
+    * and new codebooks can never be paired with old codes (ADC
+    * against the wrong codebook returns silently wrong distances —
+    * the failure mode this layout exists to prevent).
+    */
+  private def versionDir(dir: String, v: Long) = s"$dir/v$v"
+  private def codebooksPath(vdir: String) = s"$vdir/codebooks"
+  private def codesPath(vdir: String) = s"$vdir/codes"
+
+  private def committedVersions(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.exists(p)) return Nil
+    fs.listStatus(p).map(_.getPath)
+      .filter(d => d.getName.matches("v\\d+") &&
+        fs.exists(new org.apache.hadoop.fs.Path(d, CommitMarker)))
+      .map(_.getName.stripPrefix("v").toLong).sorted.toSeq
+  }
+
+  private def currentVersionDir(spark: SparkSession, indexDir: String): String = {
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = committedVersions(fs, indexDir).lastOption.getOrElse(
+      throw new IllegalStateException(s"no committed PQ index under $indexDir"))
+    versionDir(indexDir, v)
+  }
 
   /** Train per-subspace codebooks and encode the corpus.
     * `embeddings` needs (vec_id: long, embedding: array<float>); d
@@ -62,21 +91,35 @@ object PqIndex {
         .clusterCenters.zipWithIndex
         .map { case (c, ci) => (j, ci, c.toArray.toSeq) }
     }
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val n = committedVersions(fs, indexDir).lastOption.getOrElse(0L) + 1
+    val vdir = versionDir(indexDir, n)
     books.toDF("subspace", "code", "center")
-      .repartition(1).write.mode("overwrite").parquet(codebooksPath(indexDir))
-    // encode: nearest sub-centroid id per subspace, one linear pass
-    val bk = books.map { case (j, ci, c) => (j, ci, c.toArray) }.toArray
+      .repartition(1).write.mode("overwrite").parquet(codebooksPath(vdir))
+    // encode: nearest sub-centroid id per subspace, one linear pass.
+    // Codebooks pre-grouped by subspace: the per-row loop indexes
+    // straight into its subspace's centroids (O(m·k·sub) per vector)
+    val bySub: Array[Array[(Int, Array[Double])]] = books
+      .map { case (j, ci, c) => (j, ci, c.toArray) }
+      .groupBy(_._1).toArray.sortBy(_._1)
+      .map { case (_, cs) => cs.map(t => (t._2, t._3)).toArray }
     val encode = udf((a: Seq[Float]) =>
       (0 until m).map { j =>
         val v = a.slice(j * sub, (j + 1) * sub).map(_.toDouble).toArray
-        bk.iterator.filter(_._1 == j).minBy { case (_, _, c) =>
+        bySub(j).minBy { case (_, c) =>
           var d = 0.0; var i = 0
           while (i < v.length) { val t = v(i) - c(i); d += t * t; i += 1 }
           d
-        }._2
+        }._1
       })
     embeddings.select(col("vec_id"), encode(col("embedding")).as("codes"))
-      .write.mode("overwrite").parquet(codesPath(indexDir))
+      .write.mode("overwrite").parquet(codesPath(vdir))
+    // marker AFTER both writes: the version becomes visible atomically
+    fs.create(new org.apache.hadoop.fs.Path(vdir, CommitMarker), true).close()
+    committedVersions(fs, indexDir).filter(_ < n - 1).foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(versionDir(indexDir, v)), true)
+    }
   }
 
   /** Top-k cosine neighbors per query via ADC shortlist + exact
@@ -94,26 +137,31 @@ object PqIndex {
       indexDir: String, topK: Int = 5, shortlist: Int = 50,
       restrictTo: Option[DataFrame] = None): DataFrame = {
     graft.functions.FloatVecDot.register(spark)
-    val books = spark.read.parquet(codebooksPath(indexDir)).collect()
+    val vdir = currentVersionDir(spark, indexDir)
+    val books = spark.read.parquet(codebooksPath(vdir)).collect()
       .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray)).toMap
     val m = books.keys.map(_._1).max + 1
     val k = books.keys.map(_._2).max + 1
     val sub = books((0, 0)).length
     // per-QUERY lookup table: lut[j*k + c] = ||q_j - center(j,c)||^2.
-    // UDF is fine here — it runs once per query row, not per corpus row
+    // UDF is fine here — it runs once per query row, not per corpus
+    // row. A subspace's KMeans may return FEWER than k centers (near-
+    // constant subvectors): those code slots are unreferenced by any
+    // encoded vector, so any finite filler value is correct.
     val lutUdf = udf((a: Seq[Float]) =>
       (0 until m).flatMap { j =>
         val v = a.slice(j * sub, (j + 1) * sub).map(_.toDouble).toArray
         (0 until k).map { c =>
-          val cen = books((j, c))
-          var d = 0.0; var i = 0
-          while (i < v.length) { val t = v(i) - cen(i); d += t * t; i += 1 }
-          d
+          books.get((j, c)).fold(Double.MaxValue) { cen =>
+            var d = 0.0; var i = 0
+            while (i < v.length) { val t = v(i) - cen(i); d += t * t; i += 1 }
+            d
+          }
         }
       })
     val q = queries.select(col("qid"), col("embedding").as("qe"))
       .withColumn("lut", lutUdf(col("qe")))
-    val codesAll = spark.read.parquet(codesPath(indexDir))
+    val codesAll = spark.read.parquet(codesPath(vdir))
     val codes = restrictTo.fold(codesAll)(ids =>
       codesAll.join(ids.select(col("vec_id")), Seq("vec_id"), "left_semi"))
     // ADC hot loop over every (query, corpus) pair: pure built-in

@@ -266,7 +266,8 @@ object StreamzOps {
           val latest = batch.withColumn("_rn", row_number().over(w))
             .filter(col("_rn") === 1).drop("_rn")
           commitBucketedSnapshot(latest, tablePath, keys, numBuckets,
-            retainManifests, batchId, failpoint) { merged0 =>
+            retainManifests, batchId, failpoint,
+            priorHasDerivedColumns = false) { merged0 =>
             val reduced = merged0.withColumn("_rn", row_number().over(w))
               .filter(col("_rn") === 1).drop("_rn")
             opCol.fold(reduced)(oc =>
@@ -312,7 +313,8 @@ object StreamzOps {
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           val versions = batch.drop("valid_to_ord", "is_current")
           commitBucketedSnapshot(versions, tablePath, keys, numBuckets,
-            retainManifests, batchId, failpoint) { merged0 =>
+            retainManifests, batchId, failpoint,
+            priorHasDerivedColumns = true) { merged0 =>
             merged0.drop("valid_to_ord", "is_current")
               .dropDuplicates(keys :+ orderCol)
               .withColumn("valid_to_ord", lead(col(orderCol), 1).over(wAsc))
@@ -332,7 +334,8 @@ object StreamzOps {
     */
   private def commitBucketedSnapshot(batchRows: DataFrame, tablePath: String,
       keys: Seq[String], numBuckets: Int, retainManifests: Int,
-      batchId: Long, failpoint: (String, Long) => Unit)
+      batchId: Long, failpoint: (String, Long) => Unit,
+      priorHasDerivedColumns: Boolean)
       (merge: DataFrame => DataFrame): Unit = {
     val sess = batchRows.sparkSession
     // Hadoop FS, not java.io.File: tablePath may be hdfs://s3a://
@@ -349,10 +352,15 @@ object StreamzOps {
         s"table was created with numBuckets=$nb, called with $numBuckets") }
       val priorDirty = cur.toSeq.flatMap(_._3.toSeq)
         .collect { case (b, dir) if dirty(b) => s"$tablePath/$dir" }
+      // allowMissingColumns ONLY when the sink stores derived columns
+      // (sinkScd2's valid_to_ord/is_current) that batches legitimately
+      // lack; for sinkUpsert the strict union is a schema-drift guard
+      // — a batch silently missing a column must fail fast, not
+      // null-fill the stored values
       val merged0 =
         if (priorDirty.isEmpty) bucketed
         else sess.read.parquet(priorDirty: _*).unionByName(bucketed,
-          allowMissingColumns = true)
+          allowMissingColumns = priorHasDerivedColumns)
       val toStore = merge(merged0)
       val n = cur.map(_._2 + 1).getOrElse(1L)
       val dataRel = s"data/m$n"
@@ -399,6 +407,7 @@ object StreamzOps {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val (numBuckets, n, entries) = currentManifest(fs, tablePath).getOrElse(
       throw new IllegalStateException(s"no committed manifest under $tablePath"))
+    if (entries.isEmpty) return 0L // fully-tombstoned table: nothing to rewrite
     val filesBefore = entries.values.toSeq.map { d =>
       fs.listStatus(new org.apache.hadoop.fs.Path(s"$tablePath/$d"))
         .count(s => s.isFile && !s.getPath.getName.startsWith("_") &&

@@ -18,15 +18,17 @@ class PqIndexSuite extends GraftSuite {
   }
 
   test("codes are m small ints per vector — the 64x storage story") {
-    val codes = spark.read.parquet(s"$indexDir/codes")
+    val codes = spark.read.parquet(s"$indexDir/v1/codes")
     assert(codes.count() == Tables.embeddings(spark, sf0001).count())
     val r = codes.select(size(col("codes")).as("m"),
       array_max(col("codes")).as("mx"), array_min(col("codes")).as("mn"))
       .agg(max("m"), min("m"), max("mx"), min("mn")).head()
     assert(r.getInt(0) == 8 && r.getInt(1) == 8, "exactly m=8 codes per vector")
     assert(r.getInt(2) < 16 && r.getInt(3) >= 0, "codes fit 4 bits (k=16)")
-    val books = spark.read.parquet(s"$indexDir/codebooks")
+    val books = spark.read.parquet(s"$indexDir/v1/codebooks")
     assert(books.count() == 8 * 16, "m x k codebook entries")
+    assert(new java.io.File(s"$indexDir/v1/_graft_committed").exists,
+      "codebooks+codes publish as one committed version")
   }
 
   test("ADC shortlist + exact re-rank: recall@5 well above random") {
