@@ -9,6 +9,17 @@ import graft.queries.{LlmPipeline, Scalars}
   */
 class OperatorSuite extends GraftSuite {
 
+  test("SparkEntry.entry: the driver's smoke contract (flagship query returns rows)") {
+    // the driver checks exactly this before anything else; round 5
+    // shipped a build the driver could not even compile — keep the
+    // whole contract surface under local test
+    assert(graft.SparkEntry.entry(spark).count() > 0)
+    assert(graft.SparkEntry.queries.keySet == graft.SparkEntry.oracleSql.keySet ++
+      Set("q_approx_hll", "q_dedup_fuzzy_minhash", "q_sim_lsh_ann",
+        "q_sim_ivf_ann", "q_approx_hll_sketch"),
+      "every query key needs an oracle unless declared no-oracle-by-design")
+  }
+
   test("q_approx_hll (#21): HLL++ relative error < 5% vs exact") {
     val rows = Scalars.qApproxHll(spark, sf0001).collect()
     assert(rows.nonEmpty)
