@@ -34,44 +34,19 @@ object IvfIndex {
   private def centroidsPath(dir: String) = s"$dir/centroids"
   private def corpusPath(dir: String) = s"$dir/corpus"
 
-  /** Versioned centroid publish: each writer lays down a FRESH
-    * `centroids/v<N>` dir and readers resolve the highest version
-    * whose `_SUCCESS` marker exists — a mutation in progress (or
-    * crashed) is invisible and the previous quantizer stays fully
-    * readable, replacing the old delete-then-write overwrite. The
-    * previous version is retained for in-flight readers; older ones
-    * are GC'd after publish.
+  /** Versioned centroid publish (see [[Versioned]]): a mutation in
+    * progress (or crashed) is invisible and the previous quantizer
+    * stays fully readable, replacing the old delete-then-write
+    * overwrite.
     */
   private def publishCenters(spark: SparkSession, indexDir: String,
       centers: Seq[(Int, Seq[Double])]): Unit = {
     val sess = spark
     import sess.implicits._
-    val fs = new org.apache.hadoop.fs.Path(centroidsPath(indexDir))
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val n = committedCenterVersions(fs, indexDir).lastOption.getOrElse(0L) + 1
-    centers.sortBy(_._1).toDF("cell", "center")
-      .repartition(1)
-      .write.mode("overwrite").parquet(s"${centroidsPath(indexDir)}/v$n")
-    // own commit marker, created AFTER the parquet write completes —
-    // Spark's _SUCCESS is optional (cloud committers often disable
-    // mapreduce...marksuccessfuljobs) and must not gate readability
-    fs.create(new org.apache.hadoop.fs.Path(
-      s"${centroidsPath(indexDir)}/v$n/$CommitMarker"), true).close()
-    committedCenterVersions(fs, indexDir).filter(_ < n - 1).foreach { v =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"${centroidsPath(indexDir)}/v$v"), true)
+    Versioned.publish(spark, centroidsPath(indexDir)) { vdir =>
+      centers.sortBy(_._1).toDF("cell", "center")
+        .repartition(1).write.mode("overwrite").parquet(vdir)
     }
-  }
-
-  private val CommitMarker = "_graft_committed"
-
-  private def committedCenterVersions(fs: org.apache.hadoop.fs.FileSystem,
-      indexDir: String): Seq[Long] = {
-    val dir = new org.apache.hadoop.fs.Path(centroidsPath(indexDir))
-    if (!fs.exists(dir)) return Nil
-    fs.listStatus(dir).map(_.getPath)
-      .filter(p => p.getName.matches("v\\d+") &&
-        fs.exists(new org.apache.hadoop.fs.Path(p, CommitMarker)))
-      .map(_.getName.stripPrefix("v").toLong).sorted.toSeq
   }
 
   /** Train the quantizer and lay the corpus out as an inverted file.
@@ -105,25 +80,27 @@ object IvfIndex {
   }
 
   private def loadCenters(spark: SparkSession, indexDir: String): Array[(Int, Array[Double])] = {
-    val fs = new org.apache.hadoop.fs.Path(centroidsPath(indexDir))
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val path = committedCenterVersions(fs, indexDir).lastOption match {
-      case Some(v) => s"${centroidsPath(indexDir)}/v$v"
+    val fs = Versioned.fs(spark, centroidsPath(indexDir))
+    val path = Versioned.current(spark, centroidsPath(indexDir)) match {
+      case Some(vdir) => vdir
       case None if fs.exists(new org.apache.hadoop.fs.Path(centroidsPath(indexDir))) =>
         centroidsPath(indexDir) // pre-versioning flat layout: readable as-is
       case None => throw new IllegalStateException(
         s"no centroid table under ${centroidsPath(indexDir)}")
     }
+    readCenters(spark, path)
+  }
+
+  private[api] def readCenters(spark: SparkSession, path: String): Array[(Int, Array[Double])] =
     spark.read.parquet(path)
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
-  }
 
   /** Nearest-cell assignment against the persisted centroids (no
     * retrain); `n` cells per vector, nearest first.
     */
-  private def nearestCells(centers: Array[(Int, Array[Double])], n: Int) =
+  private[api] def nearestCells(centers: Array[(Int, Array[Double])], n: Int) =
     udf((a: Seq[Float]) => {
       val v = a.map(_.toDouble).toArray
       centers.map { case (i, c) =>

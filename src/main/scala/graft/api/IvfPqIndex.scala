@@ -1,0 +1,236 @@
+package graft.api
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Fused IVF-PQ index — the canonical billion-vector layout: PQ codes
+  * stored INSIDE each IVF cell partition, so a probe reads only the
+  * probed cells' codes. This is what [[IvfIndex]] (full vectors per
+  * cell) and [[PqIndex]] (one flat codes table) compose toward but
+  * individually miss: PqIndex.query's `restrictTo` semi-join still
+  * scans the full codes table's row groups to filter it; here the
+  * cell directories themselves bound the ADC scan.
+  *
+  * Layout:
+  * {{{
+  *   indexDir/meta/v<N>/centroids   (cell, center)        — coarse quantizer
+  *   indexDir/meta/v<N>/codebooks   (subspace, code, center)
+  *   indexDir/cells/cell=<c>/       (vec_id, embedding, codes)
+  * }}}
+  *
+  * Centroids and codebooks publish TOGETHER as one [[Versioned]]
+  * commit: ADC against a codebook from a different build than the
+  * codes is silently wrong, so the pair must flip atomically. The
+  * cell files carry both the PQ codes and the original embedding as
+  * sibling COLUMNS: parquet is columnar, so the ADC scan reads only
+  * the codes bytes of probed cells (column pruning — plan-asserted
+  * in IvfPqSuite) and the exact re-rank reads the embedding bytes of
+  * probed cells only for the shortlist join.
+  *
+  * Codes encode the RAW vector, not the residual to its cell
+  * centroid. That costs some ADC resolution versus residual
+  * encoding, but makes codes independent of cell assignment — so
+  * `splitCell` only re-routes rows (codes unchanged) and `add` never
+  * needs a cell's centroid to encode. The exact re-rank recovers the
+  * resolution loss, and the suite pins the recall floor.
+  *
+  * Query cost at scale: nProbe/k of the corpus' CODE bytes (m·log2(k)
+  * bits per vector — 64-dim float32 at m=8,k=16 is 64× smaller), plus
+  * the shortlist's embeddings. Nothing touches unprobed cells.
+  */
+object IvfPqIndex {
+
+  private def metaPath(dir: String) = s"$dir/meta"
+  private def cellsPath(dir: String) = s"$dir/cells"
+
+  private case class Meta(centers: Array[(Int, Array[Double])],
+      books: Map[(Int, Int), Array[Double]],
+      booksSeq: Seq[(Int, Int, Seq[Double])]) {
+    val m: Int = books.keys.map(_._1).max + 1
+    val k: Int = books.keys.map(_._2).max + 1
+    val sub: Int = books((0, 0)).length
+  }
+
+  private def loadMeta(spark: SparkSession, indexDir: String): Meta = {
+    val vdir = Versioned.current(spark, metaPath(indexDir)).getOrElse(
+      throw new IllegalStateException(s"no committed IVF-PQ index under $indexDir"))
+    val booksSeq = spark.read.parquet(s"$vdir/codebooks").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+      .toSeq.sortBy(t => (t._1, t._2))
+    Meta(IvfIndex.readCenters(spark, s"$vdir/centroids"),
+      booksSeq.map(t => ((t._1, t._2), t._3.toArray)).toMap, booksSeq)
+  }
+
+  private def publishMeta(spark: SparkSession, indexDir: String,
+      centers: Seq[(Int, Seq[Double])], books: Seq[(Int, Int, Seq[Double])]): Unit = {
+    val sess = spark
+    import sess.implicits._
+    Versioned.publish(spark, metaPath(indexDir)) { vdir =>
+      centers.sortBy(_._1).toDF("cell", "center")
+        .repartition(1).write.mode("overwrite").parquet(s"$vdir/centroids")
+      books.toDF("subspace", "code", "center")
+        .repartition(1).write.mode("overwrite").parquet(s"$vdir/codebooks")
+    }
+  }
+
+  /** Train the coarse quantizer and the PQ codebooks, then lay the
+    * corpus out as cell partitions of (vec_id, embedding, codes).
+    * `embeddings` needs (vec_id: long, embedding: array<float>); dim
+    * must be divisible by `m`.
+    *
+    * @param trainSampleMod both KMeans fits (coarse and per-subspace)
+    *        train on vectors with hash(vec_id) % mod == 0 — training
+    *        cost must not scale with the corpus; assignment and
+    *        encoding below always cover every vector.
+    */
+  def build(spark: SparkSession, embeddings: DataFrame, indexDir: String,
+      kCells: Int = 16, m: Int = 8, kSub: Int = 16, seed: Long = 42L,
+      trainSampleMod: Int = 1): Unit = {
+    require(trainSampleMod >= 1, s"trainSampleMod must be >= 1 (got $trainSampleMod)")
+    require(m > 0 && kSub > 1, s"need m > 0, kSub > 1 (got $m, $kSub)")
+    val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
+    val feat = embeddings.select(col("vec_id"), col("embedding"),
+      toVec(col("embedding")).as("features"))
+    val train =
+      if (trainSampleMod == 1) feat
+      else feat.filter(pmod(hash(col("vec_id")), lit(trainSampleMod)) === 0)
+    val coarse = new KMeans().setK(kCells).setSeed(seed)
+      .setFeaturesCol("features").setPredictionCol("cell").fit(train)
+    val books = PqIndex.trainBooks(train, m, kSub, sub, seed)
+    val encode = PqIndex.encodeUdf(books, m, sub)
+    // cells first, meta commit last: a reader resolving meta always
+    // finds the cells it routes to
+    coarse.transform(feat)
+      .select(col("vec_id"), col("embedding"),
+        encode(col("embedding")).as("codes"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(cellsPath(indexDir))
+    publishMeta(spark, indexDir,
+      coarse.clusterCenters.zipWithIndex.toSeq.map { case (c, i) => (i, c.toArray.toSeq) },
+      books)
+  }
+
+  /** Append new vectors: assign to the nearest EXISTING centroid and
+    * encode with the EXISTING codebooks — growth with no retrain, no
+    * rewrite, no meta change (re-`build` when drift degrades recall).
+    */
+  def add(spark: SparkSession, newVectors: DataFrame, indexDir: String): Unit = {
+    val meta = loadMeta(spark, indexDir)
+    val assign = IvfIndex.nearestCells(meta.centers, 1)
+    val encode = PqIndex.encodeUdf(meta.booksSeq, meta.m, meta.sub)
+    newVectors.select(col("vec_id"), col("embedding"),
+        encode(col("embedding")).as("codes"),
+        assign(col("embedding")).getItem(0).as("cell"))
+      .write.mode("append").partitionBy("cell").parquet(cellsPath(indexDir))
+  }
+
+  /** Per-cell inverted-list sizes (one metadata-cheap aggregate). */
+  def cellSizes(spark: SparkSession, indexDir: String): Map[Int, Long] =
+    spark.read.parquet(cellsPath(indexDir))
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+
+  /** Split ONE hot cell in place — same ordering and crash story as
+    * [[IvfIndex.splitCell]] (write fresh cell dirs → publish meta →
+    * drop the orphan; single-writer). Because codes encode the raw
+    * vector, the split only RE-ROUTES rows: codes ride along
+    * unchanged and the codebooks republish as-is.
+    */
+  def splitCell(spark: SparkSession, indexDir: String, cell: Int,
+      seed: Long = 42L): Unit = {
+    val meta = loadMeta(spark, indexDir)
+    require(meta.centers.exists(_._1 == cell), s"no such cell $cell")
+    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
+    // partition-pruned read: exactly one cell directory
+    val cellRows = spark.read.parquet(cellsPath(indexDir))
+      .filter(col("cell") === cell)
+      .select(col("vec_id"), col("embedding"), col("codes"),
+        toVec(col("embedding")).as("features"))
+      .cache()
+    val split = new KMeans().setK(2).setSeed(seed)
+      .setFeaturesCol("features").setPredictionCol("half").fit(cellRows)
+    val base = meta.centers.map(_._1).max + 1
+    val fs = Versioned.fs(spark, cellsPath(indexDir))
+    Seq(base, base + 1).foreach { c =>
+      val p = new org.apache.hadoop.fs.Path(s"${cellsPath(indexDir)}/cell=$c")
+      if (fs.exists(p)) fs.delete(p, true) // stale partial from a crashed retry
+    }
+    split.transform(cellRows)
+      .select(col("vec_id"), col("embedding"), col("codes"),
+        (col("half") + base).as("cell"))
+      .write.mode("append").partitionBy("cell").parquet(cellsPath(indexDir))
+    publishMeta(spark, indexDir,
+      meta.centers.filterNot(_._1 == cell).toSeq.map { case (i, c) => (i, c.toSeq) } ++
+        split.clusterCenters.zipWithIndex.map { case (c, i) => (base + i, c.toArray.toSeq) },
+      meta.booksSeq)
+    val old = new org.apache.hadoop.fs.Path(s"${cellsPath(indexDir)}/cell=$cell")
+    if (fs.exists(old)) fs.delete(old, true)
+    cellRows.unpersist()
+  }
+
+  /** Split every cell whose list exceeds `factor` × the mean cell
+    * size. Returns the cells split. */
+  def rebalance(spark: SparkSession, indexDir: String,
+      factor: Double = 2.0, seed: Long = 42L): Seq[Int] = {
+    val sizes = cellSizes(spark, indexDir)
+    if (sizes.isEmpty) return Nil
+    val mean = sizes.values.sum.toDouble / sizes.size
+    val hot = sizes.filter { case (_, n) => n > factor * mean && n >= 2 }
+      .keys.toSeq.sorted
+    hot.foreach(c => splitCell(spark, indexDir, c, seed))
+    hot
+  }
+
+  /** Top-k cosine neighbors per query: probe nProbe cells, ADC-scan
+    * ONLY those cells' codes (built-in HOFs — fully codegen'd, no UDF
+    * on the corpus side), exact `fvec_dot` re-rank of the per-query
+    * shortlist against the probed cells' embeddings. Returns
+    * (qid, rn, nid, cos_sim), self-matches excluded.
+    *
+    * `broadcastQueries` picks the same two regimes as
+    * [[IvfIndex.query]]: broadcast + dynamic partition pruning for
+    * interactive batches; a shuffled cell join for bulk batches.
+    */
+  def query(spark: SparkSession, queries: DataFrame, indexDir: String,
+      nProbe: Int = 4, topK: Int = 5, shortlist: Int = 50,
+      broadcastQueries: Boolean = true): DataFrame = {
+    graft.functions.FloatVecDot.register(spark)
+    val meta = loadMeta(spark, indexDir)
+    val probe = IvfIndex.nearestCells(meta.centers, nProbe)
+    val lut = PqIndex.lutUdf(meta.books, meta.m, meta.k, meta.sub)
+    val q = queries
+      .select(col("qid"), col("embedding").as("qe"), lut(col("embedding")).as("lut"),
+        explode(probe(col("embedding"))).as("cell"))
+    val qSide = if (broadcastQueries) broadcast(q) else q
+    // ADC side reads (cell, vec_id, codes) — column pruning drops the
+    // embedding bytes from the probed cells' scan (suite-asserted)
+    val codes = spark.read.parquet(cellsPath(indexDir))
+      .select(col("cell"), col("vec_id").as("nid"), col("codes"))
+    val short = qSide.join(codes, "cell")
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("adc_dist", expr(
+        s"aggregate(transform(codes, (c, j) -> lut[j * ${meta.k} + c]), 0D, (acc, x) -> acc + x)"))
+      .withColumn("_sr", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("adc_dist"), col("nid"))))
+      .filter(col("_sr") <= shortlist)
+      .select(col("qid"), col("qe"), col("cell"), col("nid"))
+    // exact re-rank joins back on (cell, nid): the embedding read is
+    // partition-bounded to the probed cells too
+    val vecs = spark.read.parquet(cellsPath(indexDir))
+      .select(col("cell"), col("vec_id").as("nid"), col("embedding").as("ne"))
+    (if (broadcastQueries) broadcast(short) else short)
+      .join(vecs, Seq("cell", "nid"))
+      .select(col("qid"), col("nid"),
+        round(expr("fvec_dot(qe, ne)"), 6).as("cos_sim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("nid"))))
+      .filter(col("rn") <= topK)
+      .select(col("qid"), col("rn"), col("nid"), col("cos_sim"))
+      .orderBy("qid", "rn")
+  }
+}

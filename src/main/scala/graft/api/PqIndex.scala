@@ -33,37 +33,82 @@ import org.apache.spark.sql.functions._
   */
 object PqIndex {
 
-  private val CommitMarker = "_graft_committed"
-
   /** Codebooks and codes are one CONSISTENT pair: both live under a
-    * versioned `v<N>` dir committed by a marker file written after
-    * both parquet writes finish. Readers resolve the highest
-    * committed version, so a crashed/in-progress rebuild is invisible
-    * and new codebooks can never be paired with old codes (ADC
-    * against the wrong codebook returns silently wrong distances —
-    * the failure mode this layout exists to prevent).
+    * versioned `v<N>` dir committed by [[Versioned]]'s marker file
+    * written after both parquet writes finish. Readers resolve the
+    * highest committed version, so a crashed/in-progress rebuild is
+    * invisible and new codebooks can never be paired with old codes
+    * (ADC against the wrong codebook returns silently wrong
+    * distances — the failure mode this layout exists to prevent).
     */
-  private def versionDir(dir: String, v: Long) = s"$dir/v$v"
   private def codebooksPath(vdir: String) = s"$vdir/codebooks"
   private def codesPath(vdir: String) = s"$vdir/codes"
 
-  private def committedVersions(fs: org.apache.hadoop.fs.FileSystem,
-      dir: String): Seq[Long] = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    if (!fs.exists(p)) return Nil
-    fs.listStatus(p).map(_.getPath)
-      .filter(d => d.getName.matches("v\\d+") &&
-        fs.exists(new org.apache.hadoop.fs.Path(d, CommitMarker)))
-      .map(_.getName.stripPrefix("v").toLong).sorted.toSeq
+  private def currentVersionDir(spark: SparkSession, indexDir: String): String =
+    Versioned.current(spark, indexDir).getOrElse(
+      throw new IllegalStateException(s"no committed PQ index under $indexDir"))
+
+  /** Train the `m` per-subspace codebooks on `train` (already
+    * sample-gated by the caller): `m` small, independent KMeans fits
+    * on the subvectors. Returns (subspace, code, center) rows.
+    */
+  private[api] def trainBooks(train: DataFrame, m: Int, k: Int, sub: Int,
+      seed: Long): Seq[(Int, Int, Seq[Double])] = {
+    val toVec = udf((a: Seq[Float], j: Int) =>
+      Vectors.dense(a.slice(j * sub, (j + 1) * sub).map(_.toDouble).toArray))
+    (0 until m).flatMap { j =>
+      val feat = train.select(toVec(col("embedding"), lit(j)).as("features"))
+      new KMeans().setK(k).setSeed(seed + j)
+        .setFeaturesCol("features").setPredictionCol("c").fit(feat)
+        .clusterCenters.zipWithIndex
+        .map { case (c, ci) => (j, ci, c.toArray.toSeq) }
+    }
   }
 
-  private def currentVersionDir(spark: SparkSession, indexDir: String): String = {
-    val fs = new org.apache.hadoop.fs.Path(indexDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val v = committedVersions(fs, indexDir).lastOption.getOrElse(
-      throw new IllegalStateException(s"no committed PQ index under $indexDir"))
-    versionDir(indexDir, v)
+  /** Encoder UDF: nearest sub-centroid id per subspace, one linear
+    * pass per vector. Codebooks pre-grouped by subspace so the
+    * per-row loop indexes straight into its subspace's centroids
+    * (O(m·k·sub) per vector).
+    */
+  private[api] def encodeUdf(books: Seq[(Int, Int, Seq[Double])], m: Int, sub: Int) = {
+    val bySub: Array[Array[(Int, Array[Double])]] = books
+      .map { case (j, ci, c) => (j, ci, c.toArray) }
+      .groupBy(_._1).toArray.sortBy(_._1)
+      .map { case (_, cs) => cs.map(t => (t._2, t._3)).toArray }
+    udf((a: Seq[Float]) =>
+      (0 until m).map { j =>
+        val v = a.slice(j * sub, (j + 1) * sub).map(_.toDouble).toArray
+        bySub(j).minBy { case (_, c) =>
+          var d = 0.0; var i = 0
+          while (i < v.length) { val t = v(i) - c(i); d += t * t; i += 1 }
+          d
+        }._1
+      })
   }
+
+  /** Per-QUERY ADC lookup table: lut[j*k + c] = ||q_j - center(j,c)||².
+    * A UDF is fine here — it runs once per query row, not per corpus
+    * row. A subspace's KMeans may return FEWER than k centers (near-
+    * constant subvectors): those code slots are unreferenced by any
+    * encoded vector, so any finite filler value is correct.
+    */
+  private[api] def lutUdf(books: Map[(Int, Int), Array[Double]],
+      m: Int, k: Int, sub: Int) =
+    udf((a: Seq[Float]) =>
+      (0 until m).flatMap { j =>
+        val v = a.slice(j * sub, (j + 1) * sub).map(_.toDouble).toArray
+        (0 until k).map { c =>
+          books.get((j, c)).fold(Double.MaxValue) { cen =>
+            var d = 0.0; var i = 0
+            while (i < v.length) { val t = v(i) - cen(i); d += t * t; i += 1 }
+            d
+          }
+        }
+      })
+
+  private[api] def loadBooks(spark: SparkSession, path: String): Map[(Int, Int), Array[Double]] =
+    spark.read.parquet(path).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray)).toMap
 
   /** Train per-subspace codebooks and encode the corpus.
     * `embeddings` needs (vec_id: long, embedding: array<float>); d
@@ -81,44 +126,15 @@ object PqIndex {
     val train =
       if (trainSampleMod == 1) embeddings
       else embeddings.filter(pmod(hash(col("vec_id")), lit(trainSampleMod)) === 0)
-    // m small, independent KMeans fits on the subvectors
-    val toVec = udf((a: Seq[Float], j: Int) =>
-      Vectors.dense(a.slice(j * sub, (j + 1) * sub).map(_.toDouble).toArray))
-    val books = (0 until m).flatMap { j =>
-      val feat = train.select(toVec(col("embedding"), lit(j)).as("features"))
-      new KMeans().setK(k).setSeed(seed + j)
-        .setFeaturesCol("features").setPredictionCol("c").fit(feat)
-        .clusterCenters.zipWithIndex
-        .map { case (c, ci) => (j, ci, c.toArray.toSeq) }
-    }
-    val fs = new org.apache.hadoop.fs.Path(indexDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val n = committedVersions(fs, indexDir).lastOption.getOrElse(0L) + 1
-    val vdir = versionDir(indexDir, n)
-    books.toDF("subspace", "code", "center")
-      .repartition(1).write.mode("overwrite").parquet(codebooksPath(vdir))
-    // encode: nearest sub-centroid id per subspace, one linear pass.
-    // Codebooks pre-grouped by subspace: the per-row loop indexes
-    // straight into its subspace's centroids (O(m·k·sub) per vector)
-    val bySub: Array[Array[(Int, Array[Double])]] = books
-      .map { case (j, ci, c) => (j, ci, c.toArray) }
-      .groupBy(_._1).toArray.sortBy(_._1)
-      .map { case (_, cs) => cs.map(t => (t._2, t._3)).toArray }
-    val encode = udf((a: Seq[Float]) =>
-      (0 until m).map { j =>
-        val v = a.slice(j * sub, (j + 1) * sub).map(_.toDouble).toArray
-        bySub(j).minBy { case (_, c) =>
-          var d = 0.0; var i = 0
-          while (i < v.length) { val t = v(i) - c(i); d += t * t; i += 1 }
-          d
-        }._1
-      })
-    embeddings.select(col("vec_id"), encode(col("embedding")).as("codes"))
-      .write.mode("overwrite").parquet(codesPath(vdir))
-    // marker AFTER both writes: the version becomes visible atomically
-    fs.create(new org.apache.hadoop.fs.Path(vdir, CommitMarker), true).close()
-    committedVersions(fs, indexDir).filter(_ < n - 1).foreach { v =>
-      fs.delete(new org.apache.hadoop.fs.Path(versionDir(indexDir, v)), true)
+    val books = trainBooks(train, m, k, sub, seed)
+    val encode = encodeUdf(books, m, sub)
+    Versioned.publish(spark, indexDir) { vdir =>
+      books.toDF("subspace", "code", "center")
+        .repartition(1).write.mode("overwrite").parquet(codebooksPath(vdir))
+      // encode: one linear pass; marker lands AFTER both writes so the
+      // version becomes visible atomically
+      embeddings.select(col("vec_id"), encode(col("embedding")).as("codes"))
+        .write.mode("overwrite").parquet(codesPath(vdir))
     }
   }
 
@@ -138,29 +154,12 @@ object PqIndex {
       restrictTo: Option[DataFrame] = None): DataFrame = {
     graft.functions.FloatVecDot.register(spark)
     val vdir = currentVersionDir(spark, indexDir)
-    val books = spark.read.parquet(codebooksPath(vdir)).collect()
-      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray)).toMap
+    val books = loadBooks(spark, codebooksPath(vdir))
     val m = books.keys.map(_._1).max + 1
     val k = books.keys.map(_._2).max + 1
     val sub = books((0, 0)).length
-    // per-QUERY lookup table: lut[j*k + c] = ||q_j - center(j,c)||^2.
-    // UDF is fine here — it runs once per query row, not per corpus
-    // row. A subspace's KMeans may return FEWER than k centers (near-
-    // constant subvectors): those code slots are unreferenced by any
-    // encoded vector, so any finite filler value is correct.
-    val lutUdf = udf((a: Seq[Float]) =>
-      (0 until m).flatMap { j =>
-        val v = a.slice(j * sub, (j + 1) * sub).map(_.toDouble).toArray
-        (0 until k).map { c =>
-          books.get((j, c)).fold(Double.MaxValue) { cen =>
-            var d = 0.0; var i = 0
-            while (i < v.length) { val t = v(i) - cen(i); d += t * t; i += 1 }
-            d
-          }
-        }
-      })
     val q = queries.select(col("qid"), col("embedding").as("qe"))
-      .withColumn("lut", lutUdf(col("qe")))
+      .withColumn("lut", lutUdf(books, m, k, sub)(col("qe")))
     val codesAll = spark.read.parquet(codesPath(vdir))
     val codes = restrictTo.fold(codesAll)(ids =>
       codesAll.join(ids.select(col("vec_id")), Seq("vec_id"), "left_semi"))

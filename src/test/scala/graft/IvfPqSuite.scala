@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.api.IvfPqIndex
+import graft.queries.LlmPipeline
+
+/** Fused IVF-PQ lifecycle: build → probe-pruned ADC over ONLY the
+  * probed cells' codes → exact re-rank → grow/split without retrain.
+  * The two plan assertions are the 100 TB claim: a probe must (1)
+  * skip unprobed cell directories and (2) read only the CODE bytes of
+  * the cells it scans, not the embeddings.
+  */
+class IvfPqSuite extends GraftSuite {
+
+  private lazy val indexDir = {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_idx").toString
+    IvfPqIndex.build(spark, Tables.embeddings(spark, sf0001), dir,
+      kCells = 16, m = 8, kSub = 16, seed = 42L)
+    dir
+  }
+
+  private def queryBatch = Tables.embeddings(spark, sf0001)
+    .filter(col("vec_id") < 50)
+    .select(col("vec_id").as("qid"), col("embedding"))
+
+  private def recallAt5(got: Array[org.apache.spark.sql.Row]): Double = {
+    val exact = LlmPipeline.qSimCosineTopk(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ann = got.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (q, want) =>
+      ann.get(q).map(g => g.intersect(want).size.toDouble / want.size).getOrElse(0.0)
+    }
+    recalls.sum / recalls.size
+  }
+
+  test("build + query: recall@5 >= the composed IVF->restrictTo->PQ baseline") {
+    val mean = recallAt5(
+      IvfPqIndex.query(spark, queryBatch, indexDir, nProbe = 4, topK = 5).collect())
+    // PqIndexSuite's composed IVF-restricted baseline asserts >= 0.4
+    // at nProbe=6; the fused layout must not do worse at nProbe=4
+    assert(mean >= 0.4, f"fused IVF-PQ mean recall@5 $mean%.2f (composed baseline bar 0.40)")
+  }
+
+  test("ADC scan is partition-pruned to probed cells AND reads codes, not embeddings") {
+    val plan = IvfPqIndex.query(spark, queryBatch, indexDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"cells scan must carry a dynamic partition-pruning filter on cell:\n$plan")
+    // the codes-side FileScan must project (vec_id, codes) only —
+    // parquet column pruning keeps embedding bytes out of the ADC pass
+    val codeScans = plan.linesIterator
+      .filter(l => l.contains("ReadSchema") && l.contains("codes"))
+    assert(codeScans.exists(!_.contains("embedding")),
+      s"ADC scan must not read the embedding column:\n$plan")
+  }
+
+  test("bulk path: shuffled cell join (no broadcast) returns identical results") {
+    val want = IvfPqIndex.query(spark, queryBatch, indexDir).collect().toSeq
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val dfq = IvfPqIndex.query(spark, queryBatch, indexDir, broadcastQueries = false)
+      val plan = dfq.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"non-broadcast path must plan shuffled joins:\n$plan")
+      assert(dfq.collect().toSeq == want,
+        "shuffled-join probe must return exactly the broadcast-path results")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("add: new vectors encode with the EXISTING codebooks and are findable") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_add").toString
+    IvfPqIndex.build(spark, Tables.embeddings(spark, sf0001), dir, kCells = 16)
+    val clones = Tables.embeddings(spark, sf0001)
+      .filter(col("vec_id").isin(100L, 200L, 300L))
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    IvfPqIndex.add(spark, clones, dir)
+    // codes consistent: a clone's codes equal its twin's (same
+    // codebooks, deterministic encoder), and land in the same cell
+    val rows = spark.read.parquet(s"$dir/cells")
+      .filter(col("vec_id").isin(100L, 200L, 300L, 100100L, 100200L, 100300L))
+      .select(col("vec_id"), col("cell"), col("codes")).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getSeq[Int](2))).toMap
+    Seq(100L, 200L, 300L).foreach { id =>
+      assert(rows(id) == rows(id + 100000L),
+        s"clone of $id must carry identical (cell, codes): ${rows(id)} vs ${rows(id + 100000L)}")
+    }
+    // and its twin is its top-1 (cos ~1.0 survives ADC + re-rank)
+    val probes = Tables.embeddings(spark, sf0001)
+      .filter(col("vec_id").isin(100L, 200L, 300L))
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val top1 = IvfPqIndex.query(spark, probes, dir, nProbe = 4, topK = 1)
+      .collect().map(r => r.getAs[Long]("qid") -> r.getAs[Long]("nid")).toMap
+    Seq(100L, 200L, 300L).foreach { id =>
+      assert(top1(id) == id + 100000L,
+        s"clone of $id must be its own top-1 after add (got ${top1(id)})")
+    }
+  }
+
+  test("splitCell: rows re-route with codes UNCHANGED; meta republishes atomically") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_split").toString
+    IvfPqIndex.build(spark, Tables.embeddings(spark, sf0001), dir, kCells = 8)
+    val before = IvfPqIndex.cellSizes(spark, dir)
+    val codesBefore = spark.read.parquet(s"$dir/cells")
+      .select(col("vec_id"), col("codes")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val hot = before.maxBy(_._2)._1
+    IvfPqIndex.splitCell(spark, dir, hot)
+    val after = IvfPqIndex.cellSizes(spark, dir)
+    assert(!after.contains(hot), "retired cell id must vanish")
+    assert(after.size == before.size + 1)
+    val fresh = after.keySet diff before.keySet
+    assert(fresh.size == 2 && fresh.forall(_ > before.keys.max))
+    assert(fresh.toSeq.map(after).sum == before(hot), "split conserves the cell's vectors")
+    // codes are cell-independent (raw-vector encoding): the split must
+    // not touch a single code anywhere in the index
+    val codesAfter = spark.read.parquet(s"$dir/cells")
+      .select(col("vec_id"), col("codes")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codesAfter == codesBefore, "splitCell must re-route rows, never re-encode")
+    // meta flipped v1 -> v2 with v1 retained for in-flight readers
+    val mvs = new java.io.File(s"$dir/meta").listFiles
+      .map(_.getName).filter(_.matches("v\\d+")).sorted
+    assert(mvs.toSeq == Seq("v1", "v2"), s"meta versions: ${mvs.toSeq}")
+    // probes still route and return
+    val res = IvfPqIndex.query(spark, queryBatch, dir, nProbe = 3, topK = 3).collect()
+    assert(res.nonEmpty && res.forall(_.getAs[Long]("qid") < 50))
+    // rebalance: nothing qualifies at a generous threshold (no-op)
+    assert(IvfPqIndex.rebalance(spark, dir, factor = 100.0) == Nil)
+  }
+}
