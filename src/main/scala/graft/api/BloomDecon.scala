@@ -23,33 +23,62 @@ import graft.queries.PipelineExtras
   */
 object BloomDecon {
 
-  /** (train_doc, eval_doc, n_shared) pairs sharing >= minShared
-    * distinct 5-gram shingles — same contract and output as
-    * q_decontaminate.
+  /** The precomputed eval side — cached shingle table plus the Bloom
+    * prefilter — built ONCE and applied to any number of train
+    * frames: the batch `decontaminate` below uses it for one corpus
+    * pass, [[StreamDecon]] closes over it and applies it to every
+    * micro-batch of a doc stream (the filter ships once; batches pay
+    * only their own shingling + the hit-sliver join).
+    */
+  final class EvalFilter private[BloomDecon] (
+      evalSh: DataFrame,
+      bloom: org.apache.spark.util.sketch.BloomFilter,
+      minShared: Int) {
+
+    /** Flag `train` (doc_id, text) against the eval side: the same
+      * (train_doc, eval_doc, n_shared) contract as q_decontaminate.
+      */
+    def flag(train: DataFrame): DataFrame = {
+      val b = bloom
+      val mightHit = udf((s: String) => s != null && b.mightContain(s))
+      val trainHits = PipelineExtras.shingles5(train)
+        .select(col("doc_id").as("train_doc"), col("sh"))
+        .filter(mightHit(col("sh")))
+      // exact verification on the surviving sliver only: false
+      // positives die here, so output == the exact broadcast-join query
+      trainHits.join(evalSh, "sh")
+        .groupBy(col("train_doc"), col("eval_doc"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= minShared)
+        .orderBy("train_doc", "eval_doc")
+    }
+  }
+
+  /** Build the eval side once.
     *
     * @param expectedEvalShingles sizing hint for the Bloom filter
     *        (distinct eval shingles); overestimate is safe (bigger
     *        filter), underestimate inflates fpp only — never
     *        correctness.
     */
+  def evalFilter(eval: DataFrame,
+      minShared: Int = PipelineExtras.DECON_MIN_SHARED,
+      expectedEvalShingles: Long = 1000000L,
+      fpp: Double = 0.01): EvalFilter = {
+    val evalSh = PipelineExtras.shingles5(eval)
+      .select(col("doc_id").as("eval_doc"), col("sh"))
+      .cache() // consumed by the bloomFilter action + every verify join
+    val bloom = evalSh.stat.bloomFilter("sh", expectedEvalShingles, fpp)
+    new EvalFilter(evalSh, bloom, minShared)
+  }
+
+  /** (train_doc, eval_doc, n_shared) pairs sharing >= minShared
+    * distinct 5-gram shingles — same contract and output as
+    * q_decontaminate.
+    */
   def decontaminate(train: DataFrame, eval: DataFrame,
       minShared: Int = PipelineExtras.DECON_MIN_SHARED,
       expectedEvalShingles: Long = 1000000L,
-      fpp: Double = 0.01): DataFrame = {
-    val evalSh = PipelineExtras.shingles5(eval)
-      .select(col("doc_id").as("eval_doc"), col("sh"))
-      .cache() // consumed twice: the bloomFilter action + the verify join
-    val bloom = evalSh.stat.bloomFilter("sh", expectedEvalShingles, fpp)
-    val mightHit = udf((s: String) => s != null && bloom.mightContain(s))
-    val trainHits = PipelineExtras.shingles5(train)
-      .select(col("doc_id").as("train_doc"), col("sh"))
-      .filter(mightHit(col("sh")))
-    // exact verification on the surviving sliver only: false
-    // positives die here, so output == the exact broadcast-join query
-    trainHits.join(evalSh, "sh")
-      .groupBy(col("train_doc"), col("eval_doc"))
-      .agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= minShared)
-      .orderBy("train_doc", "eval_doc")
-  }
+      fpp: Double = 0.01): DataFrame =
+    evalFilter(eval, minShared, expectedEvalShingles, fpp).flag(train)
 }

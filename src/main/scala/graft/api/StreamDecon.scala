@@ -1,0 +1,76 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming decontamination — gate a (doc_id, text) doc stream
+  * against a benchmark/eval set CONTINUOUSLY, on ingest, instead of
+  * sweeping the corpus after the fact.
+  *
+  * The shape exploits doc atomicity: one stream row carries one WHOLE
+  * document, so a doc's contamination verdict is final the moment its
+  * micro-batch arrives — no cross-batch state at all. Each batch runs
+  * the exact [[BloomDecon]] pipeline (Bloom prefilter, then exact
+  * verification against the cached eval shingle table), so the
+  * streamed verdicts are IDENTICAL to the batch query on the same
+  * docs (suite-proven, across a checkpoint restart). The eval side is
+  * built ONCE at stream start; only the constant-size Bloom ships to
+  * executors, per the non-broadcast-eval regime BloomDecon exists
+  * for.
+  *
+  * Output layout (both partitioned by batch):
+  * {{{
+  *   outPath/flagged/batch=<id>/   (train_doc, eval_doc, n_shared)
+  *   outPath/clean/batch=<id>/     the batch's uncontaminated rows
+  * }}}
+  * Each batch OVERWRITES its own `batch=<id>` dirs, so a replay after
+  * a crash-in-commit rewrites the same data instead of duplicating it
+  * (idempotence is per-batch-directory; the streaming checkpoint
+  * guarantees batch ids are stable across restarts).
+  */
+object StreamDecon {
+
+  /** Start the gate. `docStream` is a streaming (doc_id, text, ...)
+    * frame; `eval` is the STATIC eval set (doc_id, text). Extra
+    * docStream columns ride through to the clean output.
+    */
+  def start(docStream: DataFrame, eval: DataFrame, outPath: String,
+      checkpointDir: String,
+      minShared: Int = graft.queries.PipelineExtras.DECON_MIN_SHARED,
+      expectedEvalShingles: Long = 1000000L, fpp: Double = 0.01,
+      trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery = {
+    // one-time eval-side build: shingle table cached, Bloom computed
+    val filter = BloomDecon.evalFilter(eval, minShared, expectedEvalShingles, fpp)
+    docStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatch(filter, batch, outPath, batchId)
+      }
+      .start()
+  }
+
+  /** One batch's gate + write — factored out so idempotence under
+    * replay (same batchId twice) is directly testable. */
+  private[graft] def writeBatch(filter: BloomDecon.EvalFilter,
+      batch: DataFrame, outPath: String, batchId: Long): Unit = {
+    val flagged = filter.flag(batch)
+      .cache() // consumed by its own write + the clean anti-join
+    flagged.write.mode("overwrite").parquet(s"$outPath/flagged/batch=$batchId")
+    batch.join(flagged.select(col("train_doc").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      .write.mode("overwrite").parquet(s"$outPath/clean/batch=$batchId")
+    flagged.unpersist()
+    ()
+  }
+
+  /** All flagged pairs so far (batch partition column dropped). */
+  def readFlagged(spark: SparkSession, outPath: String): DataFrame =
+    spark.read.parquet(s"$outPath/flagged").drop("batch")
+
+  /** All gated-clean docs so far. */
+  def readClean(spark: SparkSession, outPath: String): DataFrame =
+    spark.read.parquet(s"$outPath/clean").drop("batch")
+}

@@ -397,4 +397,53 @@ class StreamingSuite extends GraftSuite {
         s"sketch evicted early on out-of-order input (x-counts ${xCounts.toSeq.sorted})")
     } finally q.stop()
   }
+
+  test("StreamDecon: streamed gate == batch q_decontaminate, across a checkpoint restart") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx = sess.sqlContext
+    val docs = Tables.documents(spark, sf0001)
+    val eval = docs.filter(col("doc_id") < 20).select("doc_id", "text")
+    val train = docs.filter(col("doc_id") >= 20)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val (chunk1, chunk2) = train.partition(_._1 % 2 == 0)
+    val out = java.nio.file.Files.createTempDirectory("sdecon_out").toString
+    val cp = java.nio.file.Files.createTempDirectory("sdecon_cp").toString
+    val ms = MemoryStream[(Long, String)]
+    def start() = graft.api.StreamDecon.start(
+      ms.toDF().toDF("doc_id", "text"), eval, out, cp,
+      expectedEvalShingles = 10000L)
+    val q1 = start()
+    ms.addData(chunk1.toSeq: _*)
+    q1.processAllAvailable()
+    q1.stop() // mid-stream kill: offsets survive only via the checkpoint
+    val q2 = start()
+    ms.addData(chunk2.toSeq: _*)
+    q2.processAllAvailable()
+    q2.stop()
+    val got = graft.api.StreamDecon.readFlagged(spark, out).collect()
+      .map(r => (r.getAs[Long]("train_doc"), r.getAs[Long]("eval_doc"),
+        r.getAs[Long]("n_shared"))).toSet
+    val want = graft.queries.PipelineExtras.qDecontaminate(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("train_doc"), r.getAs[Long]("eval_doc"),
+        r.getAs[Long]("n_shared"))).toSet
+    assert(got == want,
+      s"streamed flags must equal the batch query; diff=${(got diff want).take(5)} / ${(want diff got).take(5)}")
+    // the gated-clean side is exactly the unflagged train docs
+    val clean = graft.api.StreamDecon.readClean(spark, out).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val flaggedDocs = want.map(_._1)
+    assert(clean == (train.map(_._1).toSet diff flaggedDocs),
+      "clean output must be the train docs minus the flagged ones")
+    // replay idempotence: a crash-in-commit reruns a batch with the
+    // SAME id — the per-batch dirs overwrite, so nothing duplicates
+    val filter = graft.api.BloomDecon.evalFilter(eval, expectedEvalShingles = 10000L)
+    val replayBatch = spark.createDataFrame(chunk2.toSeq).toDF("doc_id", "text")
+    graft.api.StreamDecon.writeBatch(filter, replayBatch, out, 1L)
+    val again = graft.api.StreamDecon.readFlagged(spark, out).collect()
+      .map(r => (r.getAs[Long]("train_doc"), r.getAs[Long]("eval_doc"),
+        r.getAs[Long]("n_shared"))).toSet
+    assert(again == want, "replaying a batch id must not duplicate flags")
+  }
 }
