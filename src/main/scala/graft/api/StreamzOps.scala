@@ -67,6 +67,44 @@ object StreamzOps {
   /** `delay(interval)`: trigger cadence — one poll per interval. */
   def delay(interval: String): Trigger = Trigger.ProcessingTime(interval)
 
+  /** Global row index WITHOUT the single-task Window funnel that
+    * `row_number() OVER (ORDER BY ...)` plans: range-partition on the
+    * order columns (distributed boundary sampling), sort WITHIN each
+    * partition, then number rows as bucket offset + partition-local
+    * position. One parallel shuffle plus one planning-scale counts
+    * aggregate — the q_win_ntile trick (Relational.scala) factored
+    * for arbitrary order columns. Values are identical to the naive
+    * window's for any UNIQUE total order (`orderBy` must include a
+    * tiebreak), at any scale.
+    *
+    * The partition-local position comes from
+    * `monotonically_increasing_id`'s documented layout (partition id
+    * in the upper bits, a 33-bit per-partition counter below) applied
+    * AFTER the local sort — no second shuffle, unlike a
+    * `Window.partitionBy(bucket)` pass, which would hash-exchange the
+    * range-partitioned rows again.
+    */
+  def globalRowNumber(df: DataFrame, orderBy: Seq[Column], as: String,
+      buckets: Int = 0): DataFrame = {
+    val n = if (buckets > 0) buckets
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(n, orderBy: _*)
+      .sortWithinPartitions(orderBy: _*)
+      .withColumn("_gix_pid", spark_partition_id())
+      .withColumn("_gix_mid", monotonically_increasing_id())
+      .cache() // the counts job and the consumer share one shuffle+sort
+    val counts = ranged.groupBy(col("_gix_pid")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    var acc = 0L
+    val offsets = (0 until n).map { p =>
+      val o = acc; acc += counts.getOrElse(p, 0L); p.toLong -> o
+    }.toMap
+    val offCol = element_at(typedlit(offsets), col("_gix_pid").cast("long"))
+    ranged.withColumn(as, offCol +
+        (col("_gix_mid") - shiftleft(col("_gix_pid").cast("long"), 33)) + lit(1L))
+      .drop("_gix_pid", "_gix_mid")
+  }
+
   implicit class StreamzDataFrame(val df: DataFrame) extends AnyVal {
 
     /** streamz `map(fn)`: per-element transform (projection). */
@@ -107,18 +145,13 @@ object StreamzOps {
         .agg(aggs.head, aggs.tail: _*)
 
     /** streamz `partition(n)`: chunk ids of n consecutive rows in
-      * `orderBy` order.
-      *
-      * SCALE WARNING: the partition-less Window funnels ALL rows
-      * through one task — inherent to the reference's global arrival
-      * order. At scale, chunk within a natural key instead, or derive
-      * a global index via range-bucketed offsets (see q_win_ntile,
-      * Relational.scala) when exact global chunking is required.
+      * `orderBy` order. Chunk ids derive from [[globalRowNumber]] —
+      * parallel at any scale (no single-task global Window).
       */
-    def partitionChunks(n: Int, orderBy: Seq[Column], as: String = "chunk"): DataFrame = {
-      val w = Window.orderBy(orderBy: _*)
-      df.withColumn(as, ((row_number().over(w) - 1) / n).cast("long"))
-    }
+    def partitionChunks(n: Int, orderBy: Seq[Column], as: String = "chunk"): DataFrame =
+      globalRowNumber(df, orderBy, "_pc_rn")
+        .withColumn(as, ((col("_pc_rn") - 1) / n).cast("long"))
+        .drop("_pc_rn")
 
     /** streamz `union(*streams)`. */
     def unionWith(others: DataFrame*): DataFrame =
@@ -126,17 +159,14 @@ object StreamzOps {
 
     /** streamz `zip(other)`: align i-th elements of two frames —
       * row-index equi-join; each side's index is defined by its own
-      * explicit ordering.
-      *
-      * SCALE WARNING: both sides' global row_number funnel through one
-      * task each (same caveat as partitionChunks) — fine for the
-      * reference's stream-alignment semantic on modest streams; for
-      * large frames prefer joining on a real key.
+      * explicit ordering. Both indexes derive from [[globalRowNumber]]
+      * (range-bucketed offsets), so neither side funnels through a
+      * single task.
       */
     def zipWith(other: DataFrame, leftOrder: Seq[Column],
         rightOrder: Seq[Column]): DataFrame = {
-      val l = df.withColumn("_zip_idx", row_number().over(Window.orderBy(leftOrder: _*)))
-      val r = other.withColumn("_zip_idx", row_number().over(Window.orderBy(rightOrder: _*)))
+      val l = globalRowNumber(df, leftOrder, "_zip_idx")
+      val r = globalRowNumber(other, rightOrder, "_zip_idx")
       l.join(r, "_zip_idx").drop("_zip_idx")
     }
 

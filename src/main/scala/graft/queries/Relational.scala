@@ -423,6 +423,9 @@ object Relational {
     val daily = Tables.orders(s, dir)
       .groupBy(col("o_orderdate").cast("date").as("day"))
       .agg(sum(dec(col("o_totalprice"))).cast("decimal(38,2)").as("daily_total"))
+    // global-window OK: input is one row per DAY (post-aggregation,
+    // planning-scale cardinality at any corpus size), and a ±3-row
+    // frame over a global order is inherently sequential
     val w = Window.orderBy(col("day")).rowsBetween(-3, 3)
     daily.select(col("day"),
         round(sum(col("daily_total")).over(w).cast("double") /

@@ -1,5 +1,6 @@
 package graft
 
+import scala.jdk.CollectionConverters._
 import graft.queries.Relational
 
 /** Plan-shape guards (SURVEY.md §5.6): the §4 "free from Catalyst"
@@ -86,5 +87,25 @@ class PlanSuite extends GraftSuite {
         org.apache.spark.sql.functions.ntile(4).over(w).as("q"))
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(got == want, "bucketed ntile must equal the naive global-window ntile")
+  }
+
+  test("no undeclared partition-less Window remains anywhere in src/main") {
+    // source-scan guard: a `Window.orderBy(...)` with no partitionBy is
+    // the single-task global funnel q_win_ntile/zipWith were rebuilt to
+    // avoid. The only sanctioned use carries an explicit
+    // `global-window OK:` justification on the preceding lines.
+    val srcRoot = java.nio.file.Paths.get("src/main/scala")
+    val offenders = java.nio.file.Files.walk(srcRoot).iterator().asScala
+      .filter(_.toString.endsWith(".scala"))
+      .flatMap { p =>
+        val lines = java.nio.file.Files.readAllLines(p).asScala
+        lines.zipWithIndex.collect {
+          case (l, i) if l.contains("Window.orderBy") &&
+              !lines.slice((i - 4).max(0), i).exists(_.contains("global-window OK:")) =>
+            s"$p:${i + 1}: $l"
+        }
+      }.toSeq
+    assert(offenders.isEmpty,
+      s"partition-less Window without a 'global-window OK:' justification:\n${offenders.mkString("\n")}")
   }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import graft.api.StreamzOps
 import graft.api.StreamzOps._
 
 /** Known-answer tests for the streamz-vocabulary facade (SURVEY.md
@@ -176,5 +177,25 @@ class StreamzOpsSuite extends GraftSuite {
       .map(r => (r.getLong(1), r.getDouble(3))).toSeq
     assert(got == batch, s"stream ring must equal batch window:\n$got\n$batch")
     assert(got.last._2 == 14.0, "seq 4 window = 2+4+8 after evicting 1")
+  }
+
+  test("globalRowNumber == naive global row_number, with no single-task Window in the plan") {
+    val cust = Tables.customer(spark, SparkTestBase.sf0001)
+    val order = Seq(col("c_acctbal").desc, col("c_custkey"))
+    val df = StreamzOps.globalRowNumber(cust, order, "rn")
+    val exec = df.queryExecution.executedPlan
+    val globalWindows = exec.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.isEmpty,
+      s"globalRowNumber must not plan a partition-less Window:\n$exec")
+    val got = df.select(col("c_custkey"), col("rn")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w = org.apache.spark.sql.expressions.Window.orderBy(order: _*)
+    val want = cust.select(col("c_custkey"),
+        row_number().over(w).cast("long").as("rn"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, "range-bucketed global index must equal the naive window's values")
   }
 }
