@@ -124,6 +124,20 @@ class CuratePipelineSuite extends GraftSuite {
       "only cluster exemplars (minima) may survive transitive fuzzy dedup")
   }
 
+  test("DedupClusters: a diameter-60 chain converges in O(log d) rounds (no maxIters bump)") {
+    val sess = spark; import sess.implicits._
+    // path 0-1-2-...-60: plain min-label propagation needs 60 rounds
+    // (> the default maxIters=50); the pointer jump must collapse it
+    val pairs = (0L until 60L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    // a tight iteration budget pins the LOGARITHMIC claim, not just
+    // "converges eventually": ceil(log2(60)) + slack
+    val got = graft.api.DedupClusters.assign(pairs, maxIters = 12).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == (0L to 60L).toSet)
+    assert(got.values.forall(_ == 0L),
+      s"whole chain must label to the minimum; got ${got.toSeq.sorted.take(8)}...")
+  }
+
   test("bit-for-bit reproducible") {
     val (again, report2) = CuratePipeline.curate(spark, sf0001)
     assert(report2 == report)
