@@ -37,9 +37,10 @@ import org.apache.spark.sql.functions._
   * needs a cell's centroid to encode. The exact re-rank recovers the
   * resolution loss, and the suite pins the recall floor.
   *
-  * Query cost at scale: nProbe/k of the corpus' CODE bytes (m·log2(k)
-  * bits per vector — 64-dim float32 at m=8,k=16 is 64× smaller), plus
-  * the shortlist's embeddings. Nothing touches unprobed cells.
+  * Query cost at scale: nProbe/k of the corpus' CODE bytes (m
+  * byte-packed codes per vector — 64-dim float32 at m=8 is 32×
+  * smaller), plus the shortlist's embeddings. Nothing touches
+  * unprobed cells.
   */
 object IvfPqIndex {
 
@@ -187,8 +188,9 @@ object IvfPqIndex {
   }
 
   /** Top-k cosine neighbors per query: probe nProbe cells, ADC-scan
-    * ONLY those cells' codes (built-in HOFs — fully codegen'd, no UDF
-    * on the corpus side), exact `fvec_dot` re-rank of the per-query
+    * ONLY those cells' codes (the native codegen `pq_adc` expression
+    * over byte-packed codes — no UDF on the corpus side), exact
+    * `fvec_dot` re-rank of the per-query
     * shortlist against the probed cells' embeddings. Returns
     * (qid, rn, nid, cos_sim), self-matches excluded.
     *
@@ -200,6 +202,7 @@ object IvfPqIndex {
       nProbe: Int = 4, topK: Int = 5, shortlist: Int = 50,
       broadcastQueries: Boolean = true): DataFrame = {
     graft.functions.FloatVecDot.register(spark)
+    graft.functions.PqAdc.register(spark)
     val meta = loadMeta(spark, indexDir)
     val probe = IvfIndex.nearestCells(meta.centers, nProbe)
     val lut = PqIndex.lutUdf(meta.books, meta.m, meta.k, meta.sub)
@@ -213,8 +216,7 @@ object IvfPqIndex {
       .select(col("cell"), col("vec_id").as("nid"), col("codes"))
     val short = qSide.join(codes, "cell")
       .filter(col("qid") =!= col("nid"))
-      .withColumn("adc_dist", expr(
-        s"aggregate(transform(codes, (c, j) -> lut[j * ${meta.k} + c]), 0D, (acc, x) -> acc + x)"))
+      .withColumn("adc_dist", expr("pq_adc(codes, lut)"))
       .withColumn("_sr", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("adc_dist"), col("nid"))))
       .filter(col("_sr") <= shortlist)

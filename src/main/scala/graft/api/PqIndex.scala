@@ -8,22 +8,27 @@ import org.apache.spark.sql.functions._
 
 /** Product-quantization ANN index — the memory-bounded encoding that
   * makes billion-vector search feasible: each d-dim float vector is
-  * stored as `m` small codes (one per contiguous subspace), shrinking
-  * d×4 bytes to m×log2(k) bits (64-dim float32 → 8 codes of 4 bits =
-  * 4 bytes, a 64× reduction). Queries run ADC (asymmetric distance
-  * computation): the query stays exact, each corpus vector's distance
-  * is approximated as the sum of per-subspace distances between the
-  * query sub-vector and the corpus code's centroid — a table lookup.
+  * stored as `m` BYTE-PACKED codes (one byte per contiguous subspace,
+  * k ≤ 256 centroids each), shrinking d×4 bytes to m bytes — 64-dim
+  * float32 → 8 bytes, a 32× reduction, whether k is 16 or the full
+  * 256 (so k=256's 16× finer codebooks are FREE storage-wise; the
+  * suite pins that its recall dominates k=16). Queries run ADC
+  * (asymmetric distance computation): the query stays exact, each
+  * corpus vector's distance is approximated as the sum of
+  * per-subspace distances between the query sub-vector and the corpus
+  * code's centroid — a table lookup.
   *
   * Spark-first shape:
   *  - codebooks: m independent KMeans fits on a deterministic
   *    hash-gated SAMPLE (training cost never scales with the corpus;
   *    the codebooks are m×k×(d/m) doubles — broadcast-sized always);
-  *  - encoding: one linear pass, codes as array<int>;
+  *  - encoding: one linear pass, codes as a binary column of m bytes;
   *  - ADC scan: the per-query lookup table is computed ONCE per query
   *    row (tiny UDF over the query batch), then the hot loop —
-  *    millions of corpus rows — is pure built-in array HOFs
-  *    (`transform` + `aggregate` lookups), fully codegen'd, no UDF;
+  *    millions of corpus rows — is the native codegen
+  *    [[graft.functions.PqAdc]] expression (Spark has no HOFs over
+  *    binary; unpacking to array<int> at scan time would undo the
+  *    packing), no UDF;
   *  - shortlist → EXACT re-rank: ADC keeps the top `shortlist`
   *    candidates per query, which join back to the true vectors for
   *    an exact cosine re-rank (`fvec_dot`) — the standard PQ
@@ -65,10 +70,11 @@ object PqIndex {
     }
   }
 
-  /** Encoder UDF: nearest sub-centroid id per subspace, one linear
-    * pass per vector. Codebooks pre-grouped by subspace so the
-    * per-row loop indexes straight into its subspace's centroids
-    * (O(m·k·sub) per vector).
+  /** Encoder UDF: nearest sub-centroid id per subspace (one BYTE per
+    * subspace — unsigned, so ids up to 255), one linear pass per
+    * vector. Codebooks pre-grouped by subspace so the per-row loop
+    * indexes straight into its subspace's centroids (O(m·k·sub) per
+    * vector).
     */
   private[api] def encodeUdf(books: Seq[(Int, Int, Seq[Double])], m: Int, sub: Int) = {
     val bySub: Array[Array[(Int, Array[Double])]] = books
@@ -82,8 +88,8 @@ object PqIndex {
           var d = 0.0; var i = 0
           while (i < v.length) { val t = v(i) - c(i); d += t * t; i += 1 }
           d
-        }._1
-      })
+        }._1.toByte
+      }.toArray)
   }
 
   /** Per-QUERY ADC lookup table: lut[j*k + c] = ||q_j - center(j,c)||².
@@ -117,7 +123,8 @@ object PqIndex {
   def build(spark: SparkSession, embeddings: DataFrame, indexDir: String,
       m: Int = 8, k: Int = 16, seed: Long = 42L,
       trainSampleMod: Int = 1): Unit = {
-    require(m > 0 && k > 1, s"need m > 0, k > 1 (got $m, $k)")
+    require(m > 0 && k > 1 && k <= 256,
+      s"need m > 0, 1 < k <= 256 (byte-packed codes) (got $m, $k)")
     val sess = spark
     import sess.implicits._
     val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
@@ -153,6 +160,7 @@ object PqIndex {
       indexDir: String, topK: Int = 5, shortlist: Int = 50,
       restrictTo: Option[DataFrame] = None): DataFrame = {
     graft.functions.FloatVecDot.register(spark)
+    graft.functions.PqAdc.register(spark)
     val vdir = currentVersionDir(spark, indexDir)
     val books = loadBooks(spark, codebooksPath(vdir))
     val m = books.keys.map(_._1).max + 1
@@ -163,12 +171,11 @@ object PqIndex {
     val codesAll = spark.read.parquet(codesPath(vdir))
     val codes = restrictTo.fold(codesAll)(ids =>
       codesAll.join(ids.select(col("vec_id")), Seq("vec_id"), "left_semi"))
-    // ADC hot loop over every (query, corpus) pair: pure built-in
-    // HOFs — transform the code array into its LUT distances and sum.
-    // Fully codegen'd; no UDF touches the corpus-sized side.
+    // ADC hot loop over every (query, corpus) pair: the native codegen
+    // pq_adc expression over the byte-packed codes (k inferred from
+    // |lut|/|codes|). No UDF touches the corpus-sized side.
     val adc = codes.crossJoin(broadcast(q))
-      .withColumn("adc_dist", expr(
-        s"aggregate(transform(codes, (c, j) -> lut[j * $k + c]), 0D, (acc, x) -> acc + x)"))
+      .withColumn("adc_dist", expr("pq_adc(codes, lut)"))
       .filter(col("qid") =!= col("vec_id"))
       .withColumn("_sr", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("adc_dist"), col("vec_id"))))

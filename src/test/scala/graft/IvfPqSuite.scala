@@ -82,7 +82,7 @@ class IvfPqSuite extends GraftSuite {
     val rows = spark.read.parquet(s"$dir/cells")
       .filter(col("vec_id").isin(100L, 200L, 300L, 100100L, 100200L, 100300L))
       .select(col("vec_id"), col("cell"), col("codes")).collect()
-      .map(r => r.getLong(0) -> (r.getInt(1), r.getSeq[Int](2))).toMap
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getAs[Array[Byte]](2).toSeq)).toMap
     Seq(100L, 200L, 300L).foreach { id =>
       assert(rows(id) == rows(id + 100000L),
         s"clone of $id must carry identical (cell, codes): ${rows(id)} vs ${rows(id + 100000L)}")
@@ -105,7 +105,7 @@ class IvfPqSuite extends GraftSuite {
     val before = IvfPqIndex.cellSizes(spark, dir)
     val codesBefore = spark.read.parquet(s"$dir/cells")
       .select(col("vec_id"), col("codes")).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
     val hot = before.maxBy(_._2)._1
     IvfPqIndex.splitCell(spark, dir, hot)
     val after = IvfPqIndex.cellSizes(spark, dir)
@@ -118,7 +118,7 @@ class IvfPqSuite extends GraftSuite {
     // not touch a single code anywhere in the index
     val codesAfter = spark.read.parquet(s"$dir/cells")
       .select(col("vec_id"), col("codes")).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
     assert(codesAfter == codesBefore, "splitCell must re-route rows, never re-encode")
     // meta flipped v1 -> v2 with v1 retained for in-flight readers
     val mvs = new java.io.File(s"$dir/meta").listFiles

@@ -5,9 +5,9 @@ import graft.api.PqIndex
 import graft.queries.LlmPipeline
 
 /** Product-quantization ANN: build → ADC shortlist → exact re-rank.
-  * The recall bar is the 100 TB claim: 4-bit-per-subspace codes (64×
-  * smaller than the float vectors) must still shortlist the true
-  * neighbors for the exact re-rank to recover.
+  * The recall bar is the 100 TB claim: byte-packed codes (m bytes —
+  * 32× smaller than the 64-dim float vectors) must still shortlist
+  * the true neighbors for the exact re-rank to recover.
   */
 class PqIndexSuite extends GraftSuite {
 
@@ -17,34 +17,61 @@ class PqIndexSuite extends GraftSuite {
     dir
   }
 
-  test("codes are m small ints per vector — the 64x storage story") {
+  private def recallAt5(got: Array[org.apache.spark.sql.Row]): Double = {
+    val exact = LlmPipeline.qSimCosineTopk(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ann = got.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (q, want) =>
+      ann.get(q).map(g => g.intersect(want).size.toDouble / want.size).getOrElse(0.0)
+    }
+    recalls.sum / recalls.size
+  }
+
+  test("codes are m BYTES per vector — the 32x storage story, at k=16 and k=256 alike") {
     val codes = spark.read.parquet(s"$indexDir/v1/codes")
     assert(codes.count() == Tables.embeddings(spark, sf0001).count())
-    val r = codes.select(size(col("codes")).as("m"),
-      array_max(col("codes")).as("mx"), array_min(col("codes")).as("mn"))
-      .agg(max("m"), min("m"), max("mx"), min("mn")).head()
-    assert(r.getInt(0) == 8 && r.getInt(1) == 8, "exactly m=8 codes per vector")
-    assert(r.getInt(2) < 16 && r.getInt(3) >= 0, "codes fit 4 bits (k=16)")
+    assert(codes.schema("codes").dataType ==
+      org.apache.spark.sql.types.BinaryType, "codes column must be binary")
+    val r = codes.select(octet_length(col("codes")).as("m")).agg(max("m"), min("m")).head()
+    assert(r.getInt(0) == 8 && r.getInt(1) == 8, "exactly m=8 bytes per vector")
+    val allCodes = codes.collect().flatMap(_.getAs[Array[Byte]]("codes")).map(_ & 0xFF)
+    assert(allCodes.forall(c => c >= 0 && c < 16), "k=16 codes use only ids 0..15")
     val books = spark.read.parquet(s"$indexDir/v1/codebooks")
     assert(books.count() == 8 * 16, "m x k codebook entries")
     assert(new java.io.File(s"$indexDir/v1/_graft_committed").exists,
       "codebooks+codes publish as one committed version")
   }
 
-  test("ADC shortlist + exact re-rank: recall@5 well above random") {
-    val exact = LlmPipeline.qSimCosineTopk(spark, sf0001).collect()
-      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid")))
-      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+  test("k=256: the full unsigned-byte code range is live and recall does not regress") {
+    val dir = java.nio.file.Files.createTempDirectory("pq_idx256").toString
+    PqIndex.build(spark, Tables.embeddings(spark, sf0001), dir, m = 8, k = 256)
+    val codes = spark.read.parquet(s"$dir/v1/codes")
+    val widths = codes.select(octet_length(col("codes")).as("m"))
+      .agg(max("m"), min("m")).head()
+    assert(widths.getInt(0) == 8 && widths.getInt(1) == 8,
+      "k=256 codes are STILL m=8 bytes (that is the point of byte packing)")
+    // codes above 127 exercise the unsigned mask in pq_adc; codes
+    // above 15 prove the larger codebook actually trained
+    val allCodes = codes.collect().flatMap(_.getAs[Array[Byte]]("codes")).map(_ & 0xFF)
+    assert(allCodes.exists(_ > 127), "expected codes in the signed-negative byte range")
     val queries = Tables.embeddings(spark, sf0001).filter(col("vec_id") < 50)
       .select(col("vec_id").as("qid"), col("embedding"))
-    val pq = PqIndex.query(spark, queries, Tables.embeddings(spark, sf0001),
-        indexDir, topK = 5, shortlist = 50).collect()
-      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid")))
-      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-    val recalls = exact.map { case (q, want) =>
-      pq.get(q).map(got => got.intersect(want).size.toDouble / want.size).getOrElse(0.0)
-    }
-    val mean = recalls.sum / recalls.size
+    val r256 = recallAt5(PqIndex.query(spark, queries,
+      Tables.embeddings(spark, sf0001), dir, topK = 5, shortlist = 50).collect())
+    val r16 = recallAt5(PqIndex.query(spark, queries,
+      Tables.embeddings(spark, sf0001), indexDir, topK = 5, shortlist = 50).collect())
+    assert(r256 >= r16 - 0.02,
+      f"k=256 recall $r256%.2f must not regress vs k=16's $r16%.2f")
+    assert(r256 >= 0.5, f"k=256 recall@5 $r256%.2f below floor")
+  }
+
+  test("ADC shortlist + exact re-rank: recall@5 well above random") {
+    val queries = Tables.embeddings(spark, sf0001).filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val mean = recallAt5(PqIndex.query(spark, queries,
+      Tables.embeddings(spark, sf0001), indexDir, topK = 5, shortlist = 50).collect())
     // random 50-of-499 shortlist would give ~0.10 recall@5; the ADC
     // shortlist must concentrate true neighbors
     assert(mean >= 0.5, f"PQ mean recall@5 $mean%.2f (random-shortlist baseline ~0.10)")
