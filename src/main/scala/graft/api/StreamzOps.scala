@@ -430,9 +430,21 @@ object StreamzOps {
     * previous committed snapshot until the rename lands); run it from
     * the single writer between batches, like any table OPTIMIZE.
     * Returns the number of data files before compaction.
+    *
+    * @param zorderBy optional OPTIMIZE ZORDER BY: cluster each
+    *        bucket's rewritten file by the Morton order of these
+    *        dimension columns ([[ZOrder.codesFor]]), so row-group
+    *        min/max stats on them become tight and multi-dimension
+    *        predicates skip within the compacted files
+    *        (LayoutSuite-pinned). Micro-batch writes land unordered;
+    *        ordering belongs in the maintenance rewrite, which is
+    *        exactly when a lakehouse OPTIMIZE applies ZORDER. The
+    *        bucket layout (one dir per bucket, keyed lookups) is
+    *        unchanged — the z-sort happens WITHIN each bucket.
     */
   def compactTable(spark: org.apache.spark.sql.SparkSession,
-      tablePath: String, retainManifests: Int = 0): Long = {
+      tablePath: String, retainManifests: Int = 0,
+      zorderBy: Seq[String] = Nil, zorderBits: Int = 8): Long = {
     val fs = new org.apache.hadoop.fs.Path(tablePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val (numBuckets, n, entries) = currentManifest(fs, tablePath).getOrElse(
@@ -445,10 +457,20 @@ object StreamzOps {
     }.sum.toLong
     val next = n + 1
     val dataRel = s"data/m$next"
-    spark.read.parquet(entries.values.map(d => s"$tablePath/$d").toSeq: _*)
+    val base = spark.read.parquet(entries.values.map(d => s"$tablePath/$d").toSeq: _*)
       .repartition(numBuckets, col(BucketCol)) // one task -> one file per bucket
       .withColumn("_bp", col(BucketCol))
-      .write.mode("overwrite").partitionBy("_bp")
+    val shaped =
+      if (zorderBy.isEmpty) base
+      else base
+        // sort key starts with _bp: the partitioned write's required
+        // per-task ordering on the partition column is then already
+        // satisfied (a semantic prefix), so no second — and not
+        // necessarily stable — sort re-shuffles the z order away
+        .withColumn("_z", ZOrder.zValue(ZOrder.codesFor(base, zorderBy, zorderBits), zorderBits))
+        .sortWithinPartitions(col("_bp"), col("_z"))
+        .drop("_z")
+    shaped.write.mode("overwrite").partitionBy("_bp")
       .parquet(s"$tablePath/$dataRel")
     val written = fs.listStatus(new org.apache.hadoop.fs.Path(s"$tablePath/$dataRel"))
       .filter(_.isDirectory).map(_.getPath.getName)

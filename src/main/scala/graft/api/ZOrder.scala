@@ -85,17 +85,25 @@ object ZOrder {
     * plain `.write.parquet(...)`: each task's file then carries tight
     * min/max footer stats on every dimension.
     */
-  def clusterBy(df: DataFrame, dims: Seq[String], numFiles: Int,
-      bits: Int = 8): DataFrame = {
-    require(dims.nonEmpty && numFiles > 0)
+  /** Per-dimension integer codes, numeric dims by range scaling and
+    * everything else by dense categorical rank — the shared front end
+    * of [[clusterBy]] and [[StreamzOps.compactTable]]'s z-ordered
+    * OPTIMIZE.
+    */
+  def codesFor(df: DataFrame, dims: Seq[String], bits: Int = 8): Seq[Column] = {
     import org.apache.spark.sql.types.NumericType
-    val codes = dims.map { d =>
+    dims.map { d =>
       df.schema(d).dataType match {
         case _: NumericType => dimCodeRange(df, d, bits)
         case _ => dimCode(df, d, bits)
       }
     }
-    df.withColumn("_z", zValue(codes, bits))
+  }
+
+  def clusterBy(df: DataFrame, dims: Seq[String], numFiles: Int,
+      bits: Int = 8): DataFrame = {
+    require(dims.nonEmpty && numFiles > 0)
+    df.withColumn("_z", zValue(codesFor(df, dims, bits), bits))
       .repartitionByRange(numFiles, col("_z"))
       .sortWithinPartitions(col("_z"))
       .drop("_z")

@@ -438,6 +438,88 @@ class CdcSourceSuite extends GraftSuite {
     assert(state() == before, "compaction must not change the snapshot")
   }
 
+  test("compactTable + zorderBy: OPTIMIZE ZORDER — row groups skip on both dims; snapshot identical") {
+    import graft.api.StreamzOps._
+    import scala.jdk.CollectionConverters._
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx = sess.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("upsert_zorder").toString
+    val table = s"$base/state"
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, String, String)]
+    val q = ms.toDF().toDF("key", "seq", "lang", "source")
+      .sinkUpsert(table, Seq("key"), "seq", s"$base/cp", numBuckets = 2,
+        trigger = Trigger.ProcessingTime(0))
+    try {
+      // interleaved dims: neither bucket hash nor arrival order
+      // correlates with (lang, source), so unordered files have
+      // full-range stats on both
+      ms.addData((1L to 16000L).map(k =>
+        (k, k, s"l${k % 8}", s"src${(k / 8) % 16}")): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    def state() = readUpsertTable(spark, table).collect()
+      .map(r => r.getAs[Long]("key") -> r.getAs[String]("source")).toMap
+    val before = state()
+    // (overlapping, total) row groups whose min/max stats admit the
+    // predicates — what any stats-based reader must read
+    def overlaps(preds: Map[String, String]): (Int, Int) = {
+      val fs = new java.io.File(s"$table/data")
+      val latest = fs.listFiles.filter(_.getName.matches("m\\d+"))
+        .maxBy(_.getName.stripPrefix("m").toInt)
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles.toSeq.flatMap(walk) else Seq(f)
+      val files = walk(latest).filter(_.getName.endsWith(".parquet"))
+      val conf = spark.sessionState.newHadoopConf()
+      var total = 0; var hit = 0
+      files.foreach { f =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf))
+        try r.getRowGroups.asScala.foreach { rg =>
+          total += 1
+          val ok = preds.forall { case (c, v) =>
+            val st = rg.getColumns.asScala.find(_.getPath.toDotString == c).get.getStatistics
+            val mn = st.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
+            val mx = st.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
+            mn <= v && v <= mx
+          }
+          if (ok) hit += 1
+        } finally r.close()
+      }
+      (hit, total)
+    }
+    // small row groups so skipping is visible INSIDE each bucket's
+    // single compacted file (the base hadoop conf feeds every write)
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("parquet.block.size", "32768")
+    hc.set("parquet.page.size", "8192")
+    try {
+      val preds = Map("lang" -> "l3", "source" -> "src5")
+      graft.api.StreamzOps.compactTable(spark, table)
+      val (plainHit, plainTotal) = overlaps(preds)
+      graft.api.StreamzOps.compactTable(spark, table, zorderBy = Seq("lang", "source"))
+      val (zHit, zTotal) = overlaps(preds)
+      assert(plainTotal > 2 && zTotal > 2,
+        s"need multiple row groups per bucket to see skipping ($plainTotal, $zTotal)")
+      assert(zHit < plainHit,
+        s"z-ordered compaction must overlap fewer row groups ($zHit/$zTotal) " +
+          s"than plain compaction ($plainHit/$plainTotal)")
+    } finally {
+      hc.unset("parquet.block.size")
+      hc.unset("parquet.page.size")
+    }
+    assert(state() == before, "z-ordered compaction must not change the snapshot")
+    // still one file per surviving bucket dir (the OPTIMIZE contract)
+    val latest = new java.io.File(s"$table/data").listFiles
+      .filter(_.getName.matches("m\\d+")).maxBy(_.getName.stripPrefix("m").toInt)
+    val perDir = latest.listFiles.filter(_.getName.startsWith("_bp="))
+      .map(_.listFiles.count(f => f.getName.endsWith(".parquet")))
+    assert(perDir.nonEmpty && perDir.forall(_ == 1),
+      s"one file per bucket after z compaction: ${perDir.toSeq}")
+  }
+
   test("sinkUpsert retention: reader inside the publish window sees only committed snapshots; time travel") {
     import graft.api.StreamzOps._
     val sess = spark
