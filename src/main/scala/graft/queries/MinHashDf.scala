@@ -37,14 +37,15 @@ object MinHashDf {
 
   // ---- #71 q_dedup_minhash_df --------------------------------------------
   val qDedupMinhashDf: Q = (s, dir) => {
-    // distinct 3-shingles with a 28-bit md5-derived hash
+    // distinct 3-shingles with a 28-bit md5-derived hash; the dedup is
+    // per-doc array_distinct BEFORE the explode — identical to a
+    // global distinct on (doc_id, sh), minus its full shuffle
     val sh = Tables.documents(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))")))
         .as("sh"))
-      .distinct()
       .withColumn("h", expr("CAST(conv(substring(md5(sh), 1, 7), 16, 10) AS BIGINT)"))
       .cache() // consumed 4× (signatures, sizes, both intersection sides)
     // k signatures AND the doc's shingle count in ONE aggregation pass
