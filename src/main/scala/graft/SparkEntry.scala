@@ -26,9 +26,11 @@ object SparkEntry {
     * ~15% of the round-1 bench while the pure-DataFrame banding variant
     * produces an oracle-checked superset of the signal at ~1/6 the cost
     * (round-1 verdict, perf item 1). It remains recall-asserted in
-    * OperatorSuite.
+    * OperatorSuite. q_sim_ivfpq_ann builds the persisted IvfPqIndex
+    * inline — its time is the index BUILD (a maintenance job, not a
+    * query); the probe path and recall are suite-pinned (IvfPqSuite).
     */
-  val benchExclude: Set[String] = Set("q_dedup_fuzzy_minhash")
+  val benchExclude: Set[String] = Set("q_dedup_fuzzy_minhash", "q_sim_ivfpq_ann")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

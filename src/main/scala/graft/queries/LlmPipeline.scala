@@ -198,6 +198,24 @@ object LlmPipeline {
       .orderBy("qid", "rn")
   }
 
+  // ---- #87 q_sim_ivfpq_ann (no oracle — kmeans codebooks seed-specific) ---
+  // The fused IVF-PQ lifecycle as a driver-visible query: build the
+  // persisted index (PQ codes stored INSIDE each IVF cell partition,
+  // graft.api.IvfPqIndex) in a scratch dir, then probe it — the probe
+  // reads only nProbe cells' byte-packed code columns plus the
+  // shortlist's embeddings. Seeded → deterministic. benchExcluded:
+  // the timing would be dominated by the index BUILD (a maintenance
+  // job, not a query); the suite pins recall, plan pruning and the
+  // add/splitCell lifecycle.
+  val qSimIvfpqAnn: Q = (s, dir) => {
+    val idx = java.nio.file.Files.createTempDirectory("ivfpq_q").toString
+    graft.api.IvfPqIndex.build(s, Tables.embeddings(s, dir), idx,
+      kCells = 16, m = 8, kSub = 16, seed = 42L)
+    val probes = Tables.embeddings(s, dir).filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    graft.api.IvfPqIndex.query(s, probes, idx, nProbe = 4, topK = 5)
+  }
+
   // ---- #56 q_text_tfidf --------------------------------------------------
   // Plain-SQL tf-idf (tf = term count in lang; idf = ln(n_langs /
   // langs containing term)) — fully oracle-able; the MLlib
@@ -292,6 +310,7 @@ object LlmPipeline {
     "q_sim_cosine_topk" -> qSimCosineTopk,
     "q_sim_lsh_ann" -> qSimLshAnn,
     "q_sim_ivf_ann" -> qSimIvfAnn,
+    "q_sim_ivfpq_ann" -> qSimIvfpqAnn,
     "q_text_tfidf" -> qTextTfidf,
     "q_text_lang_stats" -> qTextLangStats,
     "q_multimodal_join" -> qMultimodalJoin,
