@@ -481,6 +481,36 @@ object StreamzOps {
     filesBefore
   }
 
+  /** Incremental auto-OPTIMIZE: compact (optionally z-ordering — see
+    * [[compactTable]]) only when some bucket's accumulated file count
+    * exceeds `maxFilesPerBucket`. The check is one metadata listing
+    * of the manifest's bucket dirs — cheap enough to call after
+    * every micro-batch from the single writer (e.g. at the end of a
+    * foreachBatch, or a scheduled maintenance loop); most calls
+    * return false without touching data. Returns whether a
+    * compaction ran. This is the streaming-table answer to small
+    * files: the sink stays append-fast per batch and the table
+    * self-heals once fragmentation crosses the threshold, instead of
+    * compacting on a blind schedule.
+    */
+  def compactIfNeeded(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, maxFilesPerBucket: Int,
+      retainManifests: Int = 0, zorderBy: Seq[String] = Nil,
+      zorderBits: Int = 8): Boolean = {
+    require(maxFilesPerBucket >= 1, s"maxFilesPerBucket must be >= 1")
+    val fs = new org.apache.hadoop.fs.Path(tablePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries = currentManifest(fs, tablePath).map(_._3).getOrElse(
+      throw new IllegalStateException(s"no committed manifest under $tablePath"))
+    val fragmented = entries.values.exists { d =>
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$tablePath/$d"))
+        .count(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith(".")) > maxFilesPerBucket
+    }
+    if (fragmented) compactTable(spark, tablePath, retainManifests, zorderBy, zorderBits)
+    fragmented
+  }
+
   /** Read a [[StreamzDataFrame.sinkScd2]] history table: every stored
     * version with its validity interval. Tombstone versions (op =
     * deleteOp markers) are internal bookkeeping and dropped unless

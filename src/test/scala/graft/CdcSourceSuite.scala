@@ -520,6 +520,48 @@ class CdcSourceSuite extends GraftSuite {
       s"one file per bucket after z compaction: ${perDir.toSeq}")
   }
 
+  test("compactIfNeeded: fires only past the per-bucket file threshold; no-op otherwise") {
+    import graft.api.StreamzOps._
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx = sess.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("upsert_auto").toString
+    val table = s"$base/state"
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Double)]
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    val q = ms.toDF().toDF("key", "seq", "value")
+      .sinkUpsert(table, Seq("key"), "seq", s"$base/cp", numBuckets = 3,
+        trigger = Trigger.ProcessingTime(0))
+    try {
+      ms.addData((1L to 64L).map(k => (k, k, k * 1.0)): _*)
+      q.processAllAvailable()
+      ms.addData((1L to 64L).map(k => (k, k + 1000L, k * 2.0)): _*)
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    }
+    def manifests() = new java.io.File(s"$table/manifest").listFiles
+      .map(_.getName).filter(_.matches("m\\d+"))
+      .map(_.stripPrefix("m").toLong).sorted.toSeq
+    def state() = readUpsertTable(spark, table).collect()
+      .map(r => r.getAs[Long]("key") -> r.getAs[Long]("seq")).toMap
+    val before = state()
+    val m0 = manifests()
+    // generous threshold: fragmentation below it -> metadata-only no-op
+    assert(!graft.api.StreamzOps.compactIfNeeded(spark, table, maxFilesPerBucket = 1000))
+    assert(manifests() == m0, "a no-op check must not commit a manifest")
+    // tight threshold: fires, collapses to one file per bucket
+    assert(graft.api.StreamzOps.compactIfNeeded(spark, table, maxFilesPerBucket = 1))
+    val m1 = manifests()
+    assert(m1.max == m0.max + 1, "a fired compaction commits exactly one manifest")
+    assert(state() == before, "auto-compaction must not change the snapshot")
+    // now AT the threshold (1 file/bucket == maxFilesPerBucket): settles
+    assert(!graft.api.StreamzOps.compactIfNeeded(spark, table, maxFilesPerBucket = 1))
+    assert(manifests() == m1)
+  }
+
   test("sinkUpsert retention: reader inside the publish window sees only committed snapshots; time travel") {
     import graft.api.StreamzOps._
     val sess = spark
