@@ -30,12 +30,18 @@ import org.apache.spark.sql.functions._
   * in IvfPqSuite) and the exact re-rank reads the embedding bytes of
   * probed cells only for the shortlist join.
   *
-  * Codes encode the RAW vector, not the residual to its cell
-  * centroid. That costs some ADC resolution versus residual
-  * encoding, but makes codes independent of cell assignment — so
-  * `splitCell` only re-routes rows (codes unchanged) and `add` never
-  * needs a cell's centroid to encode. The exact re-rank recovers the
-  * resolution loss, and the suite pins the recall floor.
+  * Codes encode the RAW vector by default; `residual = true` at
+  * build time switches to the classic IVF-PQ residual encoding
+  * (Jégou et al.): codes quantize `x − centroid(cell)`, which
+  * concentrates the codebooks on the within-cell geometry and buys
+  * ADC resolution when cells are tight. The trade is operational:
+  * raw codes are independent of cell assignment — `splitCell` only
+  * re-routes rows (codes unchanged) and `add` never needs a cell's
+  * centroid — while residual codes tie to their cell, so `splitCell`
+  * RE-ENCODES the split cell's rows (still O(one cell)) and the
+  * query computes its ADC lookup table per (query, probed cell).
+  * The flag persists in the meta version (`props`), so readers and
+  * later mutations can never mix the two encodings.
   *
   * Query cost at scale: nProbe/k of the corpus' CODE bytes (m
   * byte-packed codes per vector — 64-dim float32 at m=8 is 32×
@@ -49,7 +55,8 @@ object IvfPqIndex {
 
   private case class Meta(centers: Array[(Int, Array[Double])],
       books: Map[(Int, Int), Array[Double]],
-      booksSeq: Seq[(Int, Int, Seq[Double])]) {
+      booksSeq: Seq[(Int, Int, Seq[Double])],
+      residual: Boolean) {
     val m: Int = books.keys.map(_._1).max + 1
     val k: Int = books.keys.map(_._2).max + 1
     val sub: Int = books((0, 0)).length
@@ -61,12 +68,16 @@ object IvfPqIndex {
     val booksSeq = spark.read.parquet(s"$vdir/codebooks").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
       .toSeq.sortBy(t => (t._1, t._2))
+    val props = spark.read.parquet(s"$vdir/props").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
     Meta(IvfIndex.readCenters(spark, s"$vdir/centroids"),
-      booksSeq.map(t => ((t._1, t._2), t._3.toArray)).toMap, booksSeq)
+      booksSeq.map(t => ((t._1, t._2), t._3.toArray)).toMap, booksSeq,
+      props.get("residual").contains("true"))
   }
 
   private def publishMeta(spark: SparkSession, indexDir: String,
-      centers: Seq[(Int, Seq[Double])], books: Seq[(Int, Int, Seq[Double])]): Unit = {
+      centers: Seq[(Int, Seq[Double])], books: Seq[(Int, Int, Seq[Double])],
+      residual: Boolean): Unit = {
     val sess = spark
     import sess.implicits._
     Versioned.publish(spark, metaPath(indexDir)) { vdir =>
@@ -74,7 +85,19 @@ object IvfPqIndex {
         .repartition(1).write.mode("overwrite").parquet(s"$vdir/centroids")
       books.toDF("subspace", "code", "center")
         .repartition(1).write.mode("overwrite").parquet(s"$vdir/codebooks")
+      Seq(("residual", residual.toString)).toDF("key", "value")
+        .repartition(1).write.mode("overwrite").parquet(s"$vdir/props")
     }
+  }
+
+  /** x − centroid(cell), as array<float> — the residual the PQ
+    * codebooks quantize when `residual = true`. */
+  private def residualUdf(centers: Array[(Int, Array[Double])]) = {
+    val byCell = centers.toMap
+    udf((a: Seq[Float], cell: Int) => {
+      val c = byCell(cell)
+      Array.tabulate(a.length)(i => (a(i) - c(i)).toFloat)
+    })
   }
 
   /** Train the coarse quantizer and the PQ codebooks, then lay the
@@ -89,7 +112,7 @@ object IvfPqIndex {
     */
   def build(spark: SparkSession, embeddings: DataFrame, indexDir: String,
       kCells: Int = 16, m: Int = 8, kSub: Int = 16, seed: Long = 42L,
-      trainSampleMod: Int = 1): Unit = {
+      trainSampleMod: Int = 1, residual: Boolean = false): Unit = {
     require(trainSampleMod >= 1, s"trainSampleMod must be >= 1 (got $trainSampleMod)")
     require(m > 0 && kSub > 1, s"need m > 0, kSub > 1 (got $m, $kSub)")
     val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
@@ -103,17 +126,29 @@ object IvfPqIndex {
       else feat.filter(pmod(hash(col("vec_id")), lit(trainSampleMod)) === 0)
     val coarse = new KMeans().setK(kCells).setSeed(seed)
       .setFeaturesCol("features").setPredictionCol("cell").fit(train)
-    val books = PqIndex.trainBooks(train, m, kSub, sub, seed)
+    val centers = coarse.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }
+    // the encoder's input: the raw vector, or its residual to the
+    // assigned cell's centroid — codebooks train on the SAME signal
+    // (the sample's residuals come from the same quantizer)
+    def encodeInput(df: DataFrame): DataFrame = {
+      val assigned = coarse.transform(df)
+      if (!residual) assigned
+      else assigned.withColumn("_enc",
+        residualUdf(centers)(col("embedding"), col("cell")))
+    }
+    val encCol = if (residual) col("_enc") else col("embedding")
+    val books = PqIndex.trainBooks(
+      encodeInput(train).select(encCol.as("embedding")), m, kSub, sub, seed)
     val encode = PqIndex.encodeUdf(books, m, sub)
     // cells first, meta commit last: a reader resolving meta always
     // finds the cells it routes to
-    coarse.transform(feat)
+    encodeInput(feat)
       .select(col("vec_id"), col("embedding"),
-        encode(col("embedding")).as("codes"), col("cell"))
+        encode(encCol).as("codes"), col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(cellsPath(indexDir))
     publishMeta(spark, indexDir,
-      coarse.clusterCenters.zipWithIndex.toSeq.map { case (c, i) => (i, c.toArray.toSeq) },
-      books)
+      centers.toSeq.map { case (i, c) => (i, c.toSeq) }, books, residual)
   }
 
   /** Append new vectors: assign to the nearest EXISTING centroid and
@@ -124,9 +159,13 @@ object IvfPqIndex {
     val meta = loadMeta(spark, indexDir)
     val assign = IvfIndex.nearestCells(meta.centers, 1)
     val encode = PqIndex.encodeUdf(meta.booksSeq, meta.m, meta.sub)
-    newVectors.select(col("vec_id"), col("embedding"),
-        encode(col("embedding")).as("codes"),
-        assign(col("embedding")).getItem(0).as("cell"))
+    val assigned = newVectors.select(col("vec_id"), col("embedding"),
+      assign(col("embedding")).getItem(0).as("cell"))
+    val encCol =
+      if (meta.residual) residualUdf(meta.centers)(col("embedding"), col("cell"))
+      else col("embedding")
+    assigned.select(col("vec_id"), col("embedding"),
+        encode(encCol).as("codes"), col("cell"))
       .write.mode("append").partitionBy("cell").parquet(cellsPath(indexDir))
   }
 
@@ -138,9 +177,10 @@ object IvfPqIndex {
 
   /** Split ONE hot cell in place — same ordering and crash story as
     * [[IvfIndex.splitCell]] (write fresh cell dirs → publish meta →
-    * drop the orphan; single-writer). Because codes encode the raw
-    * vector, the split only RE-ROUTES rows: codes ride along
-    * unchanged and the codebooks republish as-is.
+    * drop the orphan; single-writer). With raw codes the split only
+    * RE-ROUTES rows (codes ride along unchanged); with residual codes
+    * the moved rows RE-ENCODE against their new half's centroid —
+    * still O(one cell), same codebooks.
     */
   def splitCell(spark: SparkSession, indexDir: String, cell: Int,
       seed: Long = 42L): Unit = {
@@ -156,19 +196,28 @@ object IvfPqIndex {
     val split = new KMeans().setK(2).setSeed(seed)
       .setFeaturesCol("features").setPredictionCol("half").fit(cellRows)
     val base = meta.centers.map(_._1).max + 1
+    val freshCenters = split.clusterCenters.zipWithIndex
+      .map { case (c, i) => (base + i, c.toArray) }
     val fs = Versioned.fs(spark, cellsPath(indexDir))
     Seq(base, base + 1).foreach { c =>
       val p = new org.apache.hadoop.fs.Path(s"${cellsPath(indexDir)}/cell=$c")
       if (fs.exists(p)) fs.delete(p, true) // stale partial from a crashed retry
     }
-    split.transform(cellRows)
-      .select(col("vec_id"), col("embedding"), col("codes"),
-        (col("half") + base).as("cell"))
+    val rerouted = split.transform(cellRows)
+      .withColumn("cell", col("half") + base)
+    val withCodes =
+      if (!meta.residual) rerouted
+      else {
+        val encode = PqIndex.encodeUdf(meta.booksSeq, meta.m, meta.sub)
+        rerouted.withColumn("codes",
+          encode(residualUdf(freshCenters)(col("embedding"), col("cell"))))
+      }
+    withCodes.select(col("vec_id"), col("embedding"), col("codes"), col("cell"))
       .write.mode("append").partitionBy("cell").parquet(cellsPath(indexDir))
     publishMeta(spark, indexDir,
       meta.centers.filterNot(_._1 == cell).toSeq.map { case (i, c) => (i, c.toSeq) } ++
-        split.clusterCenters.zipWithIndex.map { case (c, i) => (base + i, c.toArray.toSeq) },
-      meta.booksSeq)
+        freshCenters.map { case (i, c) => (i, c.toSeq) },
+      meta.booksSeq, meta.residual)
     val old = new org.apache.hadoop.fs.Path(s"${cellsPath(indexDir)}/cell=$cell")
     if (fs.exists(old)) fs.delete(old, true)
     cellRows.unpersist()
@@ -206,9 +255,18 @@ object IvfPqIndex {
     val meta = loadMeta(spark, indexDir)
     val probe = IvfIndex.nearestCells(meta.centers, nProbe)
     val lut = PqIndex.lutUdf(meta.books, meta.m, meta.k, meta.sub)
-    val q = queries
-      .select(col("qid"), col("embedding").as("qe"), lut(col("embedding")).as("lut"),
-        explode(probe(col("embedding"))).as("cell"))
+    // raw codes: one LUT per query row, computed BEFORE the probe
+    // explode. Residual codes: the LUT is per (query, cell) — the
+    // codebooks quantized x − centroid(cell), so the query shifts by
+    // the same centroid; still only nProbe tiny UDF calls per query.
+    val q =
+      if (!meta.residual) queries
+        .select(col("qid"), col("embedding").as("qe"), lut(col("embedding")).as("lut"),
+          explode(probe(col("embedding"))).as("cell"))
+      else queries
+        .select(col("qid"), col("embedding").as("qe"),
+          explode(probe(col("embedding"))).as("cell"))
+        .withColumn("lut", lut(residualUdf(meta.centers)(col("qe"), col("cell"))))
     val qSide = if (broadcastQueries) broadcast(q) else q
     // ADC side reads (cell, vec_id, codes) — column pruning drops the
     // embedding bytes from the probed cells' scan (suite-asserted)

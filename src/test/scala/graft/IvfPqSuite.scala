@@ -99,6 +99,49 @@ class IvfPqSuite extends GraftSuite {
     }
   }
 
+  test("residual encoding: recall holds, add stays consistent, splitCell re-encodes") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_res").toString
+    IvfPqIndex.build(spark, Tables.embeddings(spark, sf0001), dir,
+      kCells = 16, residual = true)
+    // recall: residual ADC must not be worse than the raw floor
+    val mean = recallAt5(
+      IvfPqIndex.query(spark, queryBatch, dir, nProbe = 4, topK = 5).collect())
+    assert(mean >= 0.4, f"residual IVF-PQ recall@5 $mean%.2f below floor")
+    // add: clone lands in its twin's cell with identical residual codes
+    val clones = Tables.embeddings(spark, sf0001)
+      .filter(col("vec_id").isin(100L, 200L))
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    IvfPqIndex.add(spark, clones, dir)
+    val rows = spark.read.parquet(s"$dir/cells")
+      .filter(col("vec_id").isin(100L, 200L, 100100L, 100200L))
+      .select(col("vec_id"), col("cell"), col("codes")).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getAs[Array[Byte]](2).toSeq)).toMap
+    Seq(100L, 200L).foreach { id =>
+      assert(rows(id) == rows(id + 100000L),
+        s"residual clone of $id must carry identical (cell, codes)")
+    }
+    // splitCell: moved rows RE-ENCODE against their new half centroid
+    val before = IvfPqIndex.cellSizes(spark, dir)
+    val hot = before.maxBy(_._2)._1
+    val hotCodes = spark.read.parquet(s"$dir/cells")
+      .filter(col("cell") === hot)
+      .select(col("vec_id"), col("codes")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    IvfPqIndex.splitCell(spark, dir, hot)
+    val after = IvfPqIndex.cellSizes(spark, dir)
+    assert(!after.contains(hot) && after.size == before.size + 1)
+    val movedCodes = spark.read.parquet(s"$dir/cells")
+      .filter(col("vec_id").isin(hotCodes.keys.toSeq.map(java.lang.Long.valueOf): _*))
+      .select(col("vec_id"), col("codes")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(movedCodes.keySet == hotCodes.keySet, "split conserves the cell's vectors")
+    assert(movedCodes != hotCodes,
+      "residual split must re-encode against the tighter half centroids")
+    // and probes on the re-encoded index still answer
+    val res = IvfPqIndex.query(spark, queryBatch, dir, nProbe = 4, topK = 3).collect()
+    assert(res.nonEmpty)
+  }
+
   test("splitCell: rows re-route with codes UNCHANGED; meta republishes atomically") {
     val dir = java.nio.file.Files.createTempDirectory("ivfpq_split").toString
     IvfPqIndex.build(spark, Tables.embeddings(spark, sf0001), dir, kCells = 8)
