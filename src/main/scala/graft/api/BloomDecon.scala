@@ -52,6 +52,14 @@ object BloomDecon {
         .filter(col("n_shared") >= minShared)
         .orderBy("train_doc", "eval_doc")
     }
+
+    /** Release the cached eval shingle table. Call when no more
+      * `flag` results will be consumed — a long-lived session that
+      * builds filters repeatedly (e.g. one per stream) would
+      * otherwise accumulate cache entries with no handle to drop
+      * them. [[StreamDecon]] closes its filter on query termination.
+      */
+    def close(): Unit = { evalSh.unpersist(); () }
   }
 
   /** Build the eval side once.

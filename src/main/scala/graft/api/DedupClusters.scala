@@ -58,9 +58,13 @@ object DedupClusters {
         .select(col("doc_b").cast("long").as("src"), col("doc_a").cast("long").as("dst")))
       .distinct()
       .cache()
+    // localCheckpoint like every later round's table: labels is then
+    // uniformly GC-freed and no per-round unpersist is needed (it
+    // would be a no-op from round 2 on anyway — checkpointed Datasets
+    // are not CacheManager entries)
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster", col("doc_id"))
-      .cache()
+      .localCheckpoint(true)
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIters) {
@@ -83,7 +87,6 @@ object DedupClusters {
       val next0 = prop.join(jumpMap, col("cluster") === col("_jc"), "left")
         .select(col("doc_id"), coalesce(col("_jl"), col("cluster")).as("cluster"))
       val next = next0.localCheckpoint(true) // eager: materialize + truncate
-      labels.unpersist()
       joined.unpersist()
       labels = next
       iter += 1

@@ -18,12 +18,16 @@ import org.apache.spark.sql.functions._
   * {{{
   *   indexDir/meta/v<N>/centroids   (cell, center)        — coarse quantizer
   *   indexDir/meta/v<N>/codebooks   (subspace, code, center)
-  *   indexDir/cells/cell=<c>/       (vec_id, embedding, codes)
+  *   indexDir/meta/v<N>/props       (residual flag, cells dir)
+  *   indexDir/cells/v<N>/cell=<c>/  (vec_id, embedding, codes)
   * }}}
   *
-  * Centroids and codebooks publish TOGETHER as one [[Versioned]]
-  * commit: ADC against a codebook from a different build than the
-  * codes is silently wrong, so the pair must flip atomically. The
+  * Centroids, codebooks AND the cells dir they pair with publish
+  * TOGETHER as one [[Versioned]] commit: ADC against a codebook from
+  * a different build than the codes is silently wrong, so the trio
+  * must flip atomically — including across a REBUILD, which writes a
+  * fresh `cells/v<N>` and never touches the previous version's
+  * files. The
   * cell files carry both the PQ codes and the original embedding as
   * sibling COLUMNS: parquet is columnar, so the ADC scan reads only
   * the codes bytes of probed cells (column pruning — plan-asserted
@@ -51,15 +55,16 @@ import org.apache.spark.sql.functions._
 object IvfPqIndex {
 
   private def metaPath(dir: String) = s"$dir/meta"
-  private def cellsPath(dir: String) = s"$dir/cells"
 
   private case class Meta(centers: Array[(Int, Array[Double])],
       books: Map[(Int, Int), Array[Double]],
       booksSeq: Seq[(Int, Int, Seq[Double])],
-      residual: Boolean) {
+      residual: Boolean,
+      cellsDir: String) {
     val m: Int = books.keys.map(_._1).max + 1
     val k: Int = books.keys.map(_._2).max + 1
     val sub: Int = books((0, 0)).length
+    def cellsPath(indexDir: String): String = s"$indexDir/$cellsDir"
   }
 
   private def loadMeta(spark: SparkSession, indexDir: String): Meta = {
@@ -72,12 +77,21 @@ object IvfPqIndex {
       .map(r => r.getString(0) -> r.getString(1)).toMap
     Meta(IvfIndex.readCenters(spark, s"$vdir/centroids"),
       booksSeq.map(t => ((t._1, t._2), t._3.toArray)).toMap, booksSeq,
-      props.get("residual").contains("true"))
+      props.get("residual").contains("true"),
+      props.getOrElse("cellsDir", "cells"))
   }
 
+  /** The meta version owns its cells dir (`props.cellsDir`), so a
+    * REBUILD writes a fresh `cells/v<N>` and flips to it atomically
+    * with the new codebooks: a crash mid-rebuild, or a reader holding
+    * the previous meta, keeps pairing the OLD codebooks with the OLD
+    * codes — new codes against old codebooks (silently wrong ADC) can
+    * never be observed. In-place mutations (`add`, `splitCell`) write
+    * inside the current version's cells dir and don't bump it.
+    */
   private def publishMeta(spark: SparkSession, indexDir: String,
       centers: Seq[(Int, Seq[Double])], books: Seq[(Int, Int, Seq[Double])],
-      residual: Boolean): Unit = {
+      residual: Boolean, cellsDir: String): Unit = {
     val sess = spark
     import sess.implicits._
     Versioned.publish(spark, metaPath(indexDir)) { vdir =>
@@ -85,9 +99,29 @@ object IvfPqIndex {
         .repartition(1).write.mode("overwrite").parquet(s"$vdir/centroids")
       books.toDF("subspace", "code", "center")
         .repartition(1).write.mode("overwrite").parquet(s"$vdir/codebooks")
-      Seq(("residual", residual.toString)).toDF("key", "value")
+      Seq(("residual", residual.toString), ("cellsDir", cellsDir))
+        .toDF("key", "value")
         .repartition(1).write.mode("overwrite").parquet(s"$vdir/props")
     }
+  }
+
+  /** Drop cell dirs the committed meta does not route to — the
+    * leftovers of a splitCell that crashed between its meta publish
+    * and its old-dir delete. Probes never touch them (no centroid
+    * routes there), but cellSizes/rebalance must not see them, and
+    * they are dead bytes. Single-writer maintenance, like the split
+    * itself.
+    */
+  private def sweepOrphanCells(spark: SparkSession, cellsPath: String,
+      meta: Meta): Unit = {
+    val fs = Versioned.fs(spark, cellsPath)
+    val root = new org.apache.hadoop.fs.Path(cellsPath)
+    if (!fs.exists(root)) return
+    val live = meta.centers.map(_._1).toSet
+    fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+      .filter(p => p.getName.startsWith("cell=") &&
+        !live(p.getName.stripPrefix("cell=").toInt))
+      .foreach(p => fs.delete(p, true))
   }
 
   /** x − centroid(cell), as array<float> — the residual the PQ
@@ -114,7 +148,10 @@ object IvfPqIndex {
       kCells: Int = 16, m: Int = 8, kSub: Int = 16, seed: Long = 42L,
       trainSampleMod: Int = 1, residual: Boolean = false): Unit = {
     require(trainSampleMod >= 1, s"trainSampleMod must be >= 1 (got $trainSampleMod)")
-    require(m > 0 && kSub > 1, s"need m > 0, kSub > 1 (got $m, $kSub)")
+    // kSub > 256 would silently truncate in the byte encoder — the
+    // same guard PqIndex.build enforces
+    require(m > 0 && kSub > 1 && kSub <= 256,
+      s"need m > 0, 1 < kSub <= 256 (byte-packed codes) (got $m, $kSub)")
     val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val sub = dim / m
@@ -141,14 +178,28 @@ object IvfPqIndex {
     val books = PqIndex.trainBooks(
       encodeInput(train).select(encCol.as("embedding")), m, kSub, sub, seed)
     val encode = PqIndex.encodeUdf(books, m, sub)
-    // cells first, meta commit last: a reader resolving meta always
-    // finds the cells it routes to
+    // cells land in a FRESH version-owned dir, then the meta commit
+    // flips codebooks and cells dir together: a rebuild over an
+    // existing index never lets any reader (or a crash) pair new
+    // codes with old codebooks. The previous version's cells are
+    // retained for in-flight readers, older ones GC'd — mirroring
+    // Versioned's retention.
+    val fs = Versioned.fs(spark, metaPath(indexDir))
+    val n = Versioned.committed(fs, metaPath(indexDir)).lastOption.getOrElse(0L) + 1
+    val cellsDir = s"cells/v$n"
+    val cellsAbs = s"$indexDir/$cellsDir"
+    val stale = new org.apache.hadoop.fs.Path(cellsAbs)
+    if (fs.exists(stale)) fs.delete(stale, true) // partial from a crashed attempt
     encodeInput(feat)
       .select(col("vec_id"), col("embedding"),
         encode(encCol).as("codes"), col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(cellsPath(indexDir))
+      .write.mode("overwrite").partitionBy("cell").parquet(cellsAbs)
     publishMeta(spark, indexDir,
-      centers.toSeq.map { case (i, c) => (i, c.toSeq) }, books, residual)
+      centers.toSeq.map { case (i, c) => (i, c.toSeq) }, books, residual, cellsDir)
+    (1L until n - 1).foreach { v =>
+      val p = new org.apache.hadoop.fs.Path(s"$indexDir/cells/v$v")
+      if (fs.exists(p)) fs.delete(p, true)
+    }
   }
 
   /** Append new vectors: assign to the nearest EXISTING centroid and
@@ -166,14 +217,19 @@ object IvfPqIndex {
       else col("embedding")
     assigned.select(col("vec_id"), col("embedding"),
         encode(encCol).as("codes"), col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(cellsPath(indexDir))
+      .write.mode("append").partitionBy("cell").parquet(meta.cellsPath(indexDir))
   }
 
-  /** Per-cell inverted-list sizes (one metadata-cheap aggregate). */
-  def cellSizes(spark: SparkSession, indexDir: String): Map[Int, Long] =
-    spark.read.parquet(cellsPath(indexDir))
+  /** Per-cell inverted-list sizes (one metadata-cheap aggregate),
+    * restricted to the cells the committed meta routes to. */
+  def cellSizes(spark: SparkSession, indexDir: String): Map[Int, Long] = {
+    val meta = loadMeta(spark, indexDir)
+    val live = meta.centers.map(_._1).toSeq
+    spark.read.parquet(meta.cellsPath(indexDir))
+      .filter(col("cell").isin(live: _*)) // partition-pruned; skips orphans
       .groupBy(col("cell")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+  }
 
   /** Split ONE hot cell in place — same ordering and crash story as
     * [[IvfIndex.splitCell]] (write fresh cell dirs → publish meta →
@@ -186,9 +242,14 @@ object IvfPqIndex {
       seed: Long = 42L): Unit = {
     val meta = loadMeta(spark, indexDir)
     require(meta.centers.exists(_._1 == cell), s"no such cell $cell")
+    val cells = meta.cellsPath(indexDir)
+    // sweep first: removes BOTH a previous split's orphaned old dir
+    // (crash between publish and delete) and this split's stale
+    // partials from a crashed retry (fresh ids are never in meta)
+    sweepOrphanCells(spark, cells, meta)
     val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
     // partition-pruned read: exactly one cell directory
-    val cellRows = spark.read.parquet(cellsPath(indexDir))
+    val cellRows = spark.read.parquet(cells)
       .filter(col("cell") === cell)
       .select(col("vec_id"), col("embedding"), col("codes"),
         toVec(col("embedding")).as("features"))
@@ -198,11 +259,6 @@ object IvfPqIndex {
     val base = meta.centers.map(_._1).max + 1
     val freshCenters = split.clusterCenters.zipWithIndex
       .map { case (c, i) => (base + i, c.toArray) }
-    val fs = Versioned.fs(spark, cellsPath(indexDir))
-    Seq(base, base + 1).foreach { c =>
-      val p = new org.apache.hadoop.fs.Path(s"${cellsPath(indexDir)}/cell=$c")
-      if (fs.exists(p)) fs.delete(p, true) // stale partial from a crashed retry
-    }
     val rerouted = split.transform(cellRows)
       .withColumn("cell", col("half") + base)
     val withCodes =
@@ -213,12 +269,13 @@ object IvfPqIndex {
           encode(residualUdf(freshCenters)(col("embedding"), col("cell"))))
       }
     withCodes.select(col("vec_id"), col("embedding"), col("codes"), col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(cellsPath(indexDir))
+      .write.mode("append").partitionBy("cell").parquet(cells)
     publishMeta(spark, indexDir,
       meta.centers.filterNot(_._1 == cell).toSeq.map { case (i, c) => (i, c.toSeq) } ++
         freshCenters.map { case (i, c) => (i, c.toSeq) },
-      meta.booksSeq, meta.residual)
-    val old = new org.apache.hadoop.fs.Path(s"${cellsPath(indexDir)}/cell=$cell")
+      meta.booksSeq, meta.residual, meta.cellsDir)
+    val fs = Versioned.fs(spark, cells)
+    val old = new org.apache.hadoop.fs.Path(s"$cells/cell=$cell")
     if (fs.exists(old)) fs.delete(old, true)
     cellRows.unpersist()
   }
@@ -270,7 +327,7 @@ object IvfPqIndex {
     val qSide = if (broadcastQueries) broadcast(q) else q
     // ADC side reads (cell, vec_id, codes) — column pruning drops the
     // embedding bytes from the probed cells' scan (suite-asserted)
-    val codes = spark.read.parquet(cellsPath(indexDir))
+    val codes = spark.read.parquet(meta.cellsPath(indexDir))
       .select(col("cell"), col("vec_id").as("nid"), col("codes"))
     val short = qSide.join(codes, "cell")
       .filter(col("qid") =!= col("nid"))
@@ -281,7 +338,7 @@ object IvfPqIndex {
       .select(col("qid"), col("qe"), col("cell"), col("nid"))
     // exact re-rank joins back on (cell, nid): the embedding read is
     // partition-bounded to the probed cells too
-    val vecs = spark.read.parquet(cellsPath(indexDir))
+    val vecs = spark.read.parquet(meta.cellsPath(indexDir))
       .select(col("cell"), col("vec_id").as("nid"), col("embedding").as("ne"))
     (if (broadcastQueries) broadcast(short) else short)
       .join(vecs, Seq("cell", "nid"))

@@ -173,9 +173,18 @@ object PqIndex {
       codesAll.join(ids.select(col("vec_id")), Seq("vec_id"), "left_semi"))
     // ADC hot loop over every (query, corpus) pair: the native codegen
     // pq_adc expression over the byte-packed codes (k inferred from
-    // |lut|/|codes|). No UDF touches the corpus-sized side.
+    // |lut|/|codes|). No UDF touches the corpus-sized side. An index
+    // persisted by the pre-byte-packing code stores codes as
+    // array<int> — same values, wider layout — and still answers via
+    // the equivalent HOF fold (same fold order, bit-identical sums);
+    // re-`build` to get the packed layout.
+    val adcExpr = codesAll.schema("codes").dataType match {
+      case org.apache.spark.sql.types.BinaryType => expr("pq_adc(codes, lut)")
+      case _ => expr(
+        s"aggregate(transform(codes, (c, j) -> lut[j * $k + c]), 0D, (acc, x) -> acc + x)")
+    }
     val adc = codes.crossJoin(broadcast(q))
-      .withColumn("adc_dist", expr("pq_adc(codes, lut)"))
+      .withColumn("adc_dist", adcExpr)
       .filter(col("qid") =!= col("vec_id"))
       .withColumn("_sr", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("adc_dist"), col("vec_id"))))

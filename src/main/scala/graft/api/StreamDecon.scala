@@ -42,7 +42,7 @@ object StreamDecon {
       trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery = {
     // one-time eval-side build: shingle table cached, Bloom computed
     val filter = BloomDecon.evalFilter(eval, minShared, expectedEvalShingles, fpp)
-    docStream.writeStream
+    val query = docStream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
@@ -50,19 +50,37 @@ object StreamDecon {
         writeBatch(filter, batch, outPath, batchId)
       }
       .start()
+    // release the cached eval shingles when THIS query ends (stop or
+    // failure) — a restart builds a fresh filter, so the old cache
+    // entry would otherwise linger for the session lifetime
+    val streams = docStream.sparkSession.streams
+    streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (e.id == query.id) { filter.close(); streams.removeListener(this) }
+    })
+    query
   }
 
   /** One batch's gate + write — factored out so idempotence under
     * replay (same batchId twice) is directly testable. */
   private[graft] def writeBatch(filter: BloomDecon.EvalFilter,
       batch: DataFrame, outPath: String, batchId: Long): Unit = {
-    val flagged = filter.flag(batch)
+    // both writes consume the batch (flag() shingles it, the clean
+    // side anti-joins it) — cache so the source is read once per batch
+    val b = batch.cache()
+    val flagged = filter.flag(b)
       .cache() // consumed by its own write + the clean anti-join
     flagged.write.mode("overwrite").parquet(s"$outPath/flagged/batch=$batchId")
-    batch.join(flagged.select(col("train_doc").as("doc_id")).distinct(),
+    b.join(flagged.select(col("train_doc").as("doc_id")).distinct(),
         Seq("doc_id"), "left_anti")
       .write.mode("overwrite").parquet(s"$outPath/clean/batch=$batchId")
     flagged.unpersist()
+    b.unpersist()
     ()
   }
 

@@ -88,11 +88,16 @@ object StreamzOps {
       buckets: Int = 0): DataFrame = {
     val n = if (buckets > 0) buckets
       else df.sparkSession.sessionState.conf.numShufflePartitions
+    // localCheckpoint, not cache: the counts job and the consumer
+    // still share one shuffle+sort, but the blocks are freed by GC
+    // when the result is dropped — a cache() here would pin a full
+    // copy of the input in the CacheManager per call with no handle
+    // for the caller to release
     val ranged = df.repartitionByRange(n, orderBy: _*)
       .sortWithinPartitions(orderBy: _*)
       .withColumn("_gix_pid", spark_partition_id())
       .withColumn("_gix_mid", monotonically_increasing_id())
-      .cache() // the counts job and the consumer share one shuffle+sort
+      .localCheckpoint(true)
     val counts = ranged.groupBy(col("_gix_pid")).count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     var acc = 0L
@@ -457,17 +462,21 @@ object StreamzOps {
     }.sum.toLong
     val next = n + 1
     val dataRel = s"data/m$next"
-    val base = spark.read.parquet(entries.values.map(d => s"$tablePath/$d").toSeq: _*)
+    val raw = spark.read.parquet(entries.values.map(d => s"$tablePath/$d").toSeq: _*)
+    val base = raw
       .repartition(numBuckets, col(BucketCol)) // one task -> one file per bucket
       .withColumn("_bp", col(BucketCol))
     val shaped =
       if (zorderBy.isEmpty) base
       else base
-        // sort key starts with _bp: the partitioned write's required
+        // dimension stats (codesFor's driver jobs) run on the RAW
+        // reader — planning them over `base` would pay the repartition
+        // shuffle once per dimension before the rewrite even starts.
+        // Sort key starts with _bp: the partitioned write's required
         // per-task ordering on the partition column is then already
         // satisfied (a semantic prefix), so no second — and not
         // necessarily stable — sort re-shuffles the z order away
-        .withColumn("_z", ZOrder.zValue(ZOrder.codesFor(base, zorderBy, zorderBits), zorderBits))
+        .withColumn("_z", ZOrder.zValue(ZOrder.codesFor(raw, zorderBy, zorderBits), zorderBits))
         .sortWithinPartitions(col("_bp"), col("_z"))
         .drop("_z")
     shaped.write.mode("overwrite").partitionBy("_bp")

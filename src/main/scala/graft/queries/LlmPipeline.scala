@@ -208,12 +208,27 @@ object LlmPipeline {
   // job, not a query); the suite pins recall, plan pruning and the
   // add/splitCell lifecycle.
   val qSimIvfpqAnn: Q = (s, dir) => {
-    val idx = java.nio.file.Files.createTempDirectory("ivfpq_q").toString
-    graft.api.IvfPqIndex.build(s, Tables.embeddings(s, dir), idx,
-      kCells = 16, m = 8, kSub = 16, seed = 42L)
-    val probes = Tables.embeddings(s, dir).filter(col("vec_id") < 50)
-      .select(col("vec_id").as("qid"), col("embedding"))
-    graft.api.IvfPqIndex.query(s, probes, idx, nProbe = 4, topK = 5)
+    val idx = java.nio.file.Files.createTempDirectory("ivfpq_q")
+    val result = try {
+      graft.api.IvfPqIndex.build(s, Tables.embeddings(s, dir), idx.toString,
+        kCells = 16, m = 8, kSub = 16, seed = 42L)
+      val probes = Tables.embeddings(s, dir).filter(col("vec_id") < 50)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      graft.api.IvfPqIndex.query(s, probes, idx.toString, nProbe = 4, topK = 5)
+        .collect() // topK x |probes| rows — tiny; lets the scratch index go
+    } finally {
+      // the scratch index is corpus-sized — repeated verify runs must
+      // not accumulate copies under /tmp
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(idx).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+    s.createDataFrame(java.util.Arrays.asList(result: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("qid", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("rn", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("nid", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cos_sim", org.apache.spark.sql.types.DoubleType))))
   }
 
   // ---- #56 q_text_tfidf --------------------------------------------------

@@ -79,7 +79,7 @@ class IvfPqSuite extends GraftSuite {
     IvfPqIndex.add(spark, clones, dir)
     // codes consistent: a clone's codes equal its twin's (same
     // codebooks, deterministic encoder), and land in the same cell
-    val rows = spark.read.parquet(s"$dir/cells")
+    val rows = spark.read.parquet(s"$dir/cells/v1")
       .filter(col("vec_id").isin(100L, 200L, 300L, 100100L, 100200L, 100300L))
       .select(col("vec_id"), col("cell"), col("codes")).collect()
       .map(r => r.getLong(0) -> (r.getInt(1), r.getAs[Array[Byte]](2).toSeq)).toMap
@@ -112,7 +112,7 @@ class IvfPqSuite extends GraftSuite {
       .filter(col("vec_id").isin(100L, 200L))
       .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
     IvfPqIndex.add(spark, clones, dir)
-    val rows = spark.read.parquet(s"$dir/cells")
+    val rows = spark.read.parquet(s"$dir/cells/v1")
       .filter(col("vec_id").isin(100L, 200L, 100100L, 100200L))
       .select(col("vec_id"), col("cell"), col("codes")).collect()
       .map(r => r.getLong(0) -> (r.getInt(1), r.getAs[Array[Byte]](2).toSeq)).toMap
@@ -123,14 +123,14 @@ class IvfPqSuite extends GraftSuite {
     // splitCell: moved rows RE-ENCODE against their new half centroid
     val before = IvfPqIndex.cellSizes(spark, dir)
     val hot = before.maxBy(_._2)._1
-    val hotCodes = spark.read.parquet(s"$dir/cells")
+    val hotCodes = spark.read.parquet(s"$dir/cells/v1")
       .filter(col("cell") === hot)
       .select(col("vec_id"), col("codes")).collect()
       .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
     IvfPqIndex.splitCell(spark, dir, hot)
     val after = IvfPqIndex.cellSizes(spark, dir)
     assert(!after.contains(hot) && after.size == before.size + 1)
-    val movedCodes = spark.read.parquet(s"$dir/cells")
+    val movedCodes = spark.read.parquet(s"$dir/cells/v1")
       .filter(col("vec_id").isin(hotCodes.keys.toSeq.map(java.lang.Long.valueOf): _*))
       .select(col("vec_id"), col("codes")).collect()
       .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
@@ -146,7 +146,7 @@ class IvfPqSuite extends GraftSuite {
     val dir = java.nio.file.Files.createTempDirectory("ivfpq_split").toString
     IvfPqIndex.build(spark, Tables.embeddings(spark, sf0001), dir, kCells = 8)
     val before = IvfPqIndex.cellSizes(spark, dir)
-    val codesBefore = spark.read.parquet(s"$dir/cells")
+    val codesBefore = spark.read.parquet(s"$dir/cells/v1")
       .select(col("vec_id"), col("codes")).collect()
       .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
     val hot = before.maxBy(_._2)._1
@@ -159,7 +159,7 @@ class IvfPqSuite extends GraftSuite {
     assert(fresh.toSeq.map(after).sum == before(hot), "split conserves the cell's vectors")
     // codes are cell-independent (raw-vector encoding): the split must
     // not touch a single code anywhere in the index
-    val codesAfter = spark.read.parquet(s"$dir/cells")
+    val codesAfter = spark.read.parquet(s"$dir/cells/v1")
       .select(col("vec_id"), col("codes")).collect()
       .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
     assert(codesAfter == codesBefore, "splitCell must re-route rows, never re-encode")
@@ -172,5 +172,25 @@ class IvfPqSuite extends GraftSuite {
     assert(res.nonEmpty && res.forall(_.getAs[Long]("qid") < 50))
     // rebalance: nothing qualifies at a generous threshold (no-op)
     assert(IvfPqIndex.rebalance(spark, dir, factor = 100.0) == Nil)
+  }
+
+  test("rebuild: fresh cells version flips atomically with meta; old pair retained then GC'd") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_rebuild").toString
+    val emb = Tables.embeddings(spark, sf0001)
+    IvfPqIndex.build(spark, emb, dir, kCells = 8)
+    val want = IvfPqIndex.query(spark, queryBatch, dir, topK = 3).collect().toSeq
+    def cellVersions() = new java.io.File(s"$dir/cells").listFiles
+      .map(_.getName).filter(_.matches("v\\d+")).sorted.toSeq
+    // rebuild (drift response): codes+codebooks+cells flip together
+    IvfPqIndex.build(spark, emb, dir, kCells = 16, seed = 43L)
+    assert(cellVersions() == Seq("v1", "v2"),
+      "previous cells version must be retained for in-flight readers")
+    val res = IvfPqIndex.query(spark, queryBatch, dir, topK = 3).collect()
+    assert(res.nonEmpty, "rebuilt index must answer")
+    // same build inputs -> same answers regardless of which version
+    IvfPqIndex.build(spark, emb, dir, kCells = 8, seed = 42L)
+    assert(cellVersions() == Seq("v2", "v3"), "older cells versions are GC'd")
+    assert(IvfPqIndex.query(spark, queryBatch, dir, topK = 3).collect().toSeq == want,
+      "identical build params must reproduce identical answers after rebuilds")
   }
 }
