@@ -53,6 +53,17 @@ object BloomDecon {
         .orderBy("train_doc", "eval_doc")
     }
 
+    /** The gated-clean side of `train`: rows whose doc shares no
+      * disqualifying overlap with the eval set. This is the
+      * composition point for ingest pipelines — inside a foreachBatch,
+      * `filter.clean(batch)` feeds any downstream sink (e.g. a
+      * [[StreamzOps.StreamzDataFrame.sinkUpsert]]-style keyed commit)
+      * with only decontaminated docs. Extra columns ride through.
+      */
+    def clean(train: DataFrame): DataFrame =
+      train.join(flag(train).select(col("train_doc").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+
     /** Release the cached eval shingle table. Call when no more
       * `flag` results will be consumed — a long-lived session that
       * builds filters repeatedly (e.g. one per stream) would

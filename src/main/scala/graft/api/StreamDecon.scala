@@ -77,7 +77,7 @@ object StreamDecon {
       .cache() // consumed by its own write + the clean anti-join
     flagged.write.mode("overwrite").parquet(s"$outPath/flagged/batch=$batchId")
     b.join(flagged.select(col("train_doc").as("doc_id")).distinct(),
-        Seq("doc_id"), "left_anti")
+        Seq("doc_id"), "left_anti") // = filter.clean(b), reusing the cached flags
       .write.mode("overwrite").parquet(s"$outPath/clean/batch=$batchId")
     flagged.unpersist()
     b.unpersist()

@@ -89,6 +89,30 @@ class PlanSuite extends GraftSuite {
     assert(got == want, "bucketed ntile must equal the naive global-window ntile")
   }
 
+  test("pq_adc: codegen'd in-stage, unsigned byte mask correct") {
+    import org.apache.spark.sql.functions._
+    graft.functions.PqAdc.register(spark)
+    // per-row codes via UDF: an all-literal call would constant-fold
+    // at optimization time and prove nothing about the executed plan.
+    // m=1, k=256: even rows code 0 -> lut[0]; odd rows byte -1 = code
+    // 255 unsigned -> lut[255] (the signed-byte mask case)
+    val mk = udf((i: Long) => Array[Byte](if (i % 2 == 0) 0 else -1))
+    val lut = typedlit((0 until 256).map(i =>
+      if (i == 255) 7.5 else if (i == 0) 2.5 else 0.0))
+    val df2 = spark.range(6).withColumn("codes", mk(col("id"))).withColumn("lut", lut)
+      .select(col("id"), expr("pq_adc(codes, lut)").as("d"))
+    val got = df2.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    (0L until 6L).foreach { i =>
+      assert(got(i) == (if (i % 2 == 0) 2.5 else 7.5),
+        s"row $i: ${got(i)} (byte -1 must index slot 255)")
+    }
+    // the ADC hot loop must run INSIDE whole-stage codegen (the `*`
+    // prefix), not fall back to interpreted eval
+    val plan = df2.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project") && plan.contains("pq_adc"),
+      s"pq_adc must sit in a WholeStageCodegen project:\n$plan")
+  }
+
   test("no undeclared partition-less Window remains anywhere in src/main") {
     // source-scan guard: a `Window.orderBy(...)` with no partitionBy is
     // the single-task global funnel q_win_ntile/zipWith were rebuilt to
