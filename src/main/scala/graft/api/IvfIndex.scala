@@ -28,6 +28,13 @@ import org.apache.spark.sql.functions._
   *
   * Centroids ride in a UDF closure (k × dim doubles — broadcast-
   * sized by construction at any corpus scale).
+  *
+  * REBUILD caveat: the corpus dir is not versioned here (centroids
+  * are), so re-running `build` over a live index overwrites cell
+  * dirs before the new centroid version commits — run rebuilds into
+  * a FRESH indexDir and flip the path at the caller, or use
+  * [[IvfPqIndex]], whose meta version owns its cells dir and flips
+  * both atomically.
   */
 object IvfIndex {
 
