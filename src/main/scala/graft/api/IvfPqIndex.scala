@@ -67,6 +67,9 @@ object IvfPqIndex {
     def cellsPath(indexDir: String): String = s"$indexDir/$cellsDir"
   }
 
+  private def loadMetaOpt(spark: SparkSession, indexDir: String): Option[Meta] =
+    Versioned.current(spark, metaPath(indexDir)).map(_ => loadMeta(spark, indexDir))
+
   private def loadMeta(spark: SparkSession, indexDir: String): Meta = {
     val vdir = Versioned.current(spark, metaPath(indexDir)).getOrElse(
       throw new IllegalStateException(s"no committed IVF-PQ index under $indexDir"))
@@ -103,6 +106,23 @@ object IvfPqIndex {
         .toDF("key", "value")
         .repartition(1).write.mode("overwrite").parquet(s"$vdir/props")
     }
+  }
+
+  /** GC superseded cells versions: everything under `cells/` except
+    * the dirs in `keep` (the newly published one and the one the
+    * PREVIOUS meta pointed at, retained for in-flight readers). Keyed
+    * by dir membership, NOT by version arithmetic — meta versions
+    * advance on splits without bumping the cells dir, so "delete
+    * v < n-1" would delete the live previous dir.
+    */
+  private def gcCellVersions(spark: SparkSession, indexDir: String,
+      keep: Set[String]): Unit = {
+    val fs = Versioned.fs(spark, s"$indexDir/cells")
+    val root = new org.apache.hadoop.fs.Path(s"$indexDir/cells")
+    if (!fs.exists(root)) return
+    fs.listStatus(root).map(_.getPath)
+      .filter(p => p.getName.matches("v\\d+") && !keep(s"cells/${p.getName}"))
+      .foreach(p => fs.delete(p, true))
   }
 
   /** Drop cell dirs the committed meta does not route to — the
@@ -185,6 +205,7 @@ object IvfPqIndex {
     // retained for in-flight readers, older ones GC'd — mirroring
     // Versioned's retention.
     val fs = Versioned.fs(spark, metaPath(indexDir))
+    val prevCellsDir = loadMetaOpt(spark, indexDir).map(_.cellsDir)
     val n = Versioned.committed(fs, metaPath(indexDir)).lastOption.getOrElse(0L) + 1
     val cellsDir = s"cells/v$n"
     val cellsAbs = s"$indexDir/$cellsDir"
@@ -196,10 +217,7 @@ object IvfPqIndex {
       .write.mode("overwrite").partitionBy("cell").parquet(cellsAbs)
     publishMeta(spark, indexDir,
       centers.toSeq.map { case (i, c) => (i, c.toSeq) }, books, residual, cellsDir)
-    (1L until n - 1).foreach { v =>
-      val p = new org.apache.hadoop.fs.Path(s"$indexDir/cells/v$v")
-      if (fs.exists(p)) fs.delete(p, true)
-    }
+    gcCellVersions(spark, indexDir, Set(cellsDir) ++ prevCellsDir)
   }
 
   /** Append new vectors: assign to the nearest EXISTING centroid and
@@ -278,6 +296,46 @@ object IvfPqIndex {
     val old = new org.apache.hadoop.fs.Path(s"$cells/cell=$cell")
     if (fs.exists(old)) fs.delete(old, true)
     cellRows.unpersist()
+  }
+
+  /** OPTIMIZE for the inverted file: every incremental [[add]] lands
+    * one parquet file per touched cell per batch, so a streaming
+    * ingest fragments the cell dirs. Compaction rewrites the corpus
+    * as ONE file per cell into a FRESH `cells/v<N>` and republishes
+    * the meta (same centroids/codebooks/flag) pointing at it — the
+    * same atomic flip a rebuild uses, so a crash mid-compaction or an
+    * in-flight reader keeps the old, complete version. Returns the
+    * data-file count before compaction. Single-writer maintenance.
+    */
+  def compact(spark: SparkSession, indexDir: String): Long = {
+    val meta = loadMeta(spark, indexDir)
+    val cells = meta.cellsPath(indexDir)
+    val fs = Versioned.fs(spark, cells)
+    val filesBefore = {
+      def walk(p: org.apache.hadoop.fs.Path): Long =
+        fs.listStatus(p).map { s =>
+          if (s.isDirectory) walk(s.getPath)
+          else if (s.getPath.getName.startsWith("_") ||
+            s.getPath.getName.startsWith(".")) 0L
+          else 1L
+        }.sum
+      walk(new org.apache.hadoop.fs.Path(cells))
+    }
+    val n = Versioned.committed(fs, metaPath(indexDir)).last + 1
+    val freshDir = s"cells/v$n"
+    val freshAbs = s"$indexDir/$freshDir"
+    val stale = new org.apache.hadoop.fs.Path(freshAbs)
+    if (fs.exists(stale)) fs.delete(stale, true) // crashed prior attempt
+    val live = meta.centers.map(_._1).toSeq
+    spark.read.parquet(cells)
+      .filter(col("cell").isin(live: _*)) // orphans die with the old version
+      .repartition(live.size, col("cell")) // one task -> one file per cell
+      .write.mode("overwrite").partitionBy("cell").parquet(freshAbs)
+    publishMeta(spark, indexDir,
+      meta.centers.toSeq.map { case (i, c) => (i, c.toSeq) },
+      meta.booksSeq, meta.residual, freshDir)
+    gcCellVersions(spark, indexDir, Set(freshDir, meta.cellsDir))
+    filesBefore
   }
 
   /** Split every cell whose list exceeds `factor` × the mean cell

@@ -174,6 +174,40 @@ class IvfPqSuite extends GraftSuite {
     assert(IvfPqIndex.rebalance(spark, dir, factor = 100.0) == Nil)
   }
 
+  test("compact: one file per cell in a fresh version; snapshot identical; live prev dir retained") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_compact").toString
+    val emb = Tables.embeddings(spark, sf0001)
+    IvfPqIndex.build(spark, emb, dir, kCells = 8) // meta v1 -> cells/v1
+    // split bumps meta to v2 WITHOUT bumping the cells dir — the case
+    // where version-arithmetic GC would wrongly delete the live dir
+    val hot = IvfPqIndex.cellSizes(spark, dir).maxBy(_._2)._1
+    IvfPqIndex.splitCell(spark, dir, hot)
+    // fragment the cells with incremental adds
+    (1 to 3).foreach { i =>
+      IvfPqIndex.add(spark, emb.filter(col("vec_id") < 30)
+        .select((col("vec_id") + i * 1000000L).as("vec_id"), col("embedding")), dir)
+    }
+    val want = IvfPqIndex.query(spark, queryBatch, dir, topK = 3).collect().toSeq
+    val sizesBefore = IvfPqIndex.cellSizes(spark, dir)
+    def filesPerCell(v: String) = new java.io.File(s"$dir/cells/$v").listFiles
+      .filter(_.getName.startsWith("cell="))
+      .map(d => d.listFiles.count(_.getName.endsWith(".parquet")))
+    assert(filesPerCell("v1").exists(_ > 1), "adds must have fragmented some cell")
+    val reported = IvfPqIndex.compact(spark, dir) // meta v3 -> cells/v3
+    assert(reported > sizesBefore.size, s"pre-compact file count $reported must exceed cells")
+    val cellVersions = new java.io.File(s"$dir/cells").listFiles
+      .map(_.getName).filter(_.matches("v\\d+")).sorted.toSeq
+    assert(cellVersions == Seq("v1", "v3"),
+      s"previous LIVE cells dir (v1) must be retained for in-flight readers: $cellVersions")
+    val perCell = filesPerCell("v3")
+    assert(perCell.nonEmpty && perCell.forall(_ == 1),
+      s"one file per cell after compaction: ${perCell.toSeq}")
+    assert(IvfPqIndex.cellSizes(spark, dir) == sizesBefore,
+      "compaction must not change cell membership")
+    assert(IvfPqIndex.query(spark, queryBatch, dir, topK = 3).collect().toSeq == want,
+      "compaction must not change answers")
+  }
+
   test("rebuild: fresh cells version flips atomically with meta; old pair retained then GC'd") {
     val dir = java.nio.file.Files.createTempDirectory("ivfpq_rebuild").toString
     val emb = Tables.embeddings(spark, sf0001)
