@@ -218,6 +218,10 @@ object IvfPqIndex {
     publishMeta(spark, indexDir,
       centers.toSeq.map { case (i, c) => (i, c.toSeq) }, books, residual, cellsDir)
     gcCellVersions(spark, indexDir, Set(cellsDir) ++ prevCellsDir)
+    // probe stats are keyed by cell id; a rebuild renumbers cells, so
+    // carried-over counts would misattribute — reset the log
+    val statsP = new org.apache.hadoop.fs.Path(statsPath(indexDir))
+    if (fs.exists(statsP)) fs.delete(statsP, true)
   }
 
   /** Append new vectors: assign to the nearest EXISTING centroid and
@@ -346,6 +350,65 @@ object IvfPqIndex {
     if (sizes.isEmpty) return Nil
     val mean = sizes.values.sum.toDouble / sizes.size
     val hot = sizes.filter { case (_, n) => n > factor * mean && n >= 2 }
+      .keys.toSeq.sorted
+    hot.foreach(c => splitCell(spark, indexDir, c, seed))
+    hot
+  }
+
+  private def statsPath(dir: String) = s"$dir/stats/probes"
+
+  /** Log a query workload's probe routing into the index's stats
+    * side-table (`stats/probes`, append-only, one tiny aggregate row
+    * per probed cell per call). The serving tier calls this on its
+    * query log — e.g. per micro-batch from a `foreachBatch` — so
+    * [[rebalanceByTraffic]] can split the cells queries actually
+    * hammer. Advisory only: stats never affect query answers, and
+    * [[build]] resets them (a rebuild renumbers cells, so carried-over
+    * counts would attribute old traffic to unrelated new cells).
+    */
+  def recordProbes(spark: SparkSession, queries: DataFrame, indexDir: String,
+      nProbe: Int = 4): Unit = {
+    val meta = loadMeta(spark, indexDir)
+    val probe = IvfIndex.nearestCells(meta.centers, nProbe)
+    queries.select(explode(probe(col("embedding"))).as("cell"))
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_probes"))
+      .repartition(1)
+      .write.mode("append").parquet(statsPath(indexDir))
+  }
+
+  /** Accumulated probe counts per LIVE cell (cells retired by a split
+    * drop out; their replacement halves start at zero and re-earn
+    * their traffic). */
+  def probeTraffic(spark: SparkSession, indexDir: String): Map[Int, Long] = {
+    val fs = Versioned.fs(spark, statsPath(indexDir))
+    if (!fs.exists(new org.apache.hadoop.fs.Path(statsPath(indexDir)))) return Map.empty
+    val live = loadMeta(spark, indexDir).centers.map(_._1).toSet
+    spark.read.parquet(statsPath(indexDir))
+      .groupBy(col("cell")).agg(sum(col("n_probes")).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1))
+      .filter { case (c, _) => live(c) }.toMap
+  }
+
+  /** Traffic-weighted rebalance: split the cells that dominate the
+    * workload's SCAN cost, not merely the biggest ones. A probe of
+    * cell c costs |c| code rows, so c's share of total ADC work is
+    * probes(c) × size(c) — a mid-size cell a hot query region hammers
+    * outweighs a giant cell nobody visits, and splitting the cold
+    * giant (what size-based [[rebalance]] does) buys the workload
+    * nothing. Splits every cell whose load exceeds `factor` × the
+    * mean load; zero-traffic cells never split. Returns the cells
+    * split.
+    */
+  def rebalanceByTraffic(spark: SparkSession, indexDir: String,
+      factor: Double = 2.0, seed: Long = 42L): Seq[Int] = {
+    val sizes = cellSizes(spark, indexDir)
+    if (sizes.isEmpty) return Nil
+    val traffic = probeTraffic(spark, indexDir)
+    val load = sizes.map { case (c, n) => c -> n.toDouble * traffic.getOrElse(c, 0L) }
+    val total = load.values.sum
+    if (total == 0.0) return Nil // no recorded traffic: nothing is hot
+    val mean = total / load.size
+    val hot = load.filter { case (c, l) => l > factor * mean && sizes(c) >= 2 }
       .keys.toSeq.sorted
     hot.foreach(c => splitCell(spark, indexDir, c, seed))
     hot

@@ -34,12 +34,26 @@ object StreamDecon {
   /** Start the gate. `docStream` is a streaming (doc_id, text, ...)
     * frame; `eval` is the STATIC eval set (doc_id, text). Extra
     * docStream columns ride through to the clean output.
+    *
+    * @param cleanTable when set, the clean side lands in a
+    *        [[StreamzOps]] snapshot-manifest UPSERT table at this path
+    *        (keyed by doc_id, ordered by arrival batch) instead of
+    *        per-batch directories: readers get ONE consolidated,
+    *        atomically-committed table ([[StreamzOps.readUpsertTable]])
+    *        and a doc re-delivered in a later batch upserts instead of
+    *        duplicating — the composition a CDC-fed ingest needs,
+    *        since the same doc_id can legitimately reappear updated.
+    *        Replay-idempotent like the sink it borrows
+    *        ([[StreamzOps.upsertBatch]]). The flagged side keeps its
+    *        batch-dir layout either way.
     */
   def start(docStream: DataFrame, eval: DataFrame, outPath: String,
       checkpointDir: String,
       minShared: Int = graft.queries.PipelineExtras.DECON_MIN_SHARED,
       expectedEvalShingles: Long = 1000000L, fpp: Double = 0.01,
-      trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery = {
+      trigger: Trigger = Trigger.ProcessingTime(0),
+      cleanTable: Option[String] = None,
+      cleanTableBuckets: Int = 16): StreamingQuery = {
     // one-time eval-side build: shingle table cached, Bloom computed
     val filter = BloomDecon.evalFilter(eval, minShared, expectedEvalShingles, fpp)
     val query = docStream.writeStream
@@ -47,7 +61,7 @@ object StreamDecon {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        writeBatch(filter, batch, outPath, batchId)
+        writeBatch(filter, batch, outPath, batchId, cleanTable, cleanTableBuckets)
       }
       .start()
     // release the cached eval shingles when THIS query ends (stop or
@@ -69,16 +83,28 @@ object StreamDecon {
   /** One batch's gate + write — factored out so idempotence under
     * replay (same batchId twice) is directly testable. */
   private[graft] def writeBatch(filter: BloomDecon.EvalFilter,
-      batch: DataFrame, outPath: String, batchId: Long): Unit = {
+      batch: DataFrame, outPath: String, batchId: Long,
+      cleanTable: Option[String] = None,
+      cleanTableBuckets: Int = 16): Unit = {
     // both writes consume the batch (flag() shingles it, the clean
     // side anti-joins it) — cache so the source is read once per batch
     val b = batch.cache()
     val flagged = filter.flag(b)
       .cache() // consumed by its own write + the clean anti-join
     flagged.write.mode("overwrite").parquet(s"$outPath/flagged/batch=$batchId")
-    b.join(flagged.select(col("train_doc").as("doc_id")).distinct(),
-        Seq("doc_id"), "left_anti") // = filter.clean(b), reusing the cached flags
-      .write.mode("overwrite").parquet(s"$outPath/clean/batch=$batchId")
+    val clean = b.join(flagged.select(col("train_doc").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti") // = filter.clean(b), reusing the cached flags
+    cleanTable match {
+      case Some(table) =>
+        // arrival batch as the upsert order: a replayed batch merges
+        // to the same state (same batchId), a later re-delivery wins
+        StreamzOps.upsertBatch(
+          clean.withColumn("_ingest_batch", lit(batchId)),
+          table, keys = Seq("doc_id"), orderCol = "_ingest_batch",
+          batchId = batchId, numBuckets = cleanTableBuckets)
+      case None =>
+        clean.write.mode("overwrite").parquet(s"$outPath/clean/batch=$batchId")
+    }
     flagged.unpersist()
     b.unpersist()
     ()

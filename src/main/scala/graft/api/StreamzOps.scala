@@ -283,31 +283,12 @@ object StreamzOps {
       require(numBuckets > 0, s"numBuckets must be > 0 (got $numBuckets)")
       require(retainManifests >= 0,
         s"retainManifests must be >= 0 (got $retainManifests)")
-      val w = Window.partitionBy(keys.map(col): _*)
-        .orderBy(col(orderCol).desc)
       df.writeStream.outputMode("append")
         .option("checkpointLocation", checkpointLocation)
         .trigger(trigger)
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          // the batch pre-reduces to its latest row per key; the merge
-          // keeps the overall latest and drops tombstoned keys.
-          // Dropping tombstones at write is safe under Structured
-          // Streaming recovery: only the in-flight batch ever replays,
-          // so no earlier-committed row can resurrect a deleted key.
-          // A source with broader re-delivery (Kafka earliest reset)
-          // needs retained tombstones + a retention window instead.
-          // Null-safe inequality: rows with a NULL op are live, not
-          // silently dropped.
-          val latest = batch.withColumn("_rn", row_number().over(w))
-            .filter(col("_rn") === 1).drop("_rn")
-          commitBucketedSnapshot(latest, tablePath, keys, numBuckets,
-            retainManifests, batchId, failpoint,
-            priorHasDerivedColumns = false) { merged0 =>
-            val reduced = merged0.withColumn("_rn", row_number().over(w))
-              .filter(col("_rn") === 1).drop("_rn")
-            opCol.fold(reduced)(oc =>
-              reduced.filter(!(col(oc) <=> lit(deleteOp))))
-          }
+          StreamzOps.upsertBatch(batch, tablePath, keys, orderCol, batchId,
+            opCol, deleteOp, numBuckets, retainManifests, failpoint)
         }.start()
     }
 
@@ -358,6 +339,46 @@ object StreamzOps {
                 .cast("int"))
           }
         }.start()
+    }
+  }
+
+  /** Merge ONE micro-batch of rows into a snapshot-manifest upsert
+    * table — the exact foreachBatch body of
+    * [[StreamzDataFrame.sinkUpsert]], exposed so pipelines that
+    * already run their own foreachBatch (e.g. [[StreamDecon]]'s
+    * clean side) can compose an upsert table into their per-batch
+    * work instead of standing up a second streaming query.
+    *
+    * Semantics are sinkUpsert's: the batch pre-reduces to its latest
+    * row per key; the merge keeps the overall latest and drops
+    * tombstoned keys. Dropping tombstones at write is safe under
+    * Structured Streaming recovery: only the in-flight batch ever
+    * replays, so no earlier-committed row can resurrect a deleted
+    * key. A source with broader re-delivery (Kafka earliest reset)
+    * needs retained tombstones + a retention window instead.
+    * Null-safe inequality: rows with a NULL op are live, not
+    * silently dropped. Idempotent under batch replay (a replayed
+    * batchId recomputes the same manifest number and data).
+    */
+  def upsertBatch(batch: DataFrame, tablePath: String, keys: Seq[String],
+      orderCol: String, batchId: Long,
+      opCol: Option[String] = None, deleteOp: String = "D",
+      numBuckets: Int = 16, retainManifests: Int = 0,
+      failpoint: (String, Long) => Unit = (_, _) => ()): Unit = {
+    require(numBuckets > 0, s"numBuckets must be > 0 (got $numBuckets)")
+    require(retainManifests >= 0,
+      s"retainManifests must be >= 0 (got $retainManifests)")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(orderCol).desc)
+    val latest = batch.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+    commitBucketedSnapshot(latest, tablePath, keys, numBuckets,
+      retainManifests, batchId, failpoint,
+      priorHasDerivedColumns = false) { merged0 =>
+      val reduced = merged0.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1).drop("_rn")
+      opCol.fold(reduced)(oc =>
+        reduced.filter(!(col(oc) <=> lit(deleteOp))))
     }
   }
 

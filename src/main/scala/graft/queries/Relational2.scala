@@ -126,8 +126,66 @@ object Relational2 {
       |GROUP BY n_name
       |ORDER BY n_name""".stripMargin
 
+  // ---- #89 q_agg_percentiles -----------------------------------------------
+  // EXACT distribution summary per group: Spark's `percentile` (not
+  // percentile_approx) interpolates linearly on the sorted values —
+  // the same type-7 quantile DuckDB's quantile_cont computes, so the
+  // oracle is a hash match, not a tolerance check. Exactness costs a
+  // per-group sort; the documented 100 TB route for interactive use is
+  // approx_percentile's fixed-size sketch (mergeable, one pass), with
+  // this exact form for the final/audit pass where answers must be
+  // reproducible. Rounded to 4dp against last-ulp interpolation skew.
+  val qAggPercentiles: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+      .orderBy("l_returnflag")
+
+  val qAggPercentilesSql: String =
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |       ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+      |       ROUND(quantile_cont(l_extendedprice, 0.5),  4) AS p50,
+      |       ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+      |       ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  // ---- #90 q_join_skew_salted ------------------------------------------------
+  // The explicit skew regime (SURVEY §4.3): when one join key is so hot
+  // a single task would own it AND the dim side is too big to
+  // broadcast, SkewUtils.saltedJoin scatters the hot key over nSalts
+  // sub-keys and replicates the dim side nSalts×. The oracle is the
+  // PLAIN join aggregated — salting must be invisible in the result.
+  val qJoinSkewSalted: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val cust = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    graft.api.SkewUtils.saltedJoin(ev, cust,
+        col("user_id"), col("c_custkey"), col("event_id"), nSalts = 8)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)")
+          .cast("double").as("sum_value"))
+      .orderBy("c_mktsegment")
+  }
+
+  val qJoinSkewSaltedSql: String = graft.queries.EV +
+    """SELECT c_mktsegment, COUNT(*) AS n_events,
+      |       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
+      |FROM e JOIN customer ON user_id = c_custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
   // ------------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
+    "q_agg_percentiles" -> qAggPercentiles,
+    "q_join_skew_salted" -> qJoinSkewSalted,
     "q_subquery_scalar" -> qSubqueryScalar,
     "q_subquery_in" -> qSubqueryIn,
     "q_pivot" -> qPivot,
@@ -136,6 +194,8 @@ object Relational2 {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_agg_percentiles" -> qAggPercentilesSql,
+    "q_join_skew_salted" -> qJoinSkewSaltedSql,
     "q_subquery_scalar" -> qSubqueryScalarSql,
     "q_subquery_in" -> qSubqueryInSql,
     "q_pivot" -> qPivotSql,

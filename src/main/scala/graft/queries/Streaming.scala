@@ -211,8 +211,47 @@ object Streaming {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  // ---- #88 q_stream_stream_join --------------------------------------------
+  // Stream-STREAM interval join (the Structured Streaming flagship the
+  // inventory lacked): click→purchase attribution — each click pairs
+  // with the SAME user's purchases in the following 24 h. Declared as
+  // the batch equi+range join (what the oracle checks); the real
+  // two-stream execution — both sides watermarked, the time-range
+  // condition bounding both buffers' state — is asserted in
+  // StreamingSuite against this exact output. Scale: state is keyed by
+  // user and bounded to watermark + 24 h per side; the join shuffles
+  // both streams on user_id, never materializes either side whole.
+  // lag_us is exact integer µs arithmetic (§2.5 determinism — no
+  // float intervals).
+  val qStreamStreamJoin: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    clicks.join(purchases,
+        col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 24 HOURS"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))).as("lag_us"))
+      .orderBy("user_id", "click_id", "purchase_id")
+  }
+
+  val qStreamStreamJoinSql: String = EV +
+    """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+      |       epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+      |FROM e c JOIN e p
+      |  ON c.event_type = 'click' AND p.event_type = 'purchase'
+      | AND p.user_id = c.user_id
+      | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 24 HOUR
+      |ORDER BY 1, 2, 3""".stripMargin
+
   // ------------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
+    "q_stream_stream_join" -> qStreamStreamJoin,
     "q_stream_tumbling" -> qStreamTumbling,
     "q_stream_sliding" -> qStreamSliding,
     "q_stream_session" -> qStreamSession,
@@ -224,6 +263,7 @@ object Streaming {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_stream_stream_join" -> qStreamStreamJoinSql,
     "q_stream_tumbling" -> qStreamTumblingSql,
     "q_stream_sliding" -> qStreamSlidingSql,
     "q_stream_session" -> qStreamSessionSql,

@@ -174,6 +174,35 @@ class IvfPqSuite extends GraftSuite {
     assert(IvfPqIndex.rebalance(spark, dir, factor = 100.0) == Nil)
   }
 
+  test("traffic rebalance: splits the hot-PROBED cell, leaves the bigger cold cell alone") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_traffic").toString
+    IvfPqIndex.build(spark, Tables.embeddings(spark, sf0001), dir, kCells = 8)
+    val sizes = IvfPqIndex.cellSizes(spark, dir)
+    val coldGiant = sizes.maxBy(_._2)._1
+    // pick a mid-size cell (not the biggest) and hammer it: its own
+    // members as queries at nProbe=1 route straight back to it
+    val hot = sizes.filter { case (c, n) => c != coldGiant && n >= 2 }.maxBy(_._2)._1
+    val hotMembers = spark.read.parquet(s"$dir/cells/v1")
+      .filter(col("cell") === hot)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    assert(IvfPqIndex.rebalanceByTraffic(spark, dir) == Nil,
+      "no recorded traffic must mean no splits")
+    IvfPqIndex.recordProbes(spark, hotMembers, dir, nProbe = 1)
+    assert(IvfPqIndex.probeTraffic(spark, dir) == Map(hot -> sizes(hot)),
+      "nProbe=1 self-probes must all route back to the members' own cell")
+    val split = IvfPqIndex.rebalanceByTraffic(spark, dir, factor = 2.0)
+    assert(split == Seq(hot), s"only the hot-probed cell splits (got $split)")
+    val after = IvfPqIndex.cellSizes(spark, dir)
+    // the size-based criterion would have gone for the cold giant first
+    assert(after.contains(coldGiant) && after(coldGiant) == sizes(coldGiant),
+      "the bigger but unprobed cell must be untouched")
+    assert(!after.contains(hot), "the hot cell id retires into two halves")
+    // retired cell's stats drop out of the live view; halves start at 0
+    assert(IvfPqIndex.probeTraffic(spark, dir).isEmpty)
+    // and the index still answers
+    assert(IvfPqIndex.query(spark, queryBatch, dir, topK = 3).collect().nonEmpty)
+  }
+
   test("compact: one file per cell in a fresh version; snapshot identical; live prev dir retained") {
     val dir = java.nio.file.Files.createTempDirectory("ivfpq_compact").toString
     val emb = Tables.embeddings(spark, sf0001)

@@ -67,6 +67,82 @@ class StreamingSuite extends GraftSuite {
       s"(got ${got.length} rows, want ${want.length})")
   }
 
+  test("q_stream_stream_join (#88): two watermarked file streams == declared batch join") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val watch = java.nio.file.Files.createTempDirectory("ev_ssj").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      java.nio.file.Paths.get(s"$watch/events.parquet"))
+    val sch = spark.read.parquet(s"$sf0001/events.parquet").schema
+    def evStream = spark.readStream.schema(sch).parquet(watch)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val clicks = evStream.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = evStream.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    val joined = clicks.join(purchases,
+        expr("user_id = p_user_id AND purchase_ts >= click_ts AND " +
+          "purchase_ts <= click_ts + interval 24 hours"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))).as("lag_us"))
+    val q = joined.writeStream.format("memory").queryName("ssjoin_real")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("ssjoin_real")
+      .orderBy("user_id", "click_id", "purchase_id").collect().toSeq
+    val want = queries.Streaming.qStreamStreamJoin(spark, sf0001).collect().toSeq
+    assert(got.nonEmpty, "fixture must produce attribution pairs")
+    assert(got == want, s"stream-stream join must equal the declared batch join " +
+      s"(got ${got.length} rows, want ${want.length})")
+  }
+
+  test("stream-stream join: buffers across micro-batches; watermark evicts old state") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx = sess.sqlContext
+    val msC = MemoryStream[(Long, Long, Timestamp)]
+    val msP = MemoryStream[(Long, Long, Timestamp)]
+    val clicks = msC.toDF().toDF("user_id", "click_id", "click_ts")
+      .withWatermark("click_ts", "1 hour")
+    val purchases = msP.toDF().toDF("p_user_id", "purchase_id", "purchase_ts")
+      .withWatermark("purchase_ts", "1 hour")
+    val joined = clicks.join(purchases,
+      expr("user_id = p_user_id AND purchase_ts >= click_ts AND " +
+        "purchase_ts <= click_ts + interval 24 hours"))
+    val q = joined.writeStream.format("memory").queryName("ssjoin_state")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // click arrives alone: no output yet, row buffered in join state
+      msC.addData((1L, 10L, ts("2024-01-01 00:00:00")))
+      q.processAllAvailable()
+      assert(sess.table("ssjoin_state").count() == 0)
+      // matching purchase lands in a LATER batch -> joins the buffered click
+      msP.addData((1L, 20L, ts("2024-01-01 01:00:00")))
+      q.processAllAvailable()
+      assert(sess.table("ssjoin_state").select("click_id", "purchase_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((10L, 20L)))
+      // advance BOTH watermarks past click_ts + 24h: the click's state
+      // is eligible for eviction (non-matching keys keep the streams moving)
+      msC.addData((999L, 11L, ts("2024-01-04 00:00:00")))
+      msP.addData((998L, 21L, ts("2024-01-04 00:00:00")))
+      q.processAllAvailable()
+      msC.addData((999L, 12L, ts("2024-01-04 06:00:00")))
+      msP.addData((998L, 22L, ts("2024-01-04 06:00:00")))
+      q.processAllAvailable()
+      // a purchase inside the old click's 24h range but far behind the
+      // watermark is late data: dropped, not joined against evicted state
+      msP.addData((1L, 23L, ts("2024-01-01 02:00:00")))
+      q.processAllAvailable()
+      val rows = sess.table("ssjoin_state").select("click_id", "purchase_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(rows == Seq((10L, 20L)),
+        s"late purchase must not revive evicted click state, got $rows")
+    } finally q.stop()
+  }
+
   test("session window: gap == 30min still merges; only a strictly greater gap splits") {
     val sess = spark
     import sess.implicits._
@@ -445,5 +521,57 @@ class StreamingSuite extends GraftSuite {
       .map(r => (r.getAs[Long]("train_doc"), r.getAs[Long]("eval_doc"),
         r.getAs[Long]("n_shared"))).toSet
     assert(again == want, "replaying a batch id must not duplicate flags")
+  }
+
+  test("StreamDecon cleanTable: clean side lands in ONE upsert table; re-delivery upserts") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx = sess.sqlContext
+    val docs = Tables.documents(spark, sf0001)
+    val eval = docs.filter(col("doc_id") < 20).select("doc_id", "text")
+    val train = docs.filter(col("doc_id") >= 20)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val flaggedIds = graft.queries.PipelineExtras.qDecontaminate(spark, sf0001)
+      .collect().map(_.getAs[Long]("train_doc")).toSet
+    val (chunk1, chunk2) = train.partition(_._1 % 2 == 0)
+    // a clean chunk1 doc reappears UPDATED in chunk2 — the CDC-shaped
+    // case the upsert composition exists for ("updated" is outside the
+    // eval vocabulary, so the new revision stays clean)
+    val redeliver = chunk1.find(d => !flaggedIds(d._1)).get
+    val updated = (redeliver._1, redeliver._2 + " updated")
+    val out = java.nio.file.Files.createTempDirectory("sdecon_ut_out").toString
+    val cp = java.nio.file.Files.createTempDirectory("sdecon_ut_cp").toString
+    val table = s"$out/clean_table"
+    val ms = MemoryStream[(Long, String)]
+    def start() = graft.api.StreamDecon.start(
+      ms.toDF().toDF("doc_id", "text"), eval, out, cp,
+      expectedEvalShingles = 10000L,
+      cleanTable = Some(table), cleanTableBuckets = 4)
+    val q1 = start()
+    ms.addData(chunk1.toSeq: _*)
+    q1.processAllAvailable()
+    q1.stop() // restart between batches: the table commit must survive
+    val q2 = start()
+    ms.addData((chunk2 :+ updated).toSeq: _*)
+    q2.processAllAvailable()
+    q2.stop()
+    def tableState() = graft.api.StreamzOps.readUpsertTable(spark, table)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val rows = tableState()
+    assert(rows.length == rows.map(_._1).distinct.length,
+      "upsert table must hold each doc_id once")
+    assert(rows.map(_._1).toSet == (train.map(_._1).toSet diff flaggedIds),
+      "table must hold exactly the gated-clean doc ids")
+    assert(rows.toMap.apply(redeliver._1) == updated._2,
+      "the re-delivered doc's LATER revision must win the upsert")
+    // replay idempotence: rerunning chunk2's batch id leaves the same state
+    val filter = graft.api.BloomDecon.evalFilter(eval, expectedEvalShingles = 10000L)
+    val replayBatch = spark.createDataFrame((chunk2 :+ updated).toSeq).toDF("doc_id", "text")
+    graft.api.StreamDecon.writeBatch(filter, replayBatch, out, 1L,
+      cleanTable = Some(table), cleanTableBuckets = 4)
+    assert(tableState().sorted.toSeq == rows.sorted.toSeq,
+      "replaying a batch must not change the table state")
   }
 }
