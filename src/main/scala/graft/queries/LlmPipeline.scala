@@ -165,7 +165,11 @@ object LlmPipeline {
     val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"), toVec(col("embedding")).as("features"))
-    val kmeans = new KMeans().setK(16).setSeed(42L)
+    // a coarse quantizer needs rough Voronoi cells, not convergence —
+    // each extra iteration is a full distributed pass (FAISS trains IVF
+    // quantizers with ~10 iterations for the same reason); recall bar
+    // re-verified in OperatorSuite at the capped setting
+    val kmeans = new KMeans().setK(16).setSeed(42L).setMaxIter(8)
       .setFeaturesCol("features").setPredictionCol("cell")
     // the quantizer trains on a deterministic hash-gated SAMPLE — the
     // 100 TB shape: a coarse quantizer needs ~thousands of vectors per

@@ -182,9 +182,39 @@ object Relational2 {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
+  // ---- #91 q_win_range_frame -------------------------------------------------
+  // RANGE frame over event time: each order's trailing-30-day spend for
+  // its customer. Physically distinct from the ROWS frames (#25/#26):
+  // the frame bound is a VALUE offset on the ordering column, and peers
+  // (equal dates) are all in-frame — which also makes the result
+  // deterministic under ties with no tiebreaker column needed. The
+  // rolling-retention / trailing-window shape every event pipeline
+  // needs; at scale it partitions by customer like any keyed window.
+  val qWinRangeFrame: Q = (s, dir) => {
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS day,
+        |       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |         PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
+        |         RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW
+        |       ) AS DECIMAL(38,2)) AS DOUBLE) AS trailing_30d
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  val qWinRangeFrameSql: String =
+    """SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS day,
+      |       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |         PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
+      |         RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW
+      |       ) AS DECIMAL(38,2)) AS DOUBLE) AS trailing_30d
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin
+
   // ------------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "q_agg_percentiles" -> qAggPercentiles,
+    "q_win_range_frame" -> qWinRangeFrame,
     "q_join_skew_salted" -> qJoinSkewSalted,
     "q_subquery_scalar" -> qSubqueryScalar,
     "q_subquery_in" -> qSubqueryIn,
@@ -195,6 +225,7 @@ object Relational2 {
 
   val oracleSql: Map[String, String] = Map(
     "q_agg_percentiles" -> qAggPercentilesSql,
+    "q_win_range_frame" -> qWinRangeFrameSql,
     "q_join_skew_salted" -> qJoinSkewSaltedSql,
     "q_subquery_scalar" -> qSubqueryScalarSql,
     "q_subquery_in" -> qSubqueryInSql,
