@@ -153,6 +153,57 @@ class StreamzOpsSuite extends GraftSuite {
     }
   }
 
+  test("accumulateStreamTws: transformWithState fold == flatMapGroupsWithState fold, across restart") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    // Spark enforces RocksDB for transformWithState
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val sess = spark; import sess.implicits._
+      implicit val sqlCtx = sess.sqlContext
+      val cp = java.nio.file.Files.createTempDirectory("tws_cp").toString
+      // memory sink cannot recover from a checkpoint — collect appended
+      // rows through foreachBatch instead (the recoverable sink shape)
+      val emitted = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Double)]()
+      val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Double)]
+      def start() = graft.api.StreamzStateOps
+        .accumulateStreamTws(ms.toDF().toDF("k", "seq", "v"), "k", "seq", "v")
+        .writeStream
+        .option("checkpointLocation", cp)
+        .outputMode("append")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.collect().foreach(r =>
+            emitted.add((r.getLong(0), r.getLong(1), r.getDouble(3))))
+          ()
+        }.start()
+      val q1 = start()
+      // in-batch rows out of seq order (must sort), k=1 spans batches
+      ms.addData((1L, 2L, 10.0), (1L, 1L, 1.0), (2L, 1L, 5.0))
+      q1.processAllAvailable()
+      q1.stop() // ValueState must rehydrate from the checkpoint
+      val q2 = start()
+      ms.addData((1L, 3L, 100.0), (2L, 2L, 7.0))
+      q2.processAllAvailable()
+      q2.stop()
+      val got = emitted.toArray(Array.empty[(Long, Long, Double)])
+        .sortBy(t => (t._1, t._2)).toSeq
+      // the old-API op is the semantic oracle
+      val wantDf = Seq((1L, 1L, 1.0), (1L, 2L, 10.0), (1L, 3L, 100.0),
+          (2L, 1L, 5.0), (2L, 2L, 7.0)).toDF("k", "seq", "v")
+      val want = graft.api.StreamzStateOps
+        .accumulateStream(wantDf, "k", "seq", "v")
+        .orderBy("key", "ord").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSeq
+      assert(got == want,
+        s"transformWithState fold must equal the fMGWS fold:\n$got\n$want")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("slidingWindowStream: last-n ring across micro-batches == batch slidingWindow") {
     val sess = spark; import sess.implicits._
     implicit val sqlCtx = sess.sqlContext
