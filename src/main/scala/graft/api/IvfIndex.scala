@@ -76,7 +76,7 @@ object IvfIndex {
     val train =
       if (trainSampleMod == 1) feat
       else feat.filter(pmod(hash(col("vec_id")), lit(trainSampleMod)) === 0)
-    val model = new KMeans().setK(k).setSeed(seed)
+    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(10)
       .setFeaturesCol("features").setPredictionCol("cell").fit(train)
     val centers = model.clusterCenters.map(_.toArray)
     publishCenters(spark, indexDir,

@@ -181,7 +181,7 @@ object IvfPqIndex {
     val train =
       if (trainSampleMod == 1) feat
       else feat.filter(pmod(hash(col("vec_id")), lit(trainSampleMod)) === 0)
-    val coarse = new KMeans().setK(kCells).setSeed(seed)
+    val coarse = new KMeans().setK(kCells).setSeed(seed).setMaxIter(10)
       .setFeaturesCol("features").setPredictionCol("cell").fit(train)
     val centers = coarse.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray) }
@@ -215,13 +215,16 @@ object IvfPqIndex {
       .select(col("vec_id"), col("embedding"),
         encode(encCol).as("codes"), col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(cellsAbs)
+    // probe stats are keyed by cell id; a rebuild renumbers cells, so
+    // carried-over counts would misattribute — reset the log BEFORE the
+    // meta flip: a crash in between loses only advisory stats, whereas
+    // deleting after the publish leaves a window where old traffic is
+    // pinned on unrelated new cells
+    val statsP = new org.apache.hadoop.fs.Path(statsPath(indexDir))
+    if (fs.exists(statsP)) fs.delete(statsP, true)
     publishMeta(spark, indexDir,
       centers.toSeq.map { case (i, c) => (i, c.toSeq) }, books, residual, cellsDir)
     gcCellVersions(spark, indexDir, Set(cellsDir) ++ prevCellsDir)
-    // probe stats are keyed by cell id; a rebuild renumbers cells, so
-    // carried-over counts would misattribute — reset the log
-    val statsP = new org.apache.hadoop.fs.Path(statsPath(indexDir))
-    if (fs.exists(statsP)) fs.delete(statsP, true)
   }
 
   /** Append new vectors: assign to the nearest EXISTING centroid and

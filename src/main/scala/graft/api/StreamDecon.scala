@@ -43,8 +43,14 @@ object StreamDecon {
     *        and a doc re-delivered in a later batch upserts instead of
     *        duplicating — the composition a CDC-fed ingest needs,
     *        since the same doc_id can legitimately reappear updated.
-    *        Replay-idempotent like the sink it borrows
-    *        ([[StreamzOps.upsertBatch]]). The flagged side keeps its
+    *        A doc whose LATEST revision is flagged leaves the table
+    *        (tombstoned, not left at its stale clean revision); within
+    *        one batch revisions are unordered, so the winner is a
+    *        deterministic content-hash pick and any flagged revision
+    *        gates the whole doc out. Replay-idempotent like the sink
+    *        it borrows ([[StreamzOps.upsertBatch]]). Read back with
+    *        [[readCleanTable]] — the batch-dir [[readClean]] layout is
+    *        not written in this mode. The flagged side keeps its
     *        batch-dir layout either way.
     */
   def start(docStream: DataFrame, eval: DataFrame, outPath: String,
@@ -96,12 +102,33 @@ object StreamDecon {
       Seq("doc_id"), "left_anti") // = filter.clean(b), reusing the cached flags
     cleanTable match {
       case Some(table) =>
+        // Stream rows carry no intra-batch order, so a doc_id delivered
+        // twice in ONE batch has no "later" revision — pre-reduce to one
+        // row per key with a content-hash tiebreak: deterministic, so a
+        // checkpoint replay of the batch picks the SAME winner (a tie on
+        // the bare batch-id column would let row_number keep either).
+        val oneRev = clean
+          .withColumn("_rn", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+              .orderBy(md5(col("text").cast("string")))))
+          .filter(col("_rn") === 1).drop("_rn")
+        // A flagged doc must LEAVE the table, not linger at its last
+        // clean revision: ship its id as a tombstone, so a doc whose
+        // re-delivered revision is contaminated is removed (op=D rows
+        // drop their key in the merge). If any revision of a doc in
+        // this batch is flagged, the whole doc gates out.
+        val tombs = b.join(flagged.select(col("train_doc").as("doc_id")).distinct(),
+            Seq("doc_id"), "left_semi")
+          .dropDuplicates("doc_id")
+          .withColumn("_op", lit("D"))
         // arrival batch as the upsert order: a replayed batch merges
         // to the same state (same batchId), a later re-delivery wins
         StreamzOps.upsertBatch(
-          clean.withColumn("_ingest_batch", lit(batchId)),
+          oneRev.withColumn("_op", lit(null).cast("string")).unionByName(tombs)
+            .withColumn("_ingest_batch", lit(batchId)),
           table, keys = Seq("doc_id"), orderCol = "_ingest_batch",
-          batchId = batchId, numBuckets = cleanTableBuckets)
+          batchId = batchId, opCol = Some("_op"),
+          numBuckets = cleanTableBuckets)
       case None =>
         clean.write.mode("overwrite").parquet(s"$outPath/clean/batch=$batchId")
     }
@@ -114,7 +141,15 @@ object StreamDecon {
   def readFlagged(spark: SparkSession, outPath: String): DataFrame =
     spark.read.parquet(s"$outPath/flagged").drop("batch")
 
-  /** All gated-clean docs so far. */
+  /** All gated-clean docs so far — the per-batch-dir layout. A stream
+    * started with `cleanTable` writes no such dirs: read that table
+    * with [[readCleanTable]] instead. */
   def readClean(spark: SparkSession, outPath: String): DataFrame =
     spark.read.parquet(s"$outPath/clean").drop("batch")
+
+  /** The consolidated clean table of a `cleanTable` stream: current
+    * clean revision per doc, internal upsert columns dropped. */
+  def readCleanTable(spark: SparkSession, cleanTable: String): DataFrame =
+    StreamzOps.readUpsertTable(spark, cleanTable)
+      .drop("_ingest_batch", "_op")
 }

@@ -573,5 +573,35 @@ class StreamingSuite extends GraftSuite {
       cleanTable = Some(table), cleanTableBuckets = 4)
     assert(tableState().sorted.toSeq == rows.sorted.toSeq,
       "replaying a batch must not change the table state")
+    // tombstone: the doc's NEXT revision is contaminated (an eval doc's
+    // own text — certain to flag) -> the doc must LEAVE the table, not
+    // linger at its stale clean revision
+    val evalText = eval.filter(col("doc_id") === 0).collect().head.getString(1)
+    val dirtyRev = spark.createDataFrame(Seq((redeliver._1, evalText)))
+      .toDF("doc_id", "text")
+    graft.api.StreamDecon.writeBatch(filter, dirtyRev, out, 2L,
+      cleanTable = Some(table), cleanTableBuckets = 4)
+    val afterTomb = tableState()
+    assert(!afterTomb.map(_._1).contains(redeliver._1),
+      "a doc whose latest revision is flagged must be tombstoned out")
+    assert(afterTomb.length == rows.length - 1,
+      "only the tombstoned doc leaves; everything else stays")
+    // readCleanTable drops the internal upsert columns
+    val cols = graft.api.StreamDecon.readCleanTable(spark, table).columns.toSet
+    assert(cols == Set("doc_id", "text"), s"internal columns must be dropped: $cols")
+    // in-batch duplicate: two clean revisions of one doc in ONE batch
+    // have no arrival order — the winner is the deterministic
+    // content-hash pick, so a replay keeps the SAME revision
+    val dup = spark.createDataFrame(Seq(
+      (redeliver._1, redeliver._2 + " revA"),
+      (redeliver._1, redeliver._2 + " revB"))).toDF("doc_id", "text")
+    graft.api.StreamDecon.writeBatch(filter, dup, out, 3L,
+      cleanTable = Some(table), cleanTableBuckets = 4)
+    val winner = tableState().toMap.apply(redeliver._1)
+    graft.api.StreamDecon.writeBatch(filter, dup, out, 3L,
+      cleanTable = Some(table), cleanTableBuckets = 4)
+    assert(tableState().toMap.apply(redeliver._1) == winner,
+      "in-batch duplicate winner must be deterministic under replay")
+    filter.close()
   }
 }
