@@ -61,6 +61,21 @@ class PlanSuite extends GraftSuite {
     assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p)
   }
 
+  test("q_stream_stream_join (#88): interval join keys on user — hash join + range filter, no nested loop") {
+    val p = plan(queries.Streaming.qStreamStreamJoin(spark, sf0001))
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"the equality on user_id must drive a hash/merge join:\n$p")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"the time-range condition must stay a post-join filter, not force a loop join:\n$p")
+  }
+
+  test("q_win_range_frame (#91): window frame is a RANGE frame, partitioned by customer") {
+    val p = plan(queries.Relational2.qWinRangeFrame(spark, sf0001))
+    assert(p.contains("RangeFrame"), s"expected a RANGE frame:\n$p")
+    assert(p.contains("windowspecdefinition(o_custkey"),
+      s"window must partition by customer (no global funnel):\n$p")
+  }
+
   test("q_decontaminate (#83): eval shingles broadcast — corpus side never shuffles for the join") {
     val p = plan(queries.PipelineExtras.qDecontaminate(spark, sf0001))
     assert(p.contains("BroadcastHashJoin"),
