@@ -249,9 +249,46 @@ object Streaming {
       | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 24 HOUR
       |ORDER BY 1, 2, 3""".stripMargin
 
+  // ---- #92 q_stream_stream_join_left ---------------------------------------
+  // LEFT OUTER stream-stream join: #88 plus the unconverted clicks —
+  // every click emits, null purchase columns when no purchase followed
+  // within 24 h. The semantic only a watermark makes possible on two
+  // streams: a null-padded row is emittable only once the watermark
+  // proves no match can still arrive, so the streaming execution emits
+  // matches eagerly and non-matches late (StreamingSuite pins both).
+  // Batch (= the oracle) is a plain left join. NULL lag_us marks the
+  // unconverted rows in both engines.
+  val qStreamStreamJoinLeft: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    clicks.join(purchases,
+        col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 24 HOURS"),
+        "left_outer")
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))).as("lag_us"))
+      .orderBy("user_id", "click_id", "purchase_id")
+  }
+
+  val qStreamStreamJoinLeftSql: String = EV +
+    """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+      |       epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+      |FROM (SELECT * FROM e WHERE event_type = 'click') c
+      |LEFT JOIN (SELECT * FROM e WHERE event_type = 'purchase') p
+      |  ON p.user_id = c.user_id
+      | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 24 HOUR
+      |ORDER BY 1, 2, 3 NULLS FIRST""".stripMargin
+
   // ------------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "q_stream_stream_join" -> qStreamStreamJoin,
+    "q_stream_stream_join_left" -> qStreamStreamJoinLeft,
     "q_stream_tumbling" -> qStreamTumbling,
     "q_stream_sliding" -> qStreamSliding,
     "q_stream_session" -> qStreamSession,
@@ -264,6 +301,7 @@ object Streaming {
 
   val oracleSql: Map[String, String] = Map(
     "q_stream_stream_join" -> qStreamStreamJoinSql,
+    "q_stream_stream_join_left" -> qStreamStreamJoinLeftSql,
     "q_stream_tumbling" -> qStreamTumblingSql,
     "q_stream_sliding" -> qStreamSlidingSql,
     "q_stream_session" -> qStreamSessionSql,

@@ -237,6 +237,50 @@ class IvfPqSuite extends GraftSuite {
       "compaction must not change answers")
   }
 
+  test("streaming ingest: foreachBatch add fragments cells; compact heals; probes see every streamed vector") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx = sess.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_stream").toString
+    IvfPqIndex.build(spark, Tables.embeddings(spark, sf0001), dir, kCells = 8)
+    // stream clones of known vectors in: the live-index ingest path a
+    // vector pipeline runs (CDC/new-docs -> embed -> add), one
+    // incremental add per micro-batch
+    val twins = Tables.embeddings(spark, sf0001)
+      .filter(col("vec_id") < 6).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val cp = java.nio.file.Files.createTempDirectory("ivfpq_stream_cp").toString
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Float])]
+    val q = ms.toDF().toDF("vec_id", "embedding")
+      .writeStream.option("checkpointLocation", cp)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        IvfPqIndex.add(spark, b, dir); ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)).start()
+    try {
+      twins.grouped(2).foreach { chunk =>
+        ms.addData(chunk.map { case (id, e) => (id + 900000L, e) }.toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // every streamed clone is its twin's top-1
+    val probes = Tables.embeddings(spark, sf0001)
+      .filter(col("vec_id") < 6)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    def top1() = IvfPqIndex.query(spark, probes, dir, nProbe = 4, topK = 1)
+      .collect().map(r => r.getAs[Long]("qid") -> r.getAs[Long]("nid")).toMap
+    val got = top1()
+    twins.foreach { case (id, _) =>
+      assert(got(id) == id + 900000L, s"streamed clone of $id must be top-1 (got ${got(id)})")
+    }
+    // per-batch adds fragmented at least one cell; compaction heals the
+    // layout without changing any answer
+    val reported = IvfPqIndex.compact(spark, dir)
+    assert(reported > IvfPqIndex.cellSizes(spark, dir).size,
+      "streamed adds must have fragmented the cell files")
+    assert(top1() == got, "compaction must not change probe answers")
+  }
+
   test("rebuild: fresh cells version flips atomically with meta; old pair retained then GC'd") {
     val dir = java.nio.file.Files.createTempDirectory("ivfpq_rebuild").toString
     val emb = Tables.embeddings(spark, sf0001)

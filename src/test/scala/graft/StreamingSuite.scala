@@ -143,6 +143,50 @@ class StreamingSuite extends GraftSuite {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT join (#92): matches emit eagerly, null-padded rows only after the watermark") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx = sess.sqlContext
+    val msC = MemoryStream[(Long, Long, Timestamp)]
+    val msP = MemoryStream[(Long, Long, Timestamp)]
+    val clicks = msC.toDF().toDF("user_id", "click_id", "click_ts")
+      .withWatermark("click_ts", "1 hour")
+    val purchases = msP.toDF().toDF("p_user_id", "purchase_id", "purchase_ts")
+      .withWatermark("purchase_ts", "1 hour")
+    val joined = clicks.join(purchases,
+      expr("user_id = p_user_id AND purchase_ts >= click_ts AND " +
+        "purchase_ts <= click_ts + interval 24 hours"), "leftOuter")
+    val q = joined.writeStream.format("memory").queryName("ssjoin_left")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      def rows() = sess.table("ssjoin_left")
+        .select("click_id", "purchase_id").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      // one click that converts, one that never will
+      msC.addData((1L, 10L, ts("2024-01-01 00:00:00")),
+        (2L, 11L, ts("2024-01-01 00:30:00")))
+      q.processAllAvailable()
+      msP.addData((1L, 20L, ts("2024-01-01 01:00:00")))
+      q.processAllAvailable()
+      // the match emits eagerly; the unconverted click must NOT have
+      // emitted a null row yet — its 24h window is still open
+      assert(rows() == Set((10L, 20L)),
+        s"only the converted click may emit before the watermark: ${rows()}")
+      // advance both watermarks past click_ts + 24h + delay, then one
+      // more batch (outer results emit on the NEXT state cleanup)
+      msC.addData((999L, 12L, ts("2024-01-03 12:00:00")))
+      msP.addData((998L, 21L, ts("2024-01-03 12:00:00")))
+      q.processAllAvailable()
+      msC.addData((999L, 13L, ts("2024-01-03 18:00:00")))
+      msP.addData((998L, 22L, ts("2024-01-03 18:00:00")))
+      q.processAllAvailable()
+      assert(rows().contains((11L, -1L)),
+        s"the unconverted click must emit null-padded once the watermark closes its window: ${rows()}")
+      assert(!rows().exists(r => r._1 == 10L && r._2 == -1L),
+        "a matched click must not ALSO emit a null-padded row")
+    } finally q.stop()
+  }
+
   test("session window: gap == 30min still merges; only a strictly greater gap splits") {
     val sess = spark
     import sess.implicits._
