@@ -211,10 +211,50 @@ object Relational2 {
       |FROM orders
       |ORDER BY o_orderkey""".stripMargin
 
+  // ---- #93 q_star_join_flagship ----------------------------------------------
+  // The composite the per-operator rows never exercise TOGETHER: a
+  // TPC-H-Q3/Q5-shaped star — two dimension hops (region→nation), two
+  // fact hops (customer→orders→lineitem), a selective dim predicate +
+  // date range, and an exact-decimal revenue agg. What the plan must
+  // do at 100 TB (PlanSuite-pinned): broadcast both dims, push the
+  // date filter into the orders scan, keep revenue partial+final.
+  // Declared as one spark.sql text — Catalyst picks the join order.
+  val qStarJoinFlagship: Q = (s, dir) => {
+    Seq("region", "nation", "customer", "orders", "lineitem").foreach { t =>
+      s.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(t)
+    }
+    s.sql(
+      """SELECT n_name,
+        |       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
+        |FROM region JOIN nation ON n_regionkey = r_regionkey
+        |JOIN customer ON c_nationkey = n_nationkey
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1998-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin)
+  }
+
+  val qStarJoinFlagshipSql: String =
+    """SELECT n_name,
+      |       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
+      |FROM region JOIN nation ON n_regionkey = r_regionkey
+      |JOIN customer ON c_nationkey = n_nationkey
+      |JOIN orders ON o_custkey = c_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1998-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
   // ------------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "q_agg_percentiles" -> qAggPercentiles,
     "q_win_range_frame" -> qWinRangeFrame,
+    "q_star_join_flagship" -> qStarJoinFlagship,
     "q_join_skew_salted" -> qJoinSkewSalted,
     "q_subquery_scalar" -> qSubqueryScalar,
     "q_subquery_in" -> qSubqueryIn,
@@ -226,6 +266,7 @@ object Relational2 {
   val oracleSql: Map[String, String] = Map(
     "q_agg_percentiles" -> qAggPercentilesSql,
     "q_win_range_frame" -> qWinRangeFrameSql,
+    "q_star_join_flagship" -> qStarJoinFlagshipSql,
     "q_join_skew_salted" -> qJoinSkewSaltedSql,
     "q_subquery_scalar" -> qSubqueryScalarSql,
     "q_subquery_in" -> qSubqueryInSql,

@@ -76,6 +76,18 @@ class PlanSuite extends GraftSuite {
       s"window must partition by customer (no global funnel):\n$p")
   }
 
+  test("q_star_join_flagship (#93): dims broadcast, date filter pushed to the orders scan, partial+final agg") {
+    val p = plan(queries.Relational2.qStarJoinFlagship(spark, sf0001))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"dimension hops must broadcast, never shuffle the fact side:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate")
+      || (p.contains("GreaterThanOrEqual(o_orderdate") && p.contains("PushedFilters")),
+      s"the date range must reach the orders parquet scan:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"revenue agg must be partial+final:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_decontaminate (#83): eval shingles broadcast — corpus side never shuffles for the join") {
     val p = plan(queries.PipelineExtras.qDecontaminate(spark, sf0001))
     assert(p.contains("BroadcastHashJoin"),
