@@ -392,6 +392,18 @@ object IvfPqIndex {
       .filter { case (c, _) => live(c) }.toMap
   }
 
+  /** [[query]] + [[recordProbes]] in one call — the serving-tier
+    * shape: answer the batch AND log its routing so
+    * [[rebalanceByTraffic]] sees real traffic. The stats write is one
+    * tiny eager aggregate over the (small) query batch; the returned
+    * probe plan stays lazy. */
+  def queryAndRecord(spark: SparkSession, queries: DataFrame, indexDir: String,
+      nProbe: Int = 4, topK: Int = 5, shortlist: Int = 50,
+      broadcastQueries: Boolean = true): DataFrame = {
+    recordProbes(spark, queries, indexDir, nProbe)
+    query(spark, queries, indexDir, nProbe, topK, shortlist, broadcastQueries)
+  }
+
   /** Traffic-weighted rebalance: split the cells that dominate the
     * workload's SCAN cost, not merely the biggest ones. A probe of
     * cell c costs |c| code rows, so c's share of total ADC work is

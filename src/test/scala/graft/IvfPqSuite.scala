@@ -187,6 +187,11 @@ class IvfPqSuite extends GraftSuite {
       .select(col("vec_id").as("qid"), col("embedding"))
     assert(IvfPqIndex.rebalanceByTraffic(spark, dir) == Nil,
       "no recorded traffic must mean no splits")
+    // the serving-tier wrapper answers AND logs in one call
+    assert(IvfPqIndex.queryAndRecord(spark, hotMembers, dir, nProbe = 1, topK = 1)
+      .collect().nonEmpty, "queryAndRecord must still answer")
+    // reset stats for the exact-count check below
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$dir/stats"))
     IvfPqIndex.recordProbes(spark, hotMembers, dir, nProbe = 1)
     assert(IvfPqIndex.probeTraffic(spark, dir) == Map(hot -> sizes(hot)),
       "nProbe=1 self-probes must all route back to the members' own cell")
