@@ -66,10 +66,28 @@ object Bench {
       val good = v.collect { case (t, true) => t }
       k -> (if (good.nonEmpty) good.min else -1.0)
     }
-    val qs = mins.map { case (k, v) => s"\"" + k + "\":" + v }
+    def f3(d: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+    // Noise self-diagnosis in the stdout line itself: per-query
+    // max/min ratio over successful reps, summarized as median and
+    // p90. A quiet box sits near 1.0–1.5; the round-7 driver record
+    // (contended box, 10–56× blowups) would have printed median ≈ 2+
+    // and been discardable on sight without re-running. Rule (also in
+    // BASELINE.md): discard a record whose trivial-query floor is ≥2×
+    // the committed min — these ratios are how the record tells you.
+    val ratios = results.values.toSeq
+      .map(v => v.collect { case (t, true) => t })
+      .filter(g => g.size >= 2 && g.min > 1e-3)
+      .map(g => g.max / g.min)
+      .sorted
+    def pct(p: Double) = if (ratios.isEmpty) -1.0
+      else ratios(math.min(ratios.size - 1, (p * ratios.size).toInt))
+    val spreadPath = sys.env.getOrElse("SPARK_GRAFT_SPREAD_OUT", "/tmp/graft_bench_spread.json")
+    // %.3f on query mins keeps the 91-query line compact enough for
+    // the driver's bounded tail capture (raw Double.toString ~doubles it).
+    val qs = mins.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (mins.nonEmpty) mins.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"noise_ratio_median":${f3(pct(0.5))},"noise_ratio_p90":${f3(pct(0.9))},"spread_file":"$spreadPath","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
