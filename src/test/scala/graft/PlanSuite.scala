@@ -88,6 +88,80 @@ class PlanSuite extends GraftSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("DPP (#93 shape): dim filter dynamically prunes a month-partitioned fact scan") {
+    // The flagship's date filter is STATIC pushdown; at 100 TB the
+    // fact is date-partitioned and the date predicate usually lives
+    // on a dimension table — what saves the scan then is DYNAMIC
+    // partition pruning. Prove it end-to-end: materialize orders
+    // partitioned by month, move the 1995–1997 predicate onto a
+    // month dimension, and assert (a) the DPP subquery is planted in
+    // the fact scan, (b) the scan actually reads only the qualifying
+    // partitions, (c) the answer equals the unpartitioned flagship's.
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    val orders = Tables.orders(spark, sf0001)
+    orders.withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      .write.mode("overwrite").partitionBy("o_month").parquet(s"$dir/orders_p")
+    // the month dimension is parquet-backed: DPP's filtering side
+    // must be a real scan+filter, not a LocalRelation
+    orders.select(date_format(col("o_orderdate"), "yyyy-MM").as("m_month")).distinct()
+      .withColumn("m_year", substring(col("m_month"), 1, 4).cast("int"))
+      .write.mode("overwrite").parquet(s"$dir/months")
+    Seq("region", "nation", "customer", "lineitem").foreach { t =>
+      spark.read.parquet(s"$sf0001/$t.parquet").createOrReplaceTempView(t)
+    }
+    spark.read.parquet(s"$dir/orders_p").createOrReplaceTempView("orders_p")
+    spark.read.parquet(s"$dir/months").createOrReplaceTempView("months")
+    val df = spark.sql(
+      """SELECT n_name,
+        |       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
+        |FROM region JOIN nation ON n_regionkey = r_regionkey
+        |JOIN customer ON c_nationkey = n_nationkey
+        |JOIN orders_p ON o_custkey = c_custkey
+        |JOIN months ON o_month = m_month
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE r_name = 'ASIA' AND m_year BETWEEN 1995 AND 1997
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin)
+    // (a) plan property: the orders_p partition filter carries the
+    // runtime subquery, not just the static isnotnull
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruningexpression"),
+      s"month-partitioned fact scan must carry a DPP subquery:\n$p")
+    // (c) correctness: identical to the flagship on the flat layout
+    // (m_year 1995..1997 == o_orderdate in [1995-01-01, 1998-01-01))
+    val got = df.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val want = queries.Relational2.qStarJoinFlagship(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(got == want, s"DPP layout changed the answer: $got vs $want")
+    // (b) runtime property: partitions read < partitions on disk.
+    // QueryStageExec is a leaf, so TreeNode.collect won't cross AQE
+    // stage boundaries — walk them explicitly.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def walk(n: SparkPlan): Seq[SparkPlan] = n match {
+      case a: AdaptiveSparkPlanExec => n +: walk(a.executedPlan)
+      case q: QueryStageExec => n +: walk(q.plan)
+      case _ => n +: n.children.flatMap(walk)
+    }
+    val factScan = walk(df.queryExecution.executedPlan).collectFirst {
+      case f: FileSourceScanExec
+        if f.metadata.get("Location").exists(_.contains("orders_p")) => f
+    }.getOrElse(fail("no FileSourceScanExec over orders_p in the executed plan"))
+    val totalMonths = spark.read.parquet(s"$dir/months").count()
+    val readParts = factScan.metrics.get("numPartitions").map(_.value).getOrElse(-1L)
+    assert(readParts > 0 && readParts < totalMonths,
+      s"DPP must read fewer partitions ($readParts) than exist ($totalMonths)")
+    // exactly the 36 qualifying months (data permitting — sf0.001
+    // has orders in every 1995–1997 month)
+    val qualMonths = spark.read.parquet(s"$dir/months")
+      .filter(col("m_year").between(1995, 1997)).count()
+    assert(readParts == qualMonths,
+      s"DPP must read exactly the dim-qualifying months: $readParts vs $qualMonths")
+  }
+
   test("q_decontaminate (#83): eval shingles broadcast — corpus side never shuffles for the join") {
     val p = plan(queries.PipelineExtras.qDecontaminate(spark, sf0001))
     assert(p.contains("BroadcastHashJoin"),
