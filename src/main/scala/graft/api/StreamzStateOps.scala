@@ -164,6 +164,66 @@ object StreamzStateOps {
       .toDF("group", "rank", "item", "cnt")
   }
 
+  /** [[topKStream]] on the arbitrary-state API. Semantics identical
+    * (same MG fold, same Update-mode re-emission of a touched group's
+    * top-k; the suite pins output equality across a restart). The
+    * migration win here is the state LAYOUT: the sketch lives in a
+    * named `MapState[String, Long]` slot — one store ENTRY per
+    * counter instead of one opaque Map blob — so a trigger that
+    * touches 3 of `capacity` counters rewrites 3 entries, not the
+    * whole sketch, and adding another slot later (e.g. a per-group
+    * item total) is checkpoint-compatible where the old API's
+    * state-class change was a breaking rewrite.
+    */
+  def topKStreamTws(df: DataFrame, k: Int, capacity: Int, groupCol: String,
+      itemCol: String): DataFrame = {
+    require(k > 0 && capacity > 0, s"need k > 0, capacity > 0 (got $k, $capacity)")
+    implicit val inEnc = Encoders.product[GroupedItem]
+    implicit val outEnc = Encoders.product[TopKOut]
+    implicit val keyEnc = Encoders.STRING
+    val typed: Dataset[GroupedItem] = df.select(
+      col(groupCol).cast("string").as("group"),
+      col(itemCol).cast("string").as("item")).as[GroupedItem]
+    typed.groupByKey(_.group)
+      .transformWithState(new TopKProcessor(k, capacity),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+      .toDF("group", "rank", "item", "cnt")
+  }
+
+  /** MG sketch in a named MapState slot; emits the group's current
+    * top-`k` per trigger. [[TopKExpiringProcessor]] repeats this fold
+    * over its own timestamped input type, adding timer-driven
+    * eviction. */
+  class TopKProcessor(k: Int, capacity: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, GroupedItem, TopKOut] {
+    @transient protected var sketch:
+      org.apache.spark.sql.streaming.MapState[String, Long] = _
+    private val mg = new graft.functions.FrequentItems(capacity)
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      sketch = getHandle.getMapState[String, Long]("sketch",
+        Encoders.STRING, Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    /** Fold the batch into the stored sketch; write back only the
+      * DELTA (changed/new counters updated, dead ones removed) —
+      * the point of the per-entry MapState layout. Returns top-k. */
+    protected def foldAndEmit(group: String,
+        items: Iterator[String]): Iterator[TopKOut] = {
+      val before = sketch.iterator().toMap
+      val after = items.foldLeft(before)((buf, w) => mg.reduce(buf, w))
+      (before.keySet -- after.keySet).foreach(sketch.removeKey)
+      after.foreach { case (w, c) =>
+        if (!before.get(w).contains(c)) sketch.updateValue(w, c)
+      }
+      after.toSeq.sortBy { case (w, c) => (-c, w) }.take(k)
+        .zipWithIndex.map { case ((w, c), i) => TopKOut(group, i + 1, w, c) }
+        .iterator
+    }
+    override def handleInputRows(group: String, rows: Iterator[GroupedItem],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[TopKOut] =
+      foldAndEmit(group, rows.map(_.item))
+  }
+
   // not private: Catalyst's generated (de)serializers must access it
   case class GroupedItemTs(group: String, item: String, ts: java.sql.Timestamp)
 
@@ -220,6 +280,89 @@ object StreamzStateOps {
       .toDF("group", "rank", "item", "cnt")
   }
 
+  /** [[topKStreamExpiring]] on the arbitrary-state API: the
+    * hand-rolled eviction — max-ts packed into the state tuple +
+    * `setTimeoutTimestamp` — becomes two NAMED slots (`sketch`
+    * MapState, `maxTs` ValueState) and a registered EVENT-TIME timer.
+    * `handleExpiredTimer` replaces the in-band `state.hasTimedOut`
+    * branch; because a newer batch deletes the group's previous timer
+    * before registering the new deadline, an out-of-order (but
+    * admissible) event still cannot pull eviction backwards — the
+    * deadline only ever derives from the all-time max event ts, same
+    * as the old variant (suite pins both behaviors).
+    * `df` must be watermarked on `tsCol` upstream.
+    */
+  def topKStreamExpiringTws(df: DataFrame, k: Int, capacity: Int,
+      groupCol: String, itemCol: String, tsCol: String,
+      ttlMs: Long): DataFrame = {
+    require(k > 0 && capacity > 0 && ttlMs > 0,
+      s"need k, capacity, ttlMs > 0 (got $k, $capacity, $ttlMs)")
+    implicit val inEnc = Encoders.product[GroupedItemTs]
+    implicit val outEnc = Encoders.product[TopKOut]
+    implicit val keyEnc = Encoders.STRING
+    val typed: Dataset[GroupedItemTs] = df.select(
+      col(groupCol).cast("string").as("group"),
+      col(itemCol).cast("string").as("item"),
+      // no cast: a cast would mint a fresh attribute WITHOUT the
+      // upstream watermark tag, and event-time timers require it
+      col(tsCol).as("ts")).as[GroupedItemTs]
+    typed.groupByKey(_.group)
+      .transformWithState(new TopKExpiringProcessor(k, capacity, ttlMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Update())
+      .toDF("group", "rank", "item", "cnt")
+  }
+
+  /** [[TopKProcessor]]'s fold plus event-time TTL: `maxTs` rides its
+    * own ValueState slot (per-slot typing is the named-state win — it
+    * no longer shares an encoder with the sketch), and eviction is a
+    * registered timer at maxTs + ttl, re-armed per batch. */
+  class TopKExpiringProcessor(k: Int, capacity: Int, ttlMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, GroupedItemTs, TopKOut] {
+    @transient private var sketch:
+      org.apache.spark.sql.streaming.MapState[String, Long] = _
+    @transient private var maxTs:
+      org.apache.spark.sql.streaming.ValueState[Long] = _
+    private val mg = new graft.functions.FrequentItems(capacity)
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      sketch = getHandle.getMapState[String, Long]("sketch",
+        Encoders.STRING, Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      maxTs = getHandle.getValueState[Long]("maxTs", Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+    override def handleInputRows(group: String, rows: Iterator[GroupedItemTs],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[TopKOut] = {
+      val rs = rows.toSeq
+      val before = sketch.iterator().toMap
+      val after = rs.foldLeft(before)((buf, r) => mg.reduce(buf, r.item))
+      (before.keySet -- after.keySet).foreach(sketch.removeKey)
+      after.foreach { case (w, c) =>
+        if (!before.get(w).contains(c)) sketch.updateValue(w, c)
+      }
+      // deadline = all-time max event ts + ttl: an admissible
+      // out-of-order row must not move it backwards. One live timer
+      // per group — delete the previous deadline before re-arming.
+      val prevMax = if (maxTs.exists()) Some(maxTs.get()) else None
+      val newMax = math.max(prevMax.getOrElse(Long.MinValue),
+        rs.map(_.ts.getTime).max)
+      if (!prevMax.contains(newMax)) {
+        prevMax.foreach(m => getHandle.deleteTimer(m + ttlMs))
+        getHandle.registerTimer(newMax + ttlMs)
+        maxTs.update(newMax)
+      }
+      after.toSeq.sortBy { case (w, c) => (-c, w) }.take(k)
+        .zipWithIndex.map { case ((w, c), i) => TopKOut(group, i + 1, w, c) }
+        .iterator
+    }
+    override def handleExpiredTimer(group: String,
+        tv: org.apache.spark.sql.streaming.TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[TopKOut] = {
+      sketch.clear(); maxTs.clear() // a returning group restarts cold
+      Iterator.empty
+    }
+  }
+
   /** streamz `sliding_window(n)` on a STREAM: per key, the last n
     * values (oldest→newest, ≤ n while warming up) emitted per row as
     * an array column `win` — callers aggregate it with
@@ -250,5 +393,51 @@ object StreamzStateOps {
           out.iterator
       }
       .toDF("key", "ord", "value", "win")
+  }
+
+  /** [[slidingWindowStream]] on the arbitrary-state API: the ring is
+    * a named `ListState[Double]` slot — element-typed storage instead
+    * of the old kryo-blobbed `List[Double]` (the kryo encoder was the
+    * exact state-evolution trap TWS removes: any List re-shape broke
+    * the checkpoint). Warm-up (< n) and eviction semantics identical;
+    * the suite pins equality against the fMGWS ring across a restart.
+    */
+  def slidingWindowStreamTws(df: DataFrame, n: Int, keyCol: String,
+      ordCol: String, valueCol: String): DataFrame = {
+    require(n > 0, s"sliding window size must be > 0 (got $n)")
+    implicit val kovEnc = Encoders.product[KOV]
+    implicit val outEnc = Encoders.product[WinOut]
+    implicit val keyEnc = Encoders.scalaLong
+    val typed: Dataset[KOV] = df.select(
+      col(keyCol).cast("long").as("key"),
+      col(ordCol).cast("long").as("ord"),
+      col(valueCol).cast("double").as("value")).as[KOV]
+    typed.groupByKey(_.key)
+      .transformWithState(new SlidingRingProcessor(n),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+      .toDF("key", "ord", "value", "win")
+  }
+
+  /** Last-n ring in a named ListState slot: read once per batch, fold
+    * the batch in ord order emitting the ring per row, put back the
+    * trimmed tail. */
+  class SlidingRingProcessor(n: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, KOV, WinOut] {
+    @transient private var ringState:
+      org.apache.spark.sql.streaming.ListState[Double] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      ringState = getHandle.getListState[Double]("ring", Encoders.scalaDouble,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[KOV],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[WinOut] = {
+      var ring: List[Double] = if (ringState.exists()) ringState.get().toList else Nil
+      val out = rows.toSeq.sortBy(_.ord).map { r =>
+        ring = (ring :+ r.value).takeRight(n)
+        WinOut(key, r.ord, r.value, ring)
+      }
+      ringState.put(ring.toArray)
+      out.iterator
+    }
   }
 }

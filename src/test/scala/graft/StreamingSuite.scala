@@ -32,7 +32,7 @@ class StreamingSuite extends GraftSuite {
       .select($"window.start".as("hour_start"), $"event_type", $"n", $"sv")
     val q = streamed.writeStream.format("memory").queryName("tumbling_t")
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(60000)
+    assert(q.awaitTermination(60000), "stream did not finish in time")
     val got = sess.table("tumbling_t").orderBy("hour_start", "event_type").collect().toSeq
     val want = data.toDF("ts", "event_type", "value")
       .groupBy(window($"ts", "1 hour"), $"event_type")
@@ -59,7 +59,7 @@ class StreamingSuite extends GraftSuite {
       .select(col("window.start").as("hour_start"), col("event_type"), col("n"), col("sum_value"))
     val q = streamed.writeStream.format("memory").queryName("tumbling_real")
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not finish in time")
     val got = spark.table("tumbling_real")
       .orderBy("hour_start", "event_type").collect().toSeq
     val want = queries.Streaming.qStreamTumbling(spark, sf0001).collect().toSeq
@@ -90,7 +90,7 @@ class StreamingSuite extends GraftSuite {
         (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))).as("lag_us"))
     val q = joined.writeStream.format("memory").queryName("ssjoin_real")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not finish in time")
     val got = spark.table("ssjoin_real")
       .orderBy("user_id", "click_id", "purchase_id").collect().toSeq
     val want = queries.Streaming.qStreamStreamJoin(spark, sf0001).collect().toSeq
@@ -207,7 +207,7 @@ class StreamingSuite extends GraftSuite {
       .select($"user_id", $"session_window.start".as("start"), $"n")
     val q = streamed.writeStream.format("memory").queryName("session_t")
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(60000)
+    assert(q.awaitTermination(60000), "stream did not finish in time")
     val got = sess.table("session_t").orderBy("start").collect()
       .map(r => (r.getTimestamp(1), r.getLong(2))).toSeq
     assert(got == Seq((ts("2024-01-01 00:00:00"), 3L), (ts("2024-01-01 01:40:00"), 1L)),
@@ -516,6 +516,232 @@ class StreamingSuite extends GraftSuite {
       assert(xCounts.max == 3L,
         s"sketch evicted early on out-of-order input (x-counts ${xCounts.toSeq.sorted})")
     } finally q.stop()
+  }
+
+  test("stream-stream joins (#88/#92) on the RocksDB state store: identical output, watermark-bounded state") {
+    // SURVEY §4.3 names RocksDB the at-scale state backend (join state
+    // ~ |window| × input rate per side — too big for the default
+    // HDFS-backed heap store at 100 TB). Same queries, same answers,
+    // and the state metric must shrink when the watermark evicts.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // (a) INNER #88: file-stream replay == declared batch join,
+      // byte-identical to the default-provider test above
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val watch = java.nio.file.Files.createTempDirectory("ev_ssj_rocks").toString
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+        java.nio.file.Paths.get(s"$watch/events.parquet"))
+      val sch = spark.read.parquet(s"$sf0001/events.parquet").schema
+      def evStream = spark.readStream.schema(sch).parquet(watch)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val clicks = evStream.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+      val purchases = evStream.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+          col("ts").as("purchase_ts"))
+        .withWatermark("purchase_ts", "1 hour")
+      val joined = clicks.join(purchases,
+          expr("user_id = p_user_id AND purchase_ts >= click_ts AND " +
+            "purchase_ts <= click_ts + interval 24 hours"))
+        .select(col("user_id"), col("click_id"), col("purchase_id"),
+          (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))).as("lag_us"))
+      val q = joined.writeStream.format("memory").queryName("ssjoin_rocks")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000), "stream did not finish in time")
+      val got = spark.table("ssjoin_rocks")
+        .orderBy("user_id", "click_id", "purchase_id").collect().toSeq
+      val want = queries.Streaming.qStreamStreamJoin(spark, sf0001).collect().toSeq
+      assert(got.nonEmpty && got == want,
+        s"RocksDB-backed join must equal the declared batch join " +
+        s"(got ${got.length} rows, want ${want.length})")
+
+      // (b) LEFT #92 on RocksDB: matches eager, null-padded after the
+      // watermark — and join state SHRINKS once eviction kicks in
+      val sess = spark
+      import sess.implicits._
+      implicit val sqlCtx = sess.sqlContext
+      val msC = MemoryStream[(Long, Long, Timestamp)]
+      val msP = MemoryStream[(Long, Long, Timestamp)]
+      val lc = msC.toDF().toDF("user_id", "click_id", "click_ts")
+        .withWatermark("click_ts", "1 hour")
+      val lp = msP.toDF().toDF("p_user_id", "purchase_id", "purchase_ts")
+        .withWatermark("purchase_ts", "1 hour")
+      val lj = lc.join(lp,
+        expr("user_id = p_user_id AND purchase_ts >= click_ts AND " +
+          "purchase_ts <= click_ts + interval 24 hours"), "leftOuter")
+      val ql = lj.writeStream.format("memory").queryName("ssjoin_left_rocks")
+        .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+      try {
+        def stateRows() = Option(ql.lastProgress)
+          .flatMap(p => p.stateOperators.headOption.map(_.numRowsTotal)).getOrElse(-1L)
+        msC.addData((1L, 10L, ts("2024-01-01 00:00:00")),
+          (2L, 11L, ts("2024-01-01 00:00:00")))
+        msP.addData((1L, 20L, ts("2024-01-01 01:00:00")))
+        ql.processAllAvailable()
+        val peak = stateRows()
+        assert(peak >= 3L, s"join state must hold the buffered rows, got $peak")
+        // advance both watermarks 3 days: the 2024-01-01 state evicts,
+        // and click 11 emits null-padded on the way out
+        msC.addData((999L, 12L, ts("2024-01-04 00:00:00")))
+        msP.addData((998L, 22L, ts("2024-01-04 00:00:00")))
+        ql.processAllAvailable()
+        msC.addData((999L, 13L, ts("2024-01-04 06:00:00")))
+        msP.addData((998L, 23L, ts("2024-01-04 06:00:00")))
+        ql.processAllAvailable()
+        val gotL = sess.table("ssjoin_left_rocks")
+          .select("click_id", "purchase_id").collect()
+          .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+        assert(Set((10L, 20L), (11L, -1L)).subsetOf(gotL),
+          s"eager match + post-watermark null-pad must both appear, got $gotL")
+        val after = stateRows()
+        assert(after >= 0L && after < peak + 4L,
+          s"state must stay watermark-bounded (peak $peak, now $after): " +
+          "old-window rows evicted, only the fresh window retained")
+      } finally ql.stop()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(key, p)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  // ---- transformWithState migrations (Spark 4 arbitrary state) ----
+  // Same semantics as the fMGWS ops above, proven by the same
+  // equivalences; Spark enforces RocksDB for transformWithState.
+
+  private def withRocksDb[T](body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("topKStreamTws: MapState-slot MG top-k == batch q_text_topk_words, across a mid-stream restart") {
+    withRocksDb {
+      val sess = spark
+      import sess.implicits._
+      implicit val sqlCtx = sess.sqlContext
+      val words = Tables.documents(spark, sf0001)
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("word"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      val (chunk1, chunk2) = words.partition(_._1 % 2 == 0)
+      val cp = java.nio.file.Files.createTempDirectory("topk_tws_cp").toString
+      val latest = scala.collection.concurrent.TrieMap.empty[String, Seq[(Int, String, Long)]]
+      val ms = MemoryStream[(String, String)]
+      def start() = graft.api.StreamzStateOps
+        .topKStreamTws(ms.toDF().toDF("lang", "word"), k = 5,
+          capacity = graft.queries.PipelineExtras.TOPK_WORDS_CAPACITY,
+          groupCol = "lang", itemCol = "word")
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.ProcessingTime(0))
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.collect().groupBy(_.getString(0)).foreach { case (g, rows) =>
+            latest(g) = rows.toSeq.map(r => (r.getInt(1), r.getString(2), r.getLong(3))).sorted
+          }
+          ()
+        }.start()
+      val q1 = start()
+      ms.addData(chunk1.map(w => (w._2, w._3)).toSeq: _*)
+      q1.processAllAvailable()
+      q1.stop() // the per-entry sketch survives only via RocksDB + checkpoint
+      val q2 = start()
+      ms.addData(chunk2.map(w => (w._2, w._3)).toSeq: _*)
+      q2.processAllAvailable()
+      q2.stop()
+      val got = latest.toSeq.flatMap { case (g, rows) =>
+        rows.map { case (rank, w, c) => (g, rank, w, c) } }.toSet
+      val want = graft.queries.PipelineExtras.qTextTopkWords(spark, sf0001)
+        .collect().map(r =>
+          (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3))).toSet
+      assert(got == want,
+        s"TWS top-k after restart must equal batch; diff=${(got diff want).take(5)} / ${(want diff got).take(5)}")
+    }
+  }
+
+  test("topKStreamExpiringTws: event-time timer evicts the idle group's sketch, active groups keep counting") {
+    withRocksDb {
+      val sess = spark
+      import sess.implicits._
+      implicit val sqlCtx = sess.sqlContext
+      val ms = MemoryStream[(Timestamp, String, String)]
+      val out = graft.api.StreamzStateOps.topKStreamExpiringTws(
+        ms.toDF().toDF("ts", "grp", "item").withWatermark("ts", "0 seconds"),
+        k = 3, capacity = 8, groupCol = "grp", itemCol = "item",
+        tsCol = "ts", ttlMs = 60000L)
+      val q = out.writeStream.format("memory").queryName("topk_tws_ttl")
+        .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
+      def emitted() = spark.table("topk_tws_ttl").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3)))
+      try {
+        ms.addData((ts("2024-01-01 00:00:00"), "A", "x"),
+          (ts("2024-01-01 00:00:01"), "A", "x"),
+          (ts("2024-01-01 00:00:02"), "A", "y"))
+        q.processAllAvailable()
+        assert(emitted().count(_._1 == "A") == 2) // x@2, y@1
+        ms.addData((ts("2024-01-01 00:05:00"), "B", "z"))
+        q.processAllAvailable()
+        ms.addData((ts("2024-01-01 00:05:01"), "B", "z")) // timer fires this batch
+        q.processAllAvailable()
+        // A returns AFTER eviction: both slots were cleared, so x
+        // restarts at 1 — the observable proof of handleExpiredTimer
+        ms.addData((ts("2024-01-01 00:05:30"), "A", "x"))
+        q.processAllAvailable()
+        val aRows = emitted().filter(t => t._1 == "A" && t._3 == "x").map(_._4)
+        assert(aRows.contains(2L) && aRows.contains(1L) && !aRows.contains(3L),
+          s"post-eviction count must restart at 1 (saw x-counts ${aRows.toSeq.sorted})")
+        assert(emitted().filter(_._1 == "B").map(_._4).max == 2L)
+      } finally q.stop()
+    }
+  }
+
+  test("topKStreamExpiringTws: an out-of-order event must NOT pull the timer deadline backwards") {
+    withRocksDb {
+      val sess = spark
+      import sess.implicits._
+      implicit val sqlCtx = sess.sqlContext
+      val ms = MemoryStream[(Timestamp, String, String)]
+      val out = graft.api.StreamzStateOps.topKStreamExpiringTws(
+        ms.toDF().toDF("ts", "grp", "item").withWatermark("ts", "2 minutes"),
+        k = 3, capacity = 8, groupCol = "grp", itemCol = "item",
+        tsCol = "ts", ttlMs = 60000L)
+      val q = out.writeStream.format("memory").queryName("topk_tws_ttl_ooo")
+        .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
+      try {
+        // A's newest event 10:00:00 -> timer armed at 10:01:00
+        ms.addData((ts("2024-01-01 10:00:00"), "A", "x"))
+        q.processAllAvailable()
+        // admissible OUT-OF-ORDER A event: a deadline from THIS event
+        // alone would be 10:00:30 — the maxTs slot must keep 10:01:00
+        // (the processor must not delete+re-arm on a smaller max)
+        ms.addData((ts("2024-01-01 09:59:30"), "A", "x"))
+        q.processAllAvailable()
+        // advance the watermark past the WRONG deadline, before the RIGHT one
+        ms.addData((ts("2024-01-01 10:02:31"), "B", "z"))
+        q.processAllAvailable()
+        ms.addData((ts("2024-01-01 10:02:32"), "B", "z"))
+        q.processAllAvailable()
+        // A must still be alive: its x-count continues 2 -> 3
+        ms.addData((ts("2024-01-01 10:02:00"), "A", "x"))
+        q.processAllAvailable()
+        val xCounts = spark.table("topk_tws_ttl_ooo").collect()
+          .filter(r => r.getString(0) == "A" && r.getString(2) == "x")
+          .map(_.getLong(3))
+        assert(xCounts.max == 3L,
+          s"sketch evicted early on out-of-order input (x-counts ${xCounts.toSeq.sorted})")
+      } finally q.stop()
+    }
   }
 
   test("StreamDecon: streamed gate == batch q_decontaminate, across a checkpoint restart") {

@@ -230,6 +230,56 @@ class StreamzOpsSuite extends GraftSuite {
     assert(got.last._2 == 14.0, "seq 4 window = 2+4+8 after evicting 1")
   }
 
+  test("slidingWindowStreamTws: ListState ring == fMGWS ring, across a checkpoint restart") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    // Spark enforces RocksDB for transformWithState
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val sess = spark; import sess.implicits._
+      implicit val sqlCtx = sess.sqlContext
+      val cp = java.nio.file.Files.createTempDirectory("ring_tws_cp").toString
+      val emitted = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Seq[Double])]()
+      val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Double)]
+      def start() = graft.api.StreamzStateOps
+        .slidingWindowStreamTws(ms.toDF().toDF("k", "seq", "v"), 3, "k", "seq", "v")
+        .writeStream
+        .option("checkpointLocation", cp)
+        .outputMode("append")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.collect().foreach(r =>
+            emitted.add((r.getLong(0), r.getLong(1), r.getSeq[Double](3))))
+          ()
+        }.start()
+      val q1 = start()
+      ms.addData((1L, 2L, 2.0), (1L, 1L, 1.0), (2L, 1L, 5.0)) // in-batch out of order
+      q1.processAllAvailable()
+      q1.stop() // the ring must rehydrate from RocksDB ListState
+      val q2 = start()
+      ms.addData((1L, 3L, 4.0), (1L, 4L, 8.0), (2L, 2L, 7.0)) // evicts 1.0 at seq 4
+      q2.processAllAvailable()
+      q2.stop()
+      val got = emitted.toArray(Array.empty[(Long, Long, Seq[Double])])
+        .sortBy(t => (t._1, t._2)).toSeq
+      // the old-API op is the semantic oracle
+      val wantDf = Seq((1L, 1L, 1.0), (1L, 2L, 2.0), (1L, 3L, 4.0),
+          (1L, 4L, 8.0), (2L, 1L, 5.0), (2L, 2L, 7.0)).toDF("k", "seq", "v")
+      val want = graft.api.StreamzStateOps
+        .slidingWindowStream(wantDf, 3, "k", "seq", "v")
+        .orderBy("key", "ord").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](3))).toSeq
+      assert(got == want,
+        s"TWS ring must equal the fMGWS ring:\n$got\n$want")
+      assert(got.find(t => t._1 == 1L && t._2 == 4L).get._3 == Seq(2.0, 4.0, 8.0),
+        "seq 4 ring must have evicted the first value")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("globalRowNumber == naive global row_number, with no single-task Window in the plan") {
     val cust = Tables.customer(spark, SparkTestBase.sf0001)
     val order = Seq(col("c_acctbal").desc, col("c_custkey"))
