@@ -3,11 +3,28 @@ package graft.api
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Skew-handling utilities (SURVEY.md §4.3). AQE's OptimizeSkewedJoin
-  * handles sort-merge skew automatically at runtime; explicit salting
-  * is still needed when one join key dominates so heavily that a
-  * single task would own it (e.g. a null-like default key, a
-  * celebrity user) AND the other side is too big to broadcast.
+/** Skew-handling utilities (SURVEY.md §4.3).
+  *
+  * Decision rule (pinned with plan evidence in ExtrasSuite
+  * "skew regimes"):
+  *
+  *  1. DEFAULT: do nothing. A skewed shuffle feeding a spillable
+  *     sort-merge join with AQE on (`adaptive.skewJoin.enabled`,
+  *     default true) is rewritten at runtime — OptimizeSkewedJoin
+  *     splits the hot reducer partition into
+  *     `PartialReducerPartitionSpec`s and replicates the matching
+  *     partition of the other side (`SortMergeJoin(skew=true)` in the
+  *     final plan). This covers the common case; salting code there
+  *     is dead weight and an extra shuffle.
+  *  2. If the small side fits in memory: `broadcast(small)` — no
+  *     shuffle of the big side at all, skew irrelevant.
+  *  3. [[saltedJoin]] is for the regimes AQE does NOT rewrite: the
+  *     hot key must be spread BEFORE the shuffle (skewed
+  *     aggregation input, shuffled-hash paths, or a
+  *     broadcast-impossible build side with a single dominating key
+  *     — a null-like default, a celebrity user). The exchange hashes
+  *     on (key, _salt), so the hot key occupies nSalts reducer
+  *     partitions by construction rather than by runtime rescue.
   */
 object SkewUtils {
 

@@ -91,6 +91,64 @@ class ExtrasSuite extends GraftSuite {
     assert(salts > 1, "hot key must span multiple salt buckets")
   }
 
+  test("skew regimes: AQE splits the hot SMJ partition; saltedJoin is for the keys AQE can't fix") {
+    // Pins the SkewUtils decision rule with plan evidence for BOTH
+    // regimes instead of a comment (SURVEY §4.2 "Skew handling" row):
+    //  - spillable SMJ + AQE on → OptimizeSkewedJoin splits the hot
+    //    partition at runtime; no salting code needed;
+    //  - explicit saltedJoin is for when the hot key must be spread
+    //    BEFORE the shuffle (e.g. the aggregation-input regime, or a
+    //    join AQE won't rewrite) — its exchange hashes on (key, _salt)
+    //    so the hot key occupies nSalts reducer partitions by plan.
+    val sess = spark; import sess.implicits._
+    val keys = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    val restore = keys.map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // the non-broadcastable premise
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    // thresholds scaled to fixture bytes (defaults target 256 MB partitions)
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    try {
+      // 50k rows, 80% on key 0: the hot reducer partition is ~16× the median
+      val big = spark.range(0, 50000).select(
+        when($"id" < 40000, 0L).otherwise($"id" % 1000).as("k"),
+        $"id".as("payload"))
+      val small = spark.range(0, 1000)
+        .select($"id".as("sk"), concat(lit("u"), $"id").as("name"))
+
+      // regime 1: AQE rewrites the SMJ — hot partition split at runtime
+      val j = big.join(small, $"k" === $"sk")
+      val n = j.collect().length
+      assert(n == 50000, s"inner join must match every row, got $n")
+      val aqePlan = j.queryExecution.executedPlan.toString
+      assert(aqePlan.contains("skew=true"),
+        s"AQE must mark the skewed join (OptimizeSkewedJoin):\n$aqePlan")
+
+      // regime 2: explicit salting — the exchange itself spreads the
+      // hot key: hashpartitioning on (k, _salt), so key 0 lands in
+      // nSalts reducer partitions BY PLAN, no runtime rewrite needed
+      val salted = graft.api.SkewUtils.saltedJoin(big, small,
+        $"k", $"sk", $"payload", nSalts = 8)
+      assert(salted.count() == 50000, "salted join must be result-equivalent")
+      val saltPlan = salted.queryExecution.executedPlan.toString
+      assert(saltPlan.contains("_salt"),
+        s"salted exchange must hash on (key, _salt):\n$saltPlan")
+      val hotSpread = big.withColumn("_salt", pmod(hash($"payload"), lit(8)))
+        .filter($"k" === 0).select("_salt").distinct().count()
+      assert(hotSpread == 8, s"hot key must occupy all 8 salt buckets, got $hotSpread")
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("q_dedup_minhash_df: agrees with the MLlib variant on all strong near-dups") {
     def pairs(df: org.apache.spark.sql.DataFrame, distCol: String) = df.collect()
       .map(r => ((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")), r.getAs[Double](distCol)))
