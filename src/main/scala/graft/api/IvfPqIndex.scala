@@ -342,6 +342,7 @@ object IvfPqIndex {
       meta.centers.toSeq.map { case (i, c) => (i, c.toSeq) },
       meta.booksSeq, meta.residual, freshDir)
     gcCellVersions(spark, indexDir, Set(freshDir, meta.cellsDir))
+    compactStats(spark, indexDir) // bound the probe-stats log too
     filesBefore
   }
 
@@ -361,35 +362,105 @@ object IvfPqIndex {
   private def statsPath(dir: String) = s"$dir/stats/probes"
 
   /** Log a query workload's probe routing into the index's stats
-    * side-table (`stats/probes`, append-only, one tiny aggregate row
-    * per probed cell per call). The serving tier calls this on its
-    * query log — e.g. per micro-batch from a `foreachBatch` — so
-    * [[rebalanceByTraffic]] can split the cells queries actually
-    * hammer. Advisory only: stats never affect query answers, and
-    * [[build]] resets them (a rebuild renumbers cells, so carried-over
-    * counts would attribute old traffic to unrelated new cells).
+    * side-table (`stats/probes/batch=<id>`, one tiny aggregate row per
+    * probed cell per call). The serving tier calls this on its query
+    * log — e.g. per micro-batch from a `foreachBatch`, passing the
+    * STREAMING BATCH ID: each id owns its own `batch=<id>` dir written
+    * with overwrite, so a replayed micro-batch REWRITES its own stats
+    * instead of double-counting (the same idempotency contract as
+    * upsertBatch / StreamDecon batch dirs). Without a `batchId` the
+    * call stamps wall-clock millis — still one dir per call, but a
+    * replay then duplicates; fine for ad-hoc batch use, not for
+    * checkpointed streams. Advisory only: stats never affect query
+    * answers, and [[build]] resets them (a rebuild renumbers cells, so
+    * carried-over counts would attribute old traffic to unrelated new
+    * cells).
     */
   def recordProbes(spark: SparkSession, queries: DataFrame, indexDir: String,
-      nProbe: Int = 4): Unit = {
+      nProbe: Int = 4, batchId: Option[Long] = None): Unit = {
     val meta = loadMeta(spark, indexDir)
     val probe = IvfIndex.nearestCells(meta.centers, nProbe)
+    val id = batchId.getOrElse(System.currentTimeMillis())
     queries.select(explode(probe(col("embedding"))).as("cell"))
       .groupBy(col("cell")).agg(count(lit(1)).as("n_probes"))
       .repartition(1)
-      .write.mode("append").parquet(statsPath(indexDir))
+      .write.mode("overwrite").parquet(s"${statsPath(indexDir)}/batch=$id")
   }
 
   /** Accumulated probe counts per LIVE cell (cells retired by a split
     * drop out; their replacement halves start at zero and re-earn
-    * their traffic). */
-  def probeTraffic(spark: SparkSession, indexDir: String): Map[Int, Long] = {
+    * their traffic). All-time sums — see [[probeTrafficWeighted]] for
+    * the recency-decayed view. */
+  def probeTraffic(spark: SparkSession, indexDir: String): Map[Int, Long] =
+    probeTrafficWeighted(spark, indexDir, halfLifeBatches = None)
+      .map { case (c, v) => c -> math.round(v) } // exact sums when undecayed
+
+  /** Probe counts per live cell, optionally decayed by RECENCY so a
+    * historical hotspot doesn't keep out-scoring current traffic:
+    * with `halfLifeBatches = Some(h)`, a count recorded r batches ago
+    * (r = rank of its `batch=` id among all recorded ids, newest = 0)
+    * is weighted 0.5^(r/h). Rank-based, not id-difference-based, so
+    * stream batch ids (0,1,2,…) and wall-clock millis decay on the
+    * same scale: one recordProbes call = one tick.
+    */
+  def probeTrafficWeighted(spark: SparkSession, indexDir: String,
+      halfLifeBatches: Option[Double]): Map[Int, Double] = {
     val fs = Versioned.fs(spark, statsPath(indexDir))
     if (!fs.exists(new org.apache.hadoop.fs.Path(statsPath(indexDir)))) return Map.empty
     val live = loadMeta(spark, indexDir).centers.map(_._1).toSet
-    spark.read.parquet(statsPath(indexDir))
-      .groupBy(col("cell")).agg(sum(col("n_probes")).as("n"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1))
+    val df = spark.read.parquet(statsPath(indexDir))
+    val weighted = halfLifeBatches match {
+      case None => df.withColumn("w", col("n_probes").cast("double"))
+      case Some(h) =>
+        require(h > 0, s"halfLifeBatches must be > 0 (got $h)")
+        // planning-scale metadata fetch: one distinct id per
+        // recordProbes call, bounded by compactStats
+        val ids = df.select(col("batch").cast("long")).distinct()
+          .collect().map(_.getLong(0)).sorted.reverse
+        val rank = typedlit(ids.zipWithIndex.map { case (id, r) => id -> r }.toMap)
+        df.withColumn("w", col("n_probes") *
+          pow(lit(0.5), element_at(rank, col("batch").cast("long")) / h))
+    }
+    weighted.groupBy(col("cell")).agg(sum(col("w")).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1))
       .filter { case (c, _) => live(c) }.toMap
+  }
+
+  /** Bound the stats log: one `batch=` dir accrues per
+    * [[recordProbes]] call, so a long-lived serving tier accumulates
+    * small files without bound. Collapse every dir older than the
+    * newest `keepRecent` into ONE dir re-stamped at the OLDEST
+    * collapsed id — old traffic stays maximally old, so decayed views
+    * only ever UNDER-weight collapsed history, never promote it —
+    * dropping rows for retired cells on the way (their live-view
+    * filter becomes physical). Advisory data, single-writer
+    * maintenance: a crash between delete and rewrite loses only the
+    * collapsed slice. Called from [[compact]]; harmless standalone.
+    */
+  def compactStats(spark: SparkSession, indexDir: String,
+      keepRecent: Int = 16): Unit = {
+    val sp = statsPath(indexDir)
+    val fs = Versioned.fs(spark, sp)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(sp))) return
+    val ids = fs.listStatus(new org.apache.hadoop.fs.Path(sp))
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong).sorted
+    if (ids.length <= keepRecent + 1) return
+    val oldIds = ids.dropRight(keepRecent)
+    val live = loadMeta(spark, indexDir).centers.map(_._1).toSeq
+    // tiny aggregate (≤ one row per live cell) — collect, then rewrite
+    val collapsed = spark.read.option("basePath", sp)
+      .parquet(oldIds.map(id => s"$sp/batch=$id"): _*)
+      .filter(col("cell").isin(live: _*))
+      .groupBy(col("cell")).agg(sum(col("n_probes")).as("n_probes"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    oldIds.foreach(id =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$sp/batch=$id"), true))
+    if (collapsed.nonEmpty) {
+      import spark.implicits._
+      collapsed.toDF("cell", "n_probes").repartition(1)
+        .write.mode("overwrite").parquet(s"$sp/batch=${oldIds.min}")
+    }
   }
 
   /** [[query]] + [[recordProbes]] in one call — the serving-tier
@@ -399,8 +470,8 @@ object IvfPqIndex {
     * probe plan stays lazy. */
   def queryAndRecord(spark: SparkSession, queries: DataFrame, indexDir: String,
       nProbe: Int = 4, topK: Int = 5, shortlist: Int = 50,
-      broadcastQueries: Boolean = true): DataFrame = {
-    recordProbes(spark, queries, indexDir, nProbe)
+      broadcastQueries: Boolean = true, batchId: Option[Long] = None): DataFrame = {
+    recordProbes(spark, queries, indexDir, nProbe, batchId)
     query(spark, queries, indexDir, nProbe, topK, shortlist, broadcastQueries)
   }
 
@@ -413,13 +484,20 @@ object IvfPqIndex {
     * nothing. Splits every cell whose load exceeds `factor` × the
     * mean load; zero-traffic cells never split. Returns the cells
     * split.
+    *
+    * `halfLifeBatches` applies [[probeTrafficWeighted]]'s recency
+    * decay, so a cell that WAS hammered many batches ago but is cold
+    * now stops qualifying — without it, a big historical spike
+    * out-scores live traffic forever and keeps splitting an idle
+    * cell (IvfPqSuite pins both behaviors).
     */
   def rebalanceByTraffic(spark: SparkSession, indexDir: String,
-      factor: Double = 2.0, seed: Long = 42L): Seq[Int] = {
+      factor: Double = 2.0, seed: Long = 42L,
+      halfLifeBatches: Option[Double] = None): Seq[Int] = {
     val sizes = cellSizes(spark, indexDir)
     if (sizes.isEmpty) return Nil
-    val traffic = probeTraffic(spark, indexDir)
-    val load = sizes.map { case (c, n) => c -> n.toDouble * traffic.getOrElse(c, 0L) }
+    val traffic = probeTrafficWeighted(spark, indexDir, halfLifeBatches)
+    val load = sizes.map { case (c, n) => c -> n.toDouble * traffic.getOrElse(c, 0.0) }
     val total = load.values.sum
     if (total == 0.0) return Nil // no recorded traffic: nothing is hot
     val mean = total / load.size

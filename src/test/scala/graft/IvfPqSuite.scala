@@ -208,6 +208,79 @@ class IvfPqSuite extends GraftSuite {
     assert(IvfPqIndex.query(spark, queryBatch, dir, topK = 3).collect().nonEmpty)
   }
 
+  test("probe stats: batchId replays overwrite (no double-count); decay splits the RECENTLY hot cell, not the historical one") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_decay").toString
+    IvfPqIndex.build(spark, Tables.embeddings(spark, sf0001), dir, kCells = 8)
+    val sizes = IvfPqIndex.cellSizes(spark, dir)
+    // two mid-size cells with members to use as self-routing queries
+    val candidates = sizes.filter(_._2 >= 2).toSeq.sortBy(-_._2).map(_._1)
+    val (histCell, recentCell) = (candidates(0), candidates(1))
+    def members(c: Int) = spark.read.parquet(s"$dir/cells/v1")
+      .filter(col("cell") === c)
+      .select(col("vec_id").as("qid"), col("embedding"))
+
+    // replay idempotency: the same streaming batch id delivered twice
+    // must leave the stats as if delivered once
+    IvfPqIndex.recordProbes(spark, members(histCell), dir, nProbe = 1, batchId = Some(0L))
+    val once = IvfPqIndex.probeTraffic(spark, dir)
+    IvfPqIndex.recordProbes(spark, members(histCell), dir, nProbe = 1, batchId = Some(0L))
+    assert(IvfPqIndex.probeTraffic(spark, dir) == once,
+      "a replayed batchId must overwrite its own stats, not double-count")
+
+    // history: hammer histCell across batches 1..9; then the workload
+    // MOVES — recentCell earns batches 10..15
+    (1L to 9L).foreach(b =>
+      IvfPqIndex.recordProbes(spark, members(histCell), dir, nProbe = 1, batchId = Some(b)))
+    (10L to 15L).foreach(b =>
+      IvfPqIndex.recordProbes(spark, members(recentCell), dir, nProbe = 1, batchId = Some(b)))
+    // undecayed view: history still dominates — histCell is at least
+    // as big AND has 10 recorded batches vs 6: the stale-hotspot trap
+    val allTime = IvfPqIndex.probeTraffic(spark, dir)
+    assert(allTime(histCell).toDouble * sizes(histCell) >
+           allTime(recentCell).toDouble * sizes(recentCell),
+      s"setup must make the HISTORICAL cell the all-time load winner ($allTime)")
+    // decayed rebalance: history sits 6+ ranks behind the newest
+    // -> weight <= 2^-6; only the recently hot cell qualifies
+    val split = IvfPqIndex.rebalanceByTraffic(spark, dir, factor = 2.0,
+      halfLifeBatches = Some(1.0))
+    assert(split == Seq(recentCell),
+      s"decay must split the recently hot cell only (got $split)")
+    assert(IvfPqIndex.cellSizes(spark, dir).contains(histCell),
+      "the historically hot but now-cold cell must be untouched")
+  }
+
+  test("compactStats: collapses old batch dirs, preserves all-time totals, drops retired cells") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_statscomp").toString
+    IvfPqIndex.build(spark, Tables.embeddings(spark, sf0001), dir, kCells = 8)
+    val sizes = IvfPqIndex.cellSizes(spark, dir)
+    val cs = sizes.filter(_._2 >= 2).toSeq.sortBy(-_._2).map(_._1)
+    val (keep, retire) = (cs(0), cs(1))
+    def mem(c: Int) = spark.read.parquet(s"$dir/cells/v1").filter(col("cell") === c)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    // 20 one-cell batches: `keep` on even ids, `retire` on odd ids
+    (0L until 20L).foreach { b =>
+      val c = if (b % 2 == 0) keep else retire
+      IvfPqIndex.recordProbes(spark, mem(c), dir, nProbe = 1, batchId = Some(b))
+    }
+    IvfPqIndex.splitCell(spark, dir, retire) // its stats rows become droppable history
+    val before = IvfPqIndex.probeTraffic(spark, dir) // live view: keep only
+    assert(before.keySet == Set(keep))
+    def batchDirs() = new java.io.File(s"$dir/stats/probes").listFiles
+      .map(_.getName).filter(_.startsWith("batch="))
+    assert(batchDirs().length == 20)
+    IvfPqIndex.compactStats(spark, dir, keepRecent = 4)
+    // ids 0..15 collapse into batch=0; 16..19 survive as-is
+    assert(batchDirs().length == 5,
+      s"expected 1 collapsed + 4 recent dirs, got ${batchDirs().toSeq.sorted}")
+    assert(IvfPqIndex.probeTraffic(spark, dir) == before,
+      "compaction must not change the live traffic view")
+    // the collapsed slice physically dropped the retired cell's rows
+    val collapsedCells = spark.read.parquet(s"$dir/stats/probes/batch=0")
+      .select("cell").distinct().collect().map(_.getInt(0)).toSet
+    assert(collapsedCells == Set(keep),
+      s"collapsed history must hold only live cells, got $collapsedCells")
+  }
+
   test("compact: one file per cell in a fresh version; snapshot identical; live prev dir retained") {
     val dir = java.nio.file.Files.createTempDirectory("ivfpq_compact").toString
     val emb = Tables.embeddings(spark, sf0001)
