@@ -321,24 +321,44 @@ object StreamzOps {
       require(numBuckets > 0, s"numBuckets must be > 0 (got $numBuckets)")
       require(retainManifests >= 0,
         s"retainManifests must be >= 0 (got $retainManifests)")
-      val wAsc = Window.partitionBy(keys.map(col): _*)
-        .orderBy(col(orderCol).asc)
       df.writeStream.outputMode("append")
         .option("checkpointLocation", checkpointLocation)
         .trigger(trigger)
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          val versions = batch.drop("valid_to_ord", "is_current")
-          commitBucketedSnapshot(versions, tablePath, keys, numBuckets,
-            retainManifests, batchId, failpoint,
-            priorHasDerivedColumns = true) { merged0 =>
-            merged0.drop("valid_to_ord", "is_current")
-              .dropDuplicates(keys :+ orderCol)
-              .withColumn("valid_to_ord", lead(col(orderCol), 1).over(wAsc))
-              .withColumn("is_current", (col("valid_to_ord").isNull &&
-                opCol.fold(lit(true))(oc => !(col(oc) <=> lit(deleteOp))))
-                .cast("int"))
-          }
+          StreamzOps.scd2Batch(batch, tablePath, keys, orderCol, batchId,
+            opCol, deleteOp, numBuckets, retainManifests, failpoint)
         }.start()
+    }
+  }
+
+  /** Merge ONE micro-batch into an SCD2 history table — the exact
+    * foreachBatch body of [[StreamzDataFrame.sinkScd2]], exposed for
+    * the same reason as [[upsertBatch]]: a pipeline already inside its
+    * own foreachBatch (e.g. [[StreamDecon]]'s flagged-history side)
+    * composes the history write into its per-batch work. Semantics,
+    * version identity (keys, orderCol), tombstone storage, and
+    * replay-idempotence are sinkScd2's.
+    */
+  def scd2Batch(batch: DataFrame, tablePath: String, keys: Seq[String],
+      orderCol: String, batchId: Long,
+      opCol: Option[String] = None, deleteOp: String = "D",
+      numBuckets: Int = 16, retainManifests: Int = 0,
+      failpoint: (String, Long) => Unit = (_, _) => ()): Unit = {
+    require(numBuckets > 0, s"numBuckets must be > 0 (got $numBuckets)")
+    require(retainManifests >= 0,
+      s"retainManifests must be >= 0 (got $retainManifests)")
+    val wAsc = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(orderCol).asc)
+    val versions = batch.drop("valid_to_ord", "is_current")
+    commitBucketedSnapshot(versions, tablePath, keys, numBuckets,
+      retainManifests, batchId, failpoint,
+      priorHasDerivedColumns = true) { merged0 =>
+      merged0.drop("valid_to_ord", "is_current")
+        .dropDuplicates(keys :+ orderCol)
+        .withColumn("valid_to_ord", lead(col(orderCol), 1).over(wAsc))
+        .withColumn("is_current", (col("valid_to_ord").isNull &&
+          opCol.fold(lit(true))(oc => !(col(oc) <=> lit(deleteOp))))
+          .cast("int"))
     }
   }
 

@@ -874,4 +874,97 @@ class StreamingSuite extends GraftSuite {
       "in-batch duplicate winner must be deterministic under replay")
     filter.close()
   }
+
+  test("StreamDecon flaggedScd2: flip-to-clean closes the verdict interval; re-contamination reopens; replay-idempotent") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx = sess.sqlContext
+    val docs = Tables.documents(spark, sf0001)
+    val eval = docs.filter(col("doc_id") < 20).select("doc_id", "text")
+    val evalText = eval.filter(col("doc_id") === 0).collect().head.getString(1)
+    val cleanText = "zzqa zzqb zzqc zzqd zzqe zzqf zzqg zzqh zzqi zzqj zzqk zzql"
+    val out = java.nio.file.Files.createTempDirectory("sdecon_scd2_out").toString
+    val cp = java.nio.file.Files.createTempDirectory("sdecon_scd2_cp").toString
+    val table = s"$out/flag_hist"
+    val ms = MemoryStream[(Long, String)]
+    def start() = graft.api.StreamDecon.start(
+      ms.toDF().toDF("doc_id", "text"), eval, out, cp,
+      expectedEvalShingles = 10000L,
+      flaggedScd2 = Some(table), cleanTableBuckets = 4)
+    def hist() = graft.api.StreamDecon.readFlaggedHistory(spark, table)
+      .select("doc_id", "_ingest_batch", "valid_to_ord", "is_current").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getInt(3))).toSet
+    // batch 0: doc 900 contaminated (an eval doc's own text), 901 clean
+    val q1 = start()
+    ms.addData((900L, evalText), (901L, cleanText))
+    q1.processAllAvailable()
+    assert(hist() == Set((900L, 0L, -1L, 1)),
+      s"one OPEN verdict interval for the flagged doc only, got ${hist()}")
+    val verd = graft.api.StreamDecon.readFlaggedHistory(spark, table).collect().head
+    assert(verd.getAs[Long]("eval_hits") >= 1L &&
+      verd.getAs[scala.collection.Seq[Long]]("eval_docs").contains(0L) &&
+      verd.getAs[Long]("max_shared") >= 1L, s"verdict must carry evidence: $verd")
+    // batch 1: doc 900 re-delivered CLEAN -> the interval closes
+    ms.addData((900L, cleanText))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(hist() == Set((900L, 0L, 1L, 0)),
+      s"flip-to-clean must close the interval at ord 1, got ${hist()}")
+    // restart (same checkpoint): batch 2 re-contaminates -> NEW interval
+    val q2 = start()
+    ms.addData((900L, evalText))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(hist() == Set((900L, 0L, 1L, 0), (900L, 2L, -1L, 1)),
+      s"re-contamination must open a fresh current interval, got ${hist()}")
+    // replay of the last batch converges to the same history
+    val filter = graft.api.BloomDecon.evalFilter(eval, expectedEvalShingles = 10000L)
+    val replay = spark.createDataFrame(Seq((900L, evalText))).toDF("doc_id", "text")
+    graft.api.StreamDecon.writeBatch(filter, replay, out, 2L,
+      flaggedScd2 = Some(table), cleanTableBuckets = 4)
+    assert(hist() == Set((900L, 0L, 1L, 0), (900L, 2L, -1L, 1)),
+      "replaying the batch must not change the history")
+    filter.close()
+  }
+
+  test("StreamDecon cleanTable: a FRESH checkpoint re-bases the epoch — new revisions still beat stored rows") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx = sess.sqlContext
+    val docs = Tables.documents(spark, sf0001)
+    val eval = docs.filter(col("doc_id") < 20).select("doc_id", "text")
+    val out = java.nio.file.Files.createTempDirectory("sdecon_epoch_out").toString
+    val table = s"$out/clean_table"
+    def startOn(ms: MemoryStream[(Long, String)], cp: String) =
+      graft.api.StreamDecon.start(
+        ms.toDF().toDF("doc_id", "text"), eval, out, cp,
+        expectedEvalShingles = 10000L,
+        cleanTable = Some(table), cleanTableBuckets = 4)
+    def text() = graft.api.StreamDecon.readCleanTable(spark, table)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    // lineage 1: two batches -> the doc's stored order reaches 1
+    val cp1 = java.nio.file.Files.createTempDirectory("sdecon_epoch_cp1").toString
+    val ms1 = MemoryStream[(Long, String)]
+    val q1 = startOn(ms1, cp1)
+    ms1.addData((500L, "zzqa zzqb revA")); q1.processAllAvailable()
+    ms1.addData((500L, "zzqa zzqb revB")); q1.processAllAvailable()
+    q1.stop()
+    assert(text()(500L).endsWith("revB"))
+    // lineage 2: FRESH checkpoint, batch ids restart at 0. Without the
+    // epoch marker the stored order-1 row would out-rank this forever.
+    val cp2 = java.nio.file.Files.createTempDirectory("sdecon_epoch_cp2").toString
+    val ms2 = MemoryStream[(Long, String)]
+    val q2 = startOn(ms2, cp2)
+    ms2.addData((500L, "zzqa zzqb revC")); q2.processAllAvailable()
+    q2.stop()
+    assert(text()(500L).endsWith("revC"),
+      "the fresh lineage's revision must win over the stored one")
+    // and a RESUME of lineage 2 keeps its pinned base (marker present)
+    val q3 = startOn(ms2, cp2)
+    ms2.addData((500L, "zzqa zzqb revD")); q3.processAllAvailable()
+    q3.stop()
+    assert(text()(500L).endsWith("revD"),
+      "resuming the same checkpoint must keep ordering monotonic")
+  }
 }
