@@ -17,7 +17,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Scalars.queries ++ Streaming.queries ++
       LlmPipeline.queries ++ PipelineExtras.queries ++ Multimodal.queries ++
-      MinHashDf.queries ++ Scalars2.queries ++ Relational2.queries
+      MinHashDf.queries ++ Scalars2.queries ++ Relational2.queries ++
+      Relational3.queries
 
   /** Queries excluded from the Bench hot set (still in `queries`, still
     * correctness-gated every round). q_dedup_fuzzy_minhash is the MLlib
@@ -37,5 +38,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ Scalars.oracleSql ++ Streaming.oracleSql ++
       LlmPipeline.oracleSql ++ PipelineExtras.oracleSql ++ Multimodal.oracleSql ++
-      MinHashDf.oracleSql ++ Scalars2.oracleSql ++ Relational2.oracleSql
+      MinHashDf.oracleSql ++ Scalars2.oracleSql ++ Relational2.oracleSql ++
+      Relational3.oracleSql
 }

@@ -1,0 +1,151 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Relational surface, wave 3 (added r8; SURVEY.md §2B rows 94–97):
+  * ordered string aggregation, correlated LATERAL join, batch
+  * sessionization (gaps-and-islands), fixed-width histogram binning.
+  * All oracle-checked.
+  */
+object Relational3 {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  // ---- #94 q_string_agg --------------------------------------------------
+  // Grouped ORDERED string aggregation (LISTAGG/STRING_AGG): the
+  // ordered-distinct form, built as sort_array(collect_set) +
+  // array_join — every step is a codegen'd built-in, and the explicit
+  // sort makes the result deterministic regardless of row arrival
+  // order (a bare collect_list would hash-differ run to run; SQL
+  // LISTAGG ... WITHIN GROUP expresses the same plan). At scale:
+  // collect_set partially aggregates map-side; per-group state is
+  // bounded by the distinct-value count, the dimension-like use case
+  // (priorities, tags, codes) this operator exists for.
+  val qStringAgg: Q = (s, dir) => {
+    Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(
+        array_join(sort_array(collect_set(col("o_orderpriority"))), ",")
+          .as("priorities"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_custkey")
+  }
+
+  val qStringAggSql: String =
+    """SELECT o_custkey,
+      |       string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities,
+      |       count(*) AS n_orders
+      |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
+  // ---- #95 q_join_lateral ------------------------------------------------
+  // Correlated LATERAL subquery with per-row ORDER BY + LIMIT — the
+  // top-N-per-key join shape. Catalyst decorrelates the lateral into a
+  // window (DecorrelateInnerQuery rewrites the correlated LIMIT as a
+  // partitioned row_number filter), so execution is ONE shuffle by the
+  // correlation key — no per-customer re-scan of orders, which is what
+  // makes the declarative form survive 100×: the naive interpretation
+  // is O(customers) subquery executions.
+  val qJoinLateral: Q = (s, dir) => {
+    Tables.customer(s, dir).createOrReplaceTempView("customer")
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT c_custkey, o_orderkey, o_total
+        |FROM customer,
+        |LATERAL (SELECT o_orderkey,
+        |                CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_total
+        |         FROM orders WHERE o_custkey = c_custkey
+        |         ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC, o_orderkey
+        |         LIMIT 2) AS t
+        |WHERE c_mktsegment = 'BUILDING'
+        |ORDER BY c_custkey, o_total DESC, o_orderkey""".stripMargin)
+  }
+
+  val qJoinLateralSql: String =
+    """SELECT c_custkey, o_orderkey, o_total
+      |FROM customer,
+      |LATERAL (SELECT o_orderkey,
+      |                CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_total
+      |         FROM orders WHERE o_custkey = c_custkey
+      |         ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC, o_orderkey
+      |         LIMIT 2) AS t
+      |WHERE c_mktsegment = 'BUILDING'
+      |ORDER BY c_custkey, o_total DESC, o_orderkey""".stripMargin
+
+  // ---- #96 q_sessionize_gap ----------------------------------------------
+  // BATCH sessionization — the gaps-and-islands dual of the streaming
+  // session_window (#48): a session breaks where the per-user gap
+  // exceeds 30 min; session_id is the running count of breaks. Two
+  // window passes over ONE partitioning (user_id) — Spark reuses the
+  // sort/shuffle across both Window specs, so the whole query is one
+  // exchange. Timestamps truncated to seconds and compared in exact
+  // integer µs (unix_micros vs DuckDB epoch_us — §2.5.3).
+  val qSessionizeGap: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_sec"), col("event_id"))
+    val run = Window.partitionBy(col("user_id")).orderBy(col("ts_sec"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .withColumn("ts_sec", date_trunc("second", col("ts")))
+      .withColumn("prev_us", unix_micros(lag(col("ts_sec"), 1).over(w)))
+      .withColumn("new_sess",
+        (col("prev_us").isNull ||
+          unix_micros(col("ts_sec")) - col("prev_us") > 1800000000L).cast("int"))
+      .withColumn("session_id", sum(col("new_sess")).over(run))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts_sec")).as("session_start"),
+        max(col("ts_sec")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id", "session_id")
+  }
+
+  val qSessionizeGapSql: String = EV +
+    """, s AS (SELECT user_id, event_id, DATE_TRUNC('second', ts) AS ts_sec,
+      |        CASE WHEN LAG(ts) OVER w IS NULL
+      |             OR epoch_us(DATE_TRUNC('second', ts)) - epoch_us(LAG(DATE_TRUNC('second', ts)) OVER w) > 1800000000
+      |             THEN 1 ELSE 0 END AS new_sess
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY DATE_TRUNC('second', ts), event_id)),
+      |g AS (SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM s)
+      |SELECT user_id, session_id, MIN(ts_sec) AS session_start,
+      |       MAX(ts_sec) AS session_end, COUNT(*) AS n_events
+      |FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
+
+  // ---- #97 q_histogram ---------------------------------------------------
+  // Fixed-width histogram binning: bin arithmetic stays in exact
+  // decimals until the floor, so a value on a bin boundary lands in
+  // the same bin in every engine; per-bin money sums follow §2.5.1
+  // (decimal sum → double at the edge). Linear single-pass two-phase
+  // aggregate — the canonical distribution-profiling scan over a fact
+  // column at any scale.
+  val qHistogram: Q = (s, dir) => {
+    Tables.orders(s, dir)
+      .groupBy(floor(dec(col("o_totalprice")) / 50000).cast("bigint").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("o_totalprice"))).cast("decimal(38,2)")
+          .cast("double").as("total"))
+      .orderBy("bin")
+  }
+
+  val qHistogramSql: String =
+    """SELECT CAST(FLOOR(CAST(o_totalprice AS DECIMAL(18,2)) / 50000) AS BIGINT) AS bin,
+      |       COUNT(*) AS n,
+      |       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------------------------
+  val queries: Map[String, Q] = Map(
+    "q_string_agg" -> qStringAgg,
+    "q_join_lateral" -> qJoinLateral,
+    "q_sessionize_gap" -> qSessionizeGap,
+    "q_histogram" -> qHistogram,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_string_agg" -> qStringAggSql,
+    "q_join_lateral" -> qJoinLateralSql,
+    "q_sessionize_gap" -> qSessionizeGapSql,
+    "q_histogram" -> qHistogramSql,
+  )
+}

@@ -190,6 +190,26 @@ class PlanSuite extends GraftSuite {
     assert(got == want, "bucketed ntile must equal the naive global-window ntile")
   }
 
+  test("q_join_lateral (#95): correlated LIMIT decorrelates to a window — no per-row subquery, no loop join") {
+    val p = plan(queries.Relational3.qJoinLateral(spark, sf0001))
+    assert(p.contains("Window"),
+      s"the lateral ORDER BY+LIMIT must become a partitioned window:\n$p")
+    assert(p.contains("Join"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"decorrelation must yield an equi-join on the correlation key:\n$p")
+  }
+
+  test("q_sessionize_gap (#96): both window passes share ONE user_id exchange") {
+    val p = plan(queries.Relational3.qSessionizeGap(spark, sf0001))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    // lag/new_sess + running sum ride the same (user_id) sort order —
+    // one exchange; the (user_id, session_id) aggregate adds at most
+    // one more. Three+ would mean the windows stopped sharing.
+    assert(exchanges <= 2,
+      s"expected the two window specs to reuse one shuffle (got $exchanges):\n$p")
+    assert("Window".r.findAllIn(p).size >= 1, p)
+  }
+
   test("pq_adc: codegen'd in-stage, unsigned byte mask correct") {
     import org.apache.spark.sql.functions._
     graft.functions.PqAdc.register(spark)
