@@ -603,7 +603,50 @@ object PipelineExtras {
       |ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------------------
+  // ---- #98 q_seq_packing -------------------------------------------------
+  // Sequence packing — assign docs to fixed-token-budget context
+  // windows, the step between curation and tokenized training shards.
+  // Greedy sequential fill is inherently ordered, so the SCALE shape
+  // is per-(lang, shard): each shard packs independently inside its
+  // own window partition (shard = a doc_id range here; any stable
+  // bucketing works), which keeps every partition bounded and the
+  // whole pack one exchange — a single global ordering would funnel
+  // the corpus through one task. pack_id = floor(tokens-before /
+  // budget): a doc straddling a boundary belongs to the window its
+  // FIRST token falls in (windows may overflow the budget by < one
+  // doc — the standard greedy-packing contract; nothing splits).
+  val PACK_BUDGET = 512
+  val qSeqPacking: Q = (s, dir) => {
+    val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        floor(col("doc_id") / lit(2000.0)).cast("bigint").as("shard"),
+        size(split(col("text"), " ")).as("n_tokens"))
+      .withColumn("prev_tokens", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .groupBy(col("lang"), col("shard"),
+        floor(col("prev_tokens") / lit(PACK_BUDGET.toDouble)).cast("bigint").as("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("bigint").as("pack_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("lang", "shard", "pack_id")
+  }
+
+  val qSeqPackingSql: String =
+    """WITH t AS (SELECT doc_id, lang,
+      |                  CAST(FLOOR(doc_id / 2000.0) AS BIGINT) AS shard,
+      |                  CAST(LEN(string_split(text, ' ')) AS INT) AS n_tokens
+      |           FROM documents),
+      |c AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+      |                 ROWS UNBOUNDED PRECEDING) - n_tokens AS prev_tokens FROM t)
+      |SELECT lang, shard, CAST(FLOOR(prev_tokens / 512.0) AS BIGINT) AS pack_id,
+      |       COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+      |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM c GROUP BY lang, shard, pack_id ORDER BY lang, shard, pack_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_seq_packing" -> qSeqPacking,
     "q_text_repetition" -> qTextRepetition,
     "q_text_topk_words" -> qTextTopkWords,
     "q_decontaminate" -> qDecontaminate,
@@ -618,6 +661,7 @@ object PipelineExtras {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_seq_packing" -> qSeqPackingSql,
     "q_text_repetition" -> qTextRepetitionSql,
     "q_text_topk_words" -> qTextTopkWordsSql,
     "q_decontaminate" -> qDecontaminateSql,
