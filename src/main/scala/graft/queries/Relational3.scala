@@ -134,12 +134,44 @@ object Relational3 {
       |       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- #99 q_anomaly_zscore ----------------------------------------------
+  // Per-key z-score outlier flagging — the monitoring/data-quality
+  // sweep over a metric stream: events whose value sits > 2σ from
+  // their user's own mean. One window partitioning (user_id) computes
+  // mean and sample-stddev in a single pass; z rounds to 6 dp before
+  // the compare so the (order-dependent) float aggregation cannot
+  // flip a boundary row between engines (§2.5.2). NULLIF guards the
+  // constant-valued user (σ = 0 → no anomalies, not a div-by-zero).
+  val qAnomalyZscore: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id"))
+    Tables.events(s, dir)
+      .withColumn("mu", avg(col("value")).over(w))
+      .withColumn("sd", stddev_samp(col("value")).over(w))
+      .withColumn("z", round((col("value") - col("mu")) /
+        nullif(col("sd"), lit(0.0)), 6))
+      .filter(abs(col("z")) > 2.0)
+      .select(col("user_id"), col("event_id"),
+        round(col("value"), 2).as("value"), col("z"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val qAnomalyZscoreSql: String = EV +
+    """, s AS (SELECT user_id, event_id, value,
+      |        AVG(value) OVER (PARTITION BY user_id) AS mu,
+      |        STDDEV_SAMP(value) OVER (PARTITION BY user_id) AS sd
+      |        FROM e)
+      |SELECT user_id, event_id, ROUND(value, 2) AS value,
+      |       ROUND((value - mu) / NULLIF(sd, 0), 6) AS z
+      |FROM s WHERE ABS(ROUND((value - mu) / NULLIF(sd, 0), 6)) > 2
+      |ORDER BY user_id, event_id""".stripMargin
+
   // ------------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "q_string_agg" -> qStringAgg,
     "q_join_lateral" -> qJoinLateral,
     "q_sessionize_gap" -> qSessionizeGap,
     "q_histogram" -> qHistogram,
+    "q_anomaly_zscore" -> qAnomalyZscore,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -147,5 +179,6 @@ object Relational3 {
     "q_join_lateral" -> qJoinLateralSql,
     "q_sessionize_gap" -> qSessionizeGapSql,
     "q_histogram" -> qHistogramSql,
+    "q_anomaly_zscore" -> qAnomalyZscoreSql,
   )
 }
