@@ -645,7 +645,73 @@ object PipelineExtras {
       |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
       |FROM c GROUP BY lang, shard, pack_id ORDER BY lang, shard, pack_id""".stripMargin
 
+  // ---- #100 q_curate_flagship --------------------------------------------
+  // The LLM-pipeline composite the per-operator rows never exercise
+  // TOGETHER — the full curation funnel as ONE declarative query:
+  //   quality gate (>= 40 words, pruning BEFORE any shingling pays)
+  //   → near-dup collapse (keep min doc_id per winnowing fingerprint,
+  //     #67's arithmetic — a groupBy, never an all-pairs compare)
+  //   → decontamination (#83's shingle overlap vs the eval slice,
+  //     eval side broadcast)
+  //   → per-lang corpus summary (docs, tokens, avg chars — all
+  //     partial-mergeable).
+  // Every stage is the exact arithmetic of its standalone row, so the
+  // whole funnel stays DuckDB-oracle-checkable end-to-end; at scale
+  // each stage keeps its standalone plan shape (the composition adds
+  // no new shuffle beyond the stages' own).
+  val qCurateFlagship: Q = (s, dir) => {
+    val q = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 40)
+    val sh = q.select(col("doc_id"), explode(expr(
+      "transform(sequence(0, size(ws) - 5), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3], ws[i+4]))"))
+      .as("sh"))
+    val keep = sh.groupBy(col("doc_id")).agg(min(md5(col("sh"))).as("fingerprint"))
+      .groupBy(col("fingerprint")).agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val shd = sh.distinct()
+    val flagged = shd.filter(col("doc_id") >= 20)
+      .join(broadcast(shd.filter(col("doc_id") < 20)
+        .select(col("doc_id").as("ev"), col("sh"))), "sh")
+      .groupBy(col("doc_id"), col("ev")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= DECON_MIN_SHARED)
+      .select("doc_id").distinct()
+    q.join(keep, "doc_id")
+      .filter(col("doc_id") >= 20)
+      .join(flagged, Seq("doc_id"), "left_anti")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("ws"))).cast("bigint").as("n_tokens"),
+        round(avg(col("n_chars").cast("double")), 6).as("avg_chars"))
+      .orderBy("lang")
+  }
+
+  val qCurateFlagshipSql: String =
+    s"""WITH q AS (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS ws
+      |           FROM documents WHERE LEN(string_split(text, ' ')) >= 40),
+      |sh AS (SELECT doc_id, UNNEST(list_transform(generate_series(1, LEN(ws) - 4),
+      |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS sh
+      |       FROM q),
+      |keep AS (SELECT MIN(doc_id) AS doc_id FROM
+      |          (SELECT doc_id, MIN(MD5(sh)) AS fingerprint FROM sh GROUP BY doc_id)
+      |         GROUP BY fingerprint),
+      |shd AS (SELECT DISTINCT doc_id, sh FROM sh),
+      |flagged AS (SELECT t.doc_id
+      |            FROM (SELECT doc_id, sh FROM shd WHERE doc_id >= 20) t
+      |            JOIN (SELECT doc_id AS ev, sh FROM shd WHERE doc_id < 20) e USING (sh)
+      |            GROUP BY t.doc_id, e.ev HAVING COUNT(*) >= $DECON_MIN_SHARED),
+      |cur AS (SELECT q.* FROM q
+      |        JOIN keep USING (doc_id)
+      |        WHERE q.doc_id >= 20
+      |          AND q.doc_id NOT IN (SELECT doc_id FROM flagged))
+      |SELECT lang, COUNT(*) AS n_docs,
+      |       CAST(SUM(LEN(ws)) AS BIGINT) AS n_tokens,
+      |       ROUND(AVG(CAST(n_chars AS DOUBLE)), 6) AS avg_chars
+      |FROM cur GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_curate_flagship" -> qCurateFlagship,
     "q_seq_packing" -> qSeqPacking,
     "q_text_repetition" -> qTextRepetition,
     "q_text_topk_words" -> qTextTopkWords,
@@ -661,6 +727,7 @@ object PipelineExtras {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_curate_flagship" -> qCurateFlagshipSql,
     "q_seq_packing" -> qSeqPackingSql,
     "q_text_repetition" -> qTextRepetitionSql,
     "q_text_topk_words" -> qTextTopkWordsSql,

@@ -162,6 +162,14 @@ class PlanSuite extends GraftSuite {
       s"DPP must read exactly the dim-qualifying months: $readParts vs $qualMonths")
   }
 
+  test("q_curate_flagship (#100): eval side broadcasts; no all-pairs join anywhere in the funnel") {
+    val p = plan(queries.PipelineExtras.qCurateFlagship(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the decontamination stage must broadcast the eval shingles:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"dedup must stay a groupBy collapse, never an all-pairs compare:\n$p")
+  }
+
   test("q_decontaminate (#83): eval shingles broadcast — corpus side never shuffles for the join") {
     val p = plan(queries.PipelineExtras.qDecontaminate(spark, sf0001))
     assert(p.contains("BroadcastHashJoin"),
