@@ -162,6 +162,18 @@ class PlanSuite extends GraftSuite {
       s"DPP must read exactly the dim-qualifying months: $readParts vs $qualMonths")
   }
 
+  test("q_string_agg (#94) / q_histogram (#97): both aggregate in two phases (map-side partial)") {
+    // collect_set is object-based → ObjectHashAggregate; the partial
+    // phase bounds shuffled bytes by per-group distinct values, which
+    // is the 100 TB claim for the LISTAGG shape
+    val pS = plan(queries.Relational3.qStringAgg(spark, sf0001))
+    assert("ObjectHashAggregate".r.findAllIn(pS).size >= 2,
+      s"collect_set must partial-aggregate map-side:\n$pS")
+    val pH = plan(queries.Relational3.qHistogram(spark, sf0001))
+    assert("HashAggregate".r.findAllIn(pH).size >= 2,
+      s"histogram must be partial+final:\n$pH")
+  }
+
   test("q_curate_flagship (#100): eval side broadcasts; no all-pairs join anywhere in the funnel") {
     val p = plan(queries.PipelineExtras.qCurateFlagship(spark, sf0001))
     assert(p.contains("BroadcastHashJoin"),
