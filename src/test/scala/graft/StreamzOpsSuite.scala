@@ -230,6 +230,57 @@ class StreamzOpsSuite extends GraftSuite {
     assert(got.last._2 == 14.0, "seq 4 window = 2+4+8 after evicting 1")
   }
 
+  test("streaming seq packing: accumulateStream token fold reproduces batch q_seq_packing exactly") {
+    // #98's pack assignment is a running token sum — so the STREAMING
+    // path needs no new operator: accumulateStream keyed by
+    // (lang, shard) folds tokens in ord order, and pack_id =
+    // floor((acc - value) / budget) per emitted row. Prove the
+    // streamed assignment aggregates to the batch query's packs.
+    val sess = spark; import sess.implicits._
+    implicit val sqlCtx = sess.sqlContext
+    val docs = Tables.documents(spark, SparkTestBase.sf0001)
+      .select(col("doc_id"), col("lang"),
+        floor(col("doc_id") / lit(2000.0)).cast("long").as("shard"),
+        size(split(col("text"), " ")).cast("double").as("n_tokens"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val langs = docs.map(_._2).distinct.sorted
+    val lidx = langs.zipWithIndex.toMap
+    val keyOf = (d: (Long, String, Long, Double)) => lidx(d._2) * 100000L + d._3
+    // two micro-batches split on ord, honoring the cross-batch
+    // per-key ordering contract (ord non-decreasing per key)
+    val (c1, c2) = docs.partition(_._1 < 250)
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Double)]
+    val q = graft.api.StreamzStateOps
+      .accumulateStream(ms.toDF().toDF("k", "seq", "v"), "k", "seq", "v")
+      .writeStream.format("memory").queryName("pack_stream")
+      .outputMode("append").start()
+    ms.addData(c1.map(d => (keyOf(d), d._1, d._4)).toSeq: _*)
+    q.processAllAvailable()
+    ms.addData(c2.map(d => (keyOf(d), d._1, d._4)).toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    // streamed per-doc pack assignment -> per-pack aggregates
+    val streamedPacks = spark.table("pack_stream").collect()
+      .map { r =>
+        val (key, ord, v, acc) = (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+        val pack = math.floor((acc - v) / graft.queries.PipelineExtras.PACK_BUDGET).toLong
+        ((langs((key / 100000L).toInt), key % 100000L, pack), (ord, v))
+      }
+      .groupBy(_._1).map { case (k, rows) =>
+        k -> (rows.length.toLong, rows.map(_._2._2).sum.toLong,
+          rows.map(_._2._1).min, rows.map(_._2._1).max)
+      }
+    val batch = graft.queries.PipelineExtras.qSeqPacking(spark, SparkTestBase.sf0001)
+      .collect().map { r =>
+        (r.getString(0), r.getLong(1), r.getLong(2)) ->
+          (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      }.toMap
+    assert(streamedPacks == batch,
+      s"streamed packing must equal the batch query; " +
+      s"onlyStream=${(streamedPacks.keySet diff batch.keySet).take(3)} " +
+      s"onlyBatch=${(batch.keySet diff streamedPacks.keySet).take(3)}")
+  }
+
   test("slidingWindowStreamTws: ListState ring == fMGWS ring, across a checkpoint restart") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     // Spark enforces RocksDB for transformWithState
