@@ -165,6 +165,42 @@ object Relational3 {
       |FROM s WHERE ABS(ROUND((value - mu) / NULLIF(sd, 0), 6)) > 2
       |ORDER BY user_id, event_id""".stripMargin
 
+  // ---- #101 q_join_range_binned ------------------------------------------
+  // PURE interval join — no equi key at all: for each purchase event,
+  // count click events in the trailing 15-minute window
+  // (ts − 15 min, ts]. The #12 theta-range join has a user=cust equi
+  // key for the hash join to grab; here there is none, and Spark's
+  // naive plan for a range-only condition is a BroadcastNestedLoopJoin
+  // (O(|purchases|·|clicks|) — pinned as exactly that in ExtrasSuite).
+  // The scale rewrite is RangeBinJoin: bucket time into 15-min bins
+  // (= the window width, so each purchase interval explodes into just
+  // 2 bin rows), equi-join on the bin id, re-check the exact range on
+  // the co-binned candidates. All arithmetic is integer µs — no float
+  // anywhere, so the oracle (which states the range join directly)
+  // matches bit-exactly.
+  val qJoinRangeBinned: Q = (s, dir) => {
+    val W = 900000000L // 15 min in µs = the bin width
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), (col("us") - W).as("lo"), col("us").as("hi"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("us").as("v"))
+    graft.api.RangeBinJoin.intervalJoin(p, "lo", "hi", c, "v", W)
+      .groupBy(col("event_id"))
+      .agg(count(lit(1)).as("n_clicks"))
+      .orderBy("event_id")
+  }
+
+  val qJoinRangeBinnedSql: String = EV +
+    """SELECT p.event_id, COUNT(*) AS n_clicks
+      |FROM e p JOIN e c
+      |  ON c.event_type = 'click' AND p.event_type = 'purchase'
+      | AND epoch_us(c.ts) > epoch_us(p.ts) - 900000000
+      | AND epoch_us(c.ts) <= epoch_us(p.ts)
+      |GROUP BY p.event_id
+      |ORDER BY p.event_id""".stripMargin
+
   // ------------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "q_string_agg" -> qStringAgg,
@@ -172,6 +208,7 @@ object Relational3 {
     "q_sessionize_gap" -> qSessionizeGap,
     "q_histogram" -> qHistogram,
     "q_anomaly_zscore" -> qAnomalyZscore,
+    "q_join_range_binned" -> qJoinRangeBinned,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -180,5 +217,6 @@ object Relational3 {
     "q_sessionize_gap" -> qSessionizeGapSql,
     "q_histogram" -> qHistogramSql,
     "q_anomaly_zscore" -> qAnomalyZscoreSql,
+    "q_join_range_binned" -> qJoinRangeBinnedSql,
   )
 }

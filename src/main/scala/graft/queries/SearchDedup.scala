@@ -1,0 +1,130 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.api.DedupClusters
+
+/** Retrieval scoring + dedup transitive closure (SURVEY.md §2B rows
+  * 102–103): BM25 ranking over the documents corpus, and the
+  * connected-components clustering of the MinHash near-dup pairs —
+  * both fully oracle-checked (the clusters against a DuckDB recursive
+  * CTE).
+  */
+object SearchDedup {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- #102 q_text_bm25 --------------------------------------------------
+  // BM25 (k1 = 1.2, b = 0.75) for the fixed query {hash, join, merge}:
+  // top-10 documents by score. The corpus is read ONCE — a single
+  // groupBy(doc_id) produces doc length AND the three per-term counts
+  // as conditional sums; document frequencies and the corpus
+  // averages reduce that per-doc table to one broadcastable row. At
+  // 100 TB this is one pass + one tiny global agg + a
+  // TakeOrderedAndProject — no window, no second corpus scan, no
+  // per-term shuffle (a vocabulary-keyed plan would shuffle the whole
+  // posting list; a 3-term query needs only 3 conditional counters).
+  // Determinism (§2.5.2): the three per-term scores are added in ONE
+  // fixed textual order in both engines (no float SUM aggregation
+  // anywhere), then rounded to 6 dp; ties at the top-10 cut break by
+  // doc_id.
+  private val BM25_TERMS = Seq("hash", "join", "merge")
+
+  val qTextBm25: Q = (s, dir) => {
+    val words = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tfCols = BM25_TERMS.map(t =>
+      sum(when(col("term") === t, 1L).otherwise(0L)).as(s"tf_$t")) :+
+      count(lit(1)).as("dl")
+    val perDoc = words.groupBy(col("doc_id")).agg(tfCols.head, tfCols.tail: _*)
+    val globCols = BM25_TERMS.map(t =>
+      sum(when(col(s"tf_$t") > 0, 1).otherwise(0)).cast("double").as(s"df_$t")) ++ Seq(
+      count(lit(1)).cast("double").as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val glob = perDoc.agg(globCols.head, globCols.tail: _*)
+    // per-term BM25 contribution, arithmetic shaped EXACTLY like the
+    // oracle SQL (left-assoc *, / — same evaluation order bit-for-bit)
+    def bm25(t: String): Column =
+      log((col("n_docs") - col(s"df_$t") + lit(0.5)) / (col(s"df_$t") + lit(0.5)) + lit(1.0)) *
+        (col(s"tf_$t").cast("double") * lit(2.2)) /
+        (col(s"tf_$t").cast("double") +
+          lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl"))))
+    perDoc.crossJoin(broadcast(glob))
+      .select(col("doc_id"),
+        round(BM25_TERMS.map(bm25).reduceLeft(_ + _), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  val qTextBm25Sql: String = {
+    val tfSel = BM25_TERMS.map(t =>
+      s"SUM(CASE WHEN term = '$t' THEN 1 ELSE 0 END) AS tf_$t").mkString(",\n         ")
+    val dfSel = BM25_TERMS.map(t =>
+      s"CAST(SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_$t")
+      .mkString(",\n         ")
+    val scoreExpr = BM25_TERMS.map(t =>
+      s"""LN((g.n_docs - g.df_$t + 0.5) / (g.df_$t + 0.5) + 1.0)
+         |        * (CAST(p.tf_$t AS DOUBLE) * 2.2)
+         |        / (CAST(p.tf_$t AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(p.dl AS DOUBLE) / g.avgdl)))"""
+        .stripMargin).mkString("\n    + ")
+    s"""WITH words AS (
+       |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents),
+       |per_doc AS (
+       |  SELECT doc_id,
+       |         $tfSel,
+       |         COUNT(*) AS dl
+       |  FROM words GROUP BY doc_id),
+       |corpus AS (
+       |  SELECT $dfSel,
+       |         CAST(COUNT(*) AS DOUBLE) AS n_docs,
+       |         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+       |  FROM per_doc)
+       |SELECT doc_id,
+       |  ROUND(
+       |    $scoreExpr, 6) AS score
+       |FROM per_doc p CROSS JOIN corpus g
+       |ORDER BY score DESC, doc_id
+       |LIMIT 10""".stripMargin
+  }
+
+  // ---- #103 q_dedup_clusters ---------------------------------------------
+  // The transitive closure the pairwise near-dup rows stop short of:
+  // run the full oracled MinHash-band pipeline (#71), then assign
+  // every doc that appears in a near-dup pair to its connected
+  // component (cluster id = min doc_id reachable through pair edges —
+  // DedupClusters' pointer-jumping label propagation, O(log diameter)
+  // rounds over the pairs-sized edge list). This is the row that
+  // makes "keep one exemplar per near-dup CLUSTER" driver-checkable:
+  // the oracle recomputes the same pairs in DuckDB and closes them
+  // with a recursive CTE — chains like a–b, b–c must collapse to one
+  // cluster in BOTH engines, which a pair-level oracle can never see.
+  val qDedupClusters: Q = (s, dir) =>
+    DedupClusters.assign(MinHashDf.qDedupMinhashDf(s, dir))
+      .select(col("doc_id"), col("cluster").as("cluster_id"))
+      .orderBy("doc_id")
+
+  val qDedupClustersSql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |${MinHashDf.qDedupMinhashDfSql}
+       |),
+       |sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |        UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS node FROM sym),
+       |reach AS (
+       |  SELECT node, node AS label FROM nodes
+       |  UNION
+       |  SELECT s.dst AS node, r.label FROM reach r JOIN sym s ON s.src = r.node)
+       |SELECT node AS doc_id, MIN(label) AS cluster_id
+       |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------------
+  val queries: Map[String, Q] = Map(
+    "q_text_bm25" -> qTextBm25,
+    "q_dedup_clusters" -> qDedupClusters,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_text_bm25" -> qTextBm25Sql,
+    "q_dedup_clusters" -> qDedupClustersSql,
+  )
+}

@@ -329,4 +329,78 @@ class ExtrasSuite extends GraftSuite {
       assert(math.abs(got(pair) - jac) < 1e-9, s"$pair: ${got(pair)} vs $jac")
     }
   }
+
+  test("range-join regimes: naive range-only join is a BNLJ; RangeBinJoin is an equi-join with identical rows") {
+    // Pins WHY RangeBinJoin exists (SURVEY §2B row 101): a join whose
+    // only condition is a range predicate has no equi key for Spark to
+    // hash on, so the planner's only option is a nested-loop —
+    // O(|L|·|R|), the first plan to die at scale. The binned rewrite
+    // joins on a computed bin key, so the plan is a hash/sort-merge
+    // equi-join; the residual range check runs on co-binned candidates
+    // only. Both plans must agree row-for-row.
+    val sess = spark; import sess.implicits._
+    val left = spark.range(0, 2000).select(
+      $"id".as("lid"), ($"id" * 37L % 100000L).as("lo"))
+      .withColumn("hi", $"lo" + 500L)
+    val right = spark.range(0, 3000).select(
+      $"id".as("rid"), ($"id" * 61L % 100000L).as("v"))
+
+    val naive = left.join(right, $"v" > $"lo" && $"v" <= $"hi")
+    assert(naive.queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"),
+      "premise: Spark must plan a range-only condition as a nested loop " +
+        "(if this ever changes, RangeBinJoin can retire)")
+
+    val binned = graft.api.RangeBinJoin.intervalJoin(
+      left, "lo", "hi", right, "v", binWidth = 500L)
+    val binnedPlan = binned.queryExecution.executedPlan.toString
+    assert(!binnedPlan.contains("BroadcastNestedLoopJoin") &&
+        !binnedPlan.contains("CartesianProduct"),
+      s"binned rewrite must not contain a nested-loop join:\n$binnedPlan")
+
+    val key = (df: org.apache.spark.sql.DataFrame) => df
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (n, b) = (key(naive), key(binned))
+    assert(n == b && n.nonEmpty,
+      s"plans disagree: onlyNaive=${(n -- b).take(5)} onlyBinned=${(b -- n).take(5)} (naive=${n.size})")
+
+    // boundary semantics (lo, hi]: a value exactly at lo is OUT, at hi is IN
+    val edge = graft.api.RangeBinJoin.intervalJoin(
+      Seq((1L, 100L, 200L)).toDF("lid", "lo", "hi"),
+      "lo", "hi",
+      Seq(100L, 101L, 200L, 201L).toDF("v"), "v", binWidth = 100L)
+    assert(edge.select("v").collect().map(_.getLong(0)).sorted.toSeq == Seq(101L, 200L),
+      "interval must be open at lo, closed at hi")
+  }
+
+  test("q_dedup_clusters (#103): a valid partition of the pair graph into min-labeled components") {
+    val pairs = graft.queries.MinHashDf.qDedupMinhashDf(spark, sf0001)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = graft.queries.SearchDedup.qDedupClusters(spark, sf0001)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(pairs.nonEmpty && clusters.nonEmpty)
+    // every doc in a pair is labeled, and both endpoints agree
+    pairs.foreach { case (a, b) =>
+      assert(clusters.contains(a) && clusters.contains(b), s"unlabeled endpoint in ($a,$b)")
+      assert(clusters(a) == clusters(b), s"edge ($a,$b) spans clusters ${clusters(a)}/${clusters(b)}")
+    }
+    // label = min member of its component (so exemplar selection is canonical)
+    clusters.groupBy(_._2).foreach { case (label, members) =>
+      assert(members.keys.min == label, s"cluster $label: min member is ${members.keys.min}")
+    }
+    // and the fixture's planted chains actually exercise transitivity:
+    // at least one component must be larger than a single pair
+    assert(clusters.groupBy(_._2).exists(_._2.size > 2),
+      "fixture should contain a >2-doc near-dup cluster (chain) — " +
+        "if not, the oracle's recursive closure is untested beyond pairs")
+  }
+
+  test("q_text_bm25 (#102): top-10, descending rounded scores, multi-term ranking sane") {
+    val rows = graft.queries.SearchDedup.qTextBm25(spark, sf0001).collect()
+    assert(rows.length == 10)
+    val scores = rows.map(_.getAs[Double]("score"))
+    assert(scores.zip(scores.tail).forall { case (x, y) => x >= y }, "scores must descend")
+    assert(scores.head > 0.0, "fixture vocabulary contains the query terms")
+  }
 }
