@@ -1,0 +1,155 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Product-analytics wave (SURVEY.md §2B rows 104–106): ordered-step
+  * funnel counting, cohort retention, and a running distinct-count
+  * window — the event-analytics shapes (think funnel dashboards,
+  * retention curves) the relational rows don't exercise. All three
+  * are fully oracle-checked; all timestamp comparisons are exact
+  * integer µs (§2.5.3).
+  */
+object Analytics {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val DAY_US = 86400000000L
+
+  // ---- #104 q_funnel -----------------------------------------------------
+  // Ordered-step funnel: users whose first view is followed by a
+  // click within 24 h, then a purchase within 24 h of that click —
+  // strict temporal order, per-step windows. Each step is one
+  // filtered aggregation plus an equi-join on user_id to the previous
+  // step's frontier (the step table only SHRINKS, so later joins get
+  // cheaper); the final stage counts are three 1-row aggregates
+  // crossed together. At 100 TB: no window functions, no self-join of
+  // the raw stream against itself without a key — every join is
+  // user-keyed and every aggregation partial-merges map-side. This is
+  // the MATCH_RECOGNIZE-lite pattern every event warehouse needs.
+  val qFunnel: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, "user_id")
+      .filter(col("us") > col("t1") && col("us") <= col("t1") + DAY_US)
+      .groupBy(col("user_id")).agg(min(col("us")).as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, "user_id")
+      .filter(col("us") > col("t2") && col("us") <= col("t2") + DAY_US)
+      .groupBy(col("user_id")).agg(min(col("us")).as("t3"))
+    s1.agg(count(lit(1)).as("n_view"))
+      .crossJoin(s2.agg(count(lit(1)).as("n_view_click")))
+      .crossJoin(s3.agg(count(lit(1)).as("n_view_click_purchase")))
+  }
+
+  val qFunnelSql: String = EV +
+    """, s1 AS (
+      |  SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM e
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS (
+      |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
+      |  FROM e JOIN s1 ON e.user_id = s1.user_id
+      |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1
+      |    AND epoch_us(e.ts) <= s1.t1 + 86400000000 GROUP BY e.user_id),
+      |s3 AS (
+      |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3
+      |  FROM e JOIN s2 ON e.user_id = s2.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2
+      |    AND epoch_us(e.ts) <= s2.t2 + 86400000000 GROUP BY e.user_id)
+      |SELECT (SELECT COUNT(*) FROM s1) AS n_view,
+      |       (SELECT COUNT(*) FROM s2) AS n_view_click,
+      |       (SELECT COUNT(*) FROM s3) AS n_view_click_purchase""".stripMargin
+
+  // ---- #105 q_cohort_retention -------------------------------------------
+  // Cohort retention: users cohorted by FIRST-purchase date; for each
+  // cohort, how many were active (any event) exactly 7 days later.
+  // Shape: first-touch aggregation + a distinct (user, day) activity
+  // table + one user-keyed join, then two nested aggregations — all
+  // partial-mergeable, no windows. Day arithmetic stays in DATE type
+  // (integer days) so +7 is exact in both engines.
+  val qCohortRetention: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val firsts = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("cohort_date"))
+    val activity = ev.select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    firsts.join(activity, "user_id")
+      .groupBy(col("cohort_date"), col("user_id"))
+      .agg(max(when(col("d") === date_add(col("cohort_date"), 7), 1).otherwise(0))
+        .as("active_d7"))
+      .groupBy(col("cohort_date"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("active_d7")).cast("bigint").as("retained_d7"))
+      .orderBy("cohort_date")
+  }
+
+  val qCohortRetentionSql: String = EV +
+    """, firsts AS (
+      |  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_date FROM e
+      |  WHERE event_type = 'purchase' GROUP BY user_id),
+      |activity AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM e),
+      |ret AS (
+      |  SELECT f.cohort_date, f.user_id,
+      |         MAX(CASE WHEN a.d = f.cohort_date + INTERVAL 7 DAY THEN 1 ELSE 0 END) AS active_d7
+      |  FROM firsts f JOIN activity a ON a.user_id = f.user_id
+      |  GROUP BY 1, 2)
+      |SELECT cohort_date, COUNT(*) AS n_users,
+      |       CAST(SUM(active_d7) AS BIGINT) AS retained_d7
+      |FROM ret GROUP BY cohort_date ORDER BY cohort_date""".stripMargin
+
+  // ---- #106 q_win_distinct_count -----------------------------------------
+  // Running COUNT(DISTINCT) over a window — an operator neither
+  // engine supports natively in a window frame. Both sides use the
+  // same rewrite, so semantics (and results) are identical by
+  // construction: mark the FIRST occurrence of each (user, type) via
+  // a row_number over (user, type), then running-sum the markers over
+  // (user). Two window partitionings = two exchanges; at scale both
+  // hash only the user key's cardinality, and neither buffers
+  // per-row distinct state (the marker trick is O(1) memory per row
+  // vs a set-per-frame naive implementation).
+  val qWinDistinctCount: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+    val wFirst = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("us"), col("event_id"))
+    val wRun = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("first_of_type",
+        when(row_number().over(wFirst) === 1, 1).otherwise(0))
+      .select(col("user_id"), col("event_id"),
+        sum(col("first_of_type")).over(wRun).cast("bigint")
+          .as("distinct_types_so_far"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val qWinDistinctCountSql: String = EV +
+    """, m AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us,
+      |         CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+      |                ORDER BY epoch_us(ts), event_id) = 1 THEN 1 ELSE 0 END AS first_of_type
+      |  FROM e)
+      |SELECT user_id, event_id,
+      |       CAST(SUM(first_of_type) OVER (PARTITION BY user_id
+      |         ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS distinct_types_so_far
+      |FROM m ORDER BY user_id, event_id""".stripMargin
+
+  // ------------------------------------------------------------------------
+  val queries: Map[String, Q] = Map(
+    "q_funnel" -> qFunnel,
+    "q_cohort_retention" -> qCohortRetention,
+    "q_win_distinct_count" -> qWinDistinctCount,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_funnel" -> qFunnelSql,
+    "q_cohort_retention" -> qCohortRetentionSql,
+    "q_win_distinct_count" -> qWinDistinctCountSql,
+  )
+}
