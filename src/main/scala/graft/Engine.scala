@@ -31,6 +31,10 @@ object Engine {
       case t => spark.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(t)
     }
     FloatVecDot.register(spark)
+    // opt-in optimizer rewrite: range-only joins → binned equi-joins
+    // (fires only when spark.graft.rangeBin.width is set — see
+    // plans/RangeBinJoinRule)
+    graft.plans.RangeBinJoinRule.install(spark)
     // Misra–Gries frequent-items sketch as a SQL aggregate; capacity
     // fixed at registration (SQL aggregates can't take constructor
     // params per call) — register another name for other capacities.

@@ -1,0 +1,151 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types.{ArrayType, LongType}
+
+/** Optimizer rule: rewrite a range-ONLY inner join into the binned
+  * equi-join `api/RangeBinJoin` builds by hand — automatically.
+  *
+  * A join whose entire condition is `lo ⋚ v ⋚ hi` (value from one
+  * side, bounds from the other, no equality conjunct anywhere) gives
+  * the planner nothing to hash on, so Spark executes it as a
+  * BroadcastNestedLoopJoin — O(|L|·|R|), the first plan to die at
+  * scale. This rule detects exactly that shape and rewrites the
+  * LOGICAL plan: explode the bounds side into the fixed-width bins
+  * its interval overlaps, compute the value side's single bin, join
+  * on bin EQUALITY (hash-joinable, AQE-splittable, broadcastable),
+  * and keep the ORIGINAL condition as the residual filter — so the
+  * rewrite is correct for any strictness/openness of the bounds and
+  * any bin width.
+  *
+  * Deliberately opt-in and narrow (v1):
+  *  - fires only when `spark.graft.rangeBin.width` is set > 0 — bin
+  *    width is a units-of-the-data decision (15 min in µs, 1 day in
+  *    days…) the engine cannot guess without stats;
+  *  - only INNER joins whose condition is precisely one lower and
+  *    one upper bound on the same BIGINT value expression, each
+  *    bound referencing only the opposite side, everything
+  *    deterministic — anything else (an equi conjunct, extra
+  *    predicates, other types) is left for the normal planner;
+  *  - batch plans only (`isStreaming` guard): stream-stream joins
+  *    carry watermark state machinery this rewrite must not touch.
+  *
+  * Runs in the optimizer's user-provided batch (installed via
+  * `spark.experimental.extraOptimizations`, see [[install]]). The
+  * batch runs to fixed point; the rule cannot refire on its own
+  * output because the rewritten join contains a bin-equality
+  * conjunct, which the matcher rejects. Registered by `Engine.init`,
+  * so any user session gets the rewrite by setting one conf — the
+  * ExtrasSuite pins that the rewritten plan contains no nested-loop
+  * join and returns rows identical to the naive plan's.
+  */
+object RangeBinJoinRule extends Rule[LogicalPlan] {
+
+  val WIDTH_CONF = "spark.graft.rangeBin.width"
+
+  /** Idempotently add the rule to the session's optimizer. */
+  def install(spark: SparkSession): Unit = {
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.contains(RangeBinJoinRule))
+      spark.experimental.extraOptimizations = cur :+ RangeBinJoinRule
+  }
+
+  /** (value, bound) if `e` is a single comparison bounding a BIGINT
+    * value from `valSide` by an expression over `boundSide`; the
+    * Boolean is true for a LOWER bound on the value.
+    */
+  private def asBound(e: Expression, valSide: LogicalPlan, boundSide: LogicalPlan)
+      : Option[(Expression, Expression, Boolean)] = {
+    def oriented(v: Expression, b: Expression, lower: Boolean) =
+      if (v.dataType == LongType && b.dataType == LongType &&
+          v.deterministic && b.deterministic &&
+          v.references.nonEmpty && v.references.subsetOf(valSide.outputSet) &&
+          b.references.nonEmpty && b.references.subsetOf(boundSide.outputSet))
+        Some((v, b, lower))
+      else None
+    e match {
+      case GreaterThan(a, b)        => oriented(a, b, lower = true).orElse(oriented(b, a, lower = false))
+      case GreaterThanOrEqual(a, b) => oriented(a, b, lower = true).orElse(oriented(b, a, lower = false))
+      case LessThan(a, b)           => oriented(a, b, lower = false).orElse(oriented(b, a, lower = true))
+      case LessThanOrEqual(a, b)    => oriented(a, b, lower = false).orElse(oriented(b, a, lower = true))
+      case _ => None
+    }
+  }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(a, b) => splitConjuncts(a) ++ splitConjuncts(b)
+    case other => Seq(other)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val width = SQLConf.get.getConfString(WIDTH_CONF, "0").toLong
+    if (width <= 0) return plan
+    plan.transformUp {
+      case j @ Join(left, right, Inner, Some(cond), _)
+          if !j.isStreaming && j.resolved =>
+        rewrite(j, left, right, cond, width).getOrElse(j)
+    }
+  }
+
+  /** (value, lo, hi) if the two conjuncts form one lower + one upper
+    * bound on the SAME value expression under this side assignment.
+    * Each orientation must validate FULLY before being chosen: a
+    * single conjunct `v > lo` reads as "v bounded below" in one
+    * assignment and "lo bounded above" in the other, and only the
+    * cross-conjunct same-value check can tell which reading is real.
+    */
+  private def matchRange(conjuncts: Seq[Expression], valSide: LogicalPlan,
+                         boundsSide: LogicalPlan)
+      : Option[(Expression, Expression, Expression)] =
+    (asBound(conjuncts(0), valSide, boundsSide),
+      asBound(conjuncts(1), valSide, boundsSide)) match {
+      case (Some((vx, bx, xLower)), Some((vy, by, yLower)))
+          if xLower != yLower && vx.semanticEquals(vy) =>
+        val (lo, hi) = if (xLower) (bx, by) else (by, bx)
+        Some((vx, lo, hi))
+      case _ => None
+    }
+
+  private def rewrite(j: Join, left: LogicalPlan, right: LogicalPlan,
+                      cond: Expression, width: Long): Option[LogicalPlan] = {
+    val conjuncts = splitConjuncts(cond)
+    if (conjuncts.length != 2) return None
+    val (boundsSide, valSide, vx, lo, hi) =
+      matchRange(conjuncts, right, left) match {
+        case Some((v, l, h)) => (left, right, v, l, h) // explode left
+        case None => matchRange(conjuncts, left, right) match {
+          case Some((v, l, h)) => (right, left, v, l, h) // explode right
+          case None => return None
+        }
+      }
+
+    val w = Literal(width, LongType)
+    def binOf(e: Expression) = IntegralDivide(e, w)
+    val loBin = binOf(lo)
+    val hiBin = binOf(hi)
+    // empty interval (lo > hi) must yield zero bins, not a Sequence
+    // error: Sequence with step 1 requires start <= stop
+    val bins = If(LessThanOrEqual(loBin, hiBin),
+      Sequence(loBin, hiBin, Some(Literal(1L, LongType)), None)
+        .withTimeZone(SQLConf.get.sessionLocalTimeZone),
+      Literal.create(Array.empty[Long], ArrayType(LongType, containsNull = false)))
+    val binAttr = AttributeReference("_graft_bin", LongType, nullable = false)()
+    val exploded = Generate(Explode(bins), unrequiredChildIndex = Nil,
+      outer = false, qualifier = None, generatorOutput = Seq(binAttr),
+      child = boundsSide)
+
+    val vbinAlias = Alias(binOf(vx), "_graft_vbin")()
+    val projected = Project(valSide.output :+ vbinAlias, valSide)
+
+    // physically (exploded bounds) ⋈ (projected value side); the final
+    // Project restores the ORIGINAL join's output order either way
+    val newJoin = Join(exploded, projected, Inner,
+      Some(And(EqualTo(binAttr, vbinAlias.toAttribute), cond)), JoinHint.NONE)
+    Some(Project(j.output, newJoin))
+  }
+}

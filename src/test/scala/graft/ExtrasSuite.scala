@@ -373,6 +373,59 @@ class ExtrasSuite extends GraftSuite {
       "interval must be open at lo, closed at hi")
   }
 
+  test("RangeBinJoinRule: range-only joins auto-rewrite to binned equi-joins when the width conf is set") {
+    // The optimizer-rule version of the regimes test above: with
+    // spark.graft.rangeBin.width set, a user writing the NAIVE
+    // declarative range join gets the binned plan automatically (the
+    // engine contract: declare semantics, engine picks the scale
+    // plan). Also pins the rule's guard rails: off without the conf,
+    // hands-off on joins with an equi conjunct, both orientations,
+    // and empty intervals.
+    graft.plans.RangeBinJoinRule.install(spark)
+    val sess = spark; import sess.implicits._
+    val left = spark.range(0, 2000).select(
+      $"id".as("lid"), ($"id" * 37L % 100000L).as("lo"))
+      .withColumn("hi", $"lo" + 500L)
+    val right = spark.range(0, 3000).select(
+      $"id".as("rid"), ($"id" * 61L % 100000L).as("v"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def planOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.toString
+
+    spark.conf.unset(graft.plans.RangeBinJoinRule.WIDTH_CONF)
+    val naive = left.join(right, $"v" > $"lo" && $"v" <= $"hi")
+    assert(planOf(naive).contains("BroadcastNestedLoopJoin"),
+      "without the conf the rule must not fire")
+    val truth = rows(naive)
+
+    try {
+      spark.conf.set(graft.plans.RangeBinJoinRule.WIDTH_CONF, "500")
+      val auto = left.join(right, $"v" > $"lo" && $"v" <= $"hi")
+      val p = planOf(auto)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"rule must remove the nested loop:\n$p")
+      assert(rows(auto) == truth, "rewrite must be result-identical")
+
+      // mirrored orientation: value side on the left of the join
+      val mirrored = right.join(left, $"v" > $"lo" && $"v" <= $"hi")
+      assert(!planOf(mirrored).contains("BroadcastNestedLoopJoin"),
+        "bounds-on-right orientation must also rewrite")
+      assert(rows(mirrored) == truth)
+
+      // an equi conjunct means the planner already has a hash key —
+      // the rule must stay hands-off
+      val equi = left.join(right, $"lid" === $"rid" && $"v" <= $"hi")
+      assert(!planOf(equi).contains("_graft_bin"),
+        "equi-keyed joins must not be rewritten")
+
+      // empty intervals (lo > hi) must yield zero rows, not a
+      // Sequence error from the bin enumeration
+      val el = Seq((1L, 300L, 200L)).toDF("lid", "lo", "hi")
+      assert(el.join(right, $"v" > $"lo" && $"v" <= $"hi").count() == 0)
+    } finally spark.conf.unset(graft.plans.RangeBinJoinRule.WIDTH_CONF)
+  }
+
   test("q_dedup_clusters (#103): a valid partition of the pair graph into min-labeled components") {
     val pairs = graft.queries.MinHashDf.qDedupMinhashDf(spark, sf0001)
       .select("doc_a", "doc_b").collect()
