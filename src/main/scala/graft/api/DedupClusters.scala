@@ -52,10 +52,18 @@ object DedupClusters {
     * by GC once unreferenced.
     */
   def assign(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
-    val edges = pairs
-      .select(col("doc_a").cast("long").as("src"), col("doc_b").cast("long").as("dst"))
-      .unionByName(pairs
-        .select(col("doc_b").cast("long").as("src"), col("doc_a").cast("long").as("dst")))
+    // materialize the input ONCE before symmetrizing: the union below
+    // reads its input twice, and `pairs` is typically the full
+    // upstream dedup pipeline (shingle → minhash → band join) —
+    // without this, that whole pipeline executes twice just to build
+    // the edge list (measured ~2× the pipeline cost on q_dedup_clusters)
+    val p = pairs
+      .select(col("doc_a").cast("long").as("doc_a"), col("doc_b").cast("long").as("doc_b"))
+      .localCheckpoint(true)
+    val edges = p
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(p
+        .select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
       .cache()
     // localCheckpoint like every later round's table: labels is then
