@@ -140,16 +140,97 @@ object Analytics {
       |         ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS distinct_types_so_far
       |FROM m ORDER BY user_id, event_id""".stripMargin
 
+  // ---- #107 q_profile_table ----------------------------------------------
+  // Data profiling (the ANALYZE/Deequ shape): per-column null count +
+  // exact distinct count over orders, in ONE pass — a single
+  // aggregation computes all 12 measures (Catalyst's expand handles
+  // the multi-distinct), then `stack` unpivots to one row per column.
+  // At scale this is the profiling scan you run after every ingest;
+  // the multi-distinct expand is the textbook plan (one shuffle per
+  // distinct column group, partial-merged).
+  private val PROFILE_COLS = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority")
+
+  val qProfileTable: Q = (s, dir) => {
+    val aggs = PROFILE_COLS.flatMap(c => Seq(
+      sum(col(c).isNull.cast("long")).as(s"nn_$c"),
+      countDistinct(col(c)).as(s"nd_$c")))
+    val stackArgs = PROFILE_COLS.map(c => s"'$c', nn_$c, nd_$c").mkString(", ")
+    Tables.orders(s, dir)
+      .agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${PROFILE_COLS.length}, $stackArgs) " +
+        "AS (column_name, n_nulls, n_distinct)")
+      .orderBy("column_name")
+  }
+
+  val qProfileTableSql: String =
+    PROFILE_COLS.map(c =>
+      s"SELECT '$c' AS column_name, COUNT(*) - COUNT($c) AS n_nulls, " +
+        s"COUNT(DISTINCT $c) AS n_distinct FROM orders")
+      .mkString("\nUNION ALL ") + "\nORDER BY column_name"
+
+  // ---- #108 q_twap -------------------------------------------------------
+  // Time-weighted average of `value` per (user, day) — the
+  // metrics/finance aggregate where each reading is weighted by how
+  // long it was current. Weight = whole seconds until the user's next
+  // same-day event (the day's last reading carries no interval and
+  // drops out — stated contract). Determinism (§2.5.1/2): value
+  // rounds to decimal(18,2), dt is integer seconds, so the weighted
+  // sum is EXACT decimal arithmetic in both engines; the single
+  // double division + round(6) happens once at the edge in a fixed
+  // expression. One window partitioning (user, day) feeds one
+  // aggregation on the same keys — a single exchange.
+  val qTwap: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id"), col("d"))
+      .orderBy(col("us"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), to_date(col("ts")).as("d"),
+        unix_micros(col("ts")).as("us"),
+        round(col("value"), 2).cast("decimal(18,2)").as("v"))
+      .withColumn("next_us", lead(col("us"), 1).over(w))
+      .filter(col("next_us").isNotNull)
+      .withColumn("dt", expr("(next_us - us) div 1000000"))
+      .groupBy(col("user_id"), col("d"))
+      .agg(
+        round(sum(col("v") * col("dt")).cast("double") /
+          sum(col("dt")).cast("double"), 6).as("twap"),
+        sum(col("dt")).cast("bigint").as("total_secs"))
+      .filter(col("total_secs") > 0)
+      .orderBy("user_id", "d")
+  }
+
+  val qTwapSql: String = EV +
+    """, t AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS d, epoch_us(ts) AS us,
+      |         CAST(ROUND(value, 2) AS DECIMAL(18,2)) AS v,
+      |         LEAD(epoch_us(ts)) OVER (PARTITION BY user_id, CAST(ts AS DATE)
+      |           ORDER BY epoch_us(ts), event_id) AS next_us
+      |  FROM e),
+      |w AS (
+      |  SELECT user_id, d, v, (next_us - us) // 1000000 AS dt
+      |  FROM t WHERE next_us IS NOT NULL)
+      |SELECT user_id, d,
+      |       ROUND(CAST(SUM(v * dt) AS DOUBLE) / CAST(SUM(dt) AS DOUBLE), 6) AS twap,
+      |       CAST(SUM(dt) AS BIGINT) AS total_secs
+      |FROM w
+      |GROUP BY user_id, d
+      |HAVING SUM(dt) > 0
+      |ORDER BY user_id, d""".stripMargin
+
   // ------------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "q_funnel" -> qFunnel,
     "q_cohort_retention" -> qCohortRetention,
     "q_win_distinct_count" -> qWinDistinctCount,
+    "q_profile_table" -> qProfileTable,
+    "q_twap" -> qTwap,
   )
 
   val oracleSql: Map[String, String] = Map(
     "q_funnel" -> qFunnelSql,
     "q_cohort_retention" -> qCohortRetentionSql,
     "q_win_distinct_count" -> qWinDistinctCountSql,
+    "q_profile_table" -> qProfileTableSql,
+    "q_twap" -> qTwapSql,
   )
 }
