@@ -36,7 +36,13 @@ object SearchDedup {
     val tfCols = BM25_TERMS.map(t =>
       sum(when(col("term") === t, 1L).otherwise(0L)).as(s"tf_$t")) :+
       count(lit(1)).as("dl")
+    // cached: perDoc is |docs| rows (tiny vs the corpus) and feeds both
+    // the global df/avgdl reduction and the scoring join — caching makes
+    // the corpus genuinely single-pass (exchange reuse doesn't fire
+    // across the differing consumer subtrees under AQE; same recipe as
+    // q_text_tfidf, and the PlanSuite scan-count pin enforces it)
     val perDoc = words.groupBy(col("doc_id")).agg(tfCols.head, tfCols.tail: _*)
+      .cache()
     val globCols = BM25_TERMS.map(t =>
       sum(when(col(s"tf_$t") > 0, 1).otherwise(0)).cast("double").as(s"df_$t")) ++ Seq(
       count(lit(1)).cast("double").as("n_docs"),

@@ -230,6 +230,30 @@ class PlanSuite extends GraftSuite {
     assert("Window".r.findAllIn(p).size >= 1, p)
   }
 
+  test("q_join_range_binned (#101): no nested-loop join — the bin rewrite keeps the plan hash-joinable") {
+    val p = plan(queries.Relational3.qJoinRangeBinned(spark, sf0001))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"pure interval join must execute as a binned equi-join:\n$p")
+    assert(p.contains("Generate explode"),
+      s"expected the interval side's bin explode in the plan:\n$p")
+  }
+
+  test("q_text_bm25 (#102): top-10 via TakeOrderedAndProject; documents scanned once") {
+    val df = queries.SearchDedup.qTextBm25(spark, sf0001)
+    val p = plan(df)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"global top-10 must not be a full sort:\n$p")
+    // "one corpus pass": the per-doc table must be CACHED so the
+    // global-stats branch reads the cache instead of re-scanning the
+    // corpus (exchange reuse doesn't fire across the differing
+    // consumer subtrees — same recipe as q_text_tfidf). The plan
+    // STRING still prints the parquet scan under each
+    // InMemoryTableScan, so assert the cache node, not scan count.
+    val exec = df.queryExecution.executedPlan.toString
+    assert(exec.contains("InMemoryTableScan") || exec.contains("ReusedExchange"),
+      s"per-doc table must be cached (one corpus materialization):\n$exec")
+  }
+
   test("pq_adc: codegen'd in-stage, unsigned byte mask correct") {
     import org.apache.spark.sql.functions._
     graft.functions.PqAdc.register(spark)
