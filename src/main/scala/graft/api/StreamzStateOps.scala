@@ -440,4 +440,121 @@ object StreamzStateOps {
       out.iterator
     }
   }
+
+  // not private: Catalyst's generated (de)serializers must access them
+  case class FunnelEvt(user: Long, step: Int, ts: java.sql.Timestamp)
+  case class FunnelStatus(user: Long, t1: Option[Long],
+      t2: Option[Long], t3: Option[Long])
+
+  /** STREAMING ordered-step funnel — the live version of batch
+    * `q_funnel` (#104): per user, t1 = min ts of step-1 events,
+    * t2 = min step-2 ts in (t1, t1+H], t3 = min step-3 ts in
+    * (t2, t2+H]. Emits the user's current (t1, t2, t3) status (epoch
+    * µs, None = stage not reached) every micro-batch the user is
+    * active in (Update semantics).
+    *
+    * Exactness under out-of-order arrival is what makes a streaming
+    * funnel hard: a late, EARLIER step-1 event lowers t1, which can
+    * make previously ineligible step-2 events eligible — so candidate
+    * events must be retained, not just running minima. State per
+    * user = minT1 scalar + the step-2/step-3 candidate lists, kept
+    * EXACTLY as long as they could still matter:
+    *  - a step-2 time c is gone for good once c > t1 + H (t1 only
+    *    ever decreases, so the window never moves up past c), or once
+    *    c ≤ min(t1, watermark) (eligibility needs c > t1_final, and
+    *    t1_final ≥ min(current t1, watermark floor) because any
+    *    future step-1 arrival below the watermark is dropped by the
+    *    engine);
+    *  - a step-3 time p bounds the same way against t1 + 2H (t2 ≤
+    *    t1 + H always) and min(t1, watermark).
+    * So per-user state is bounded by the events inside a 2H horizon —
+    * the same bound a watermarked stream-stream interval join holds —
+    * and is exact for any arrival order the watermark admits. The
+    * caller must set `withWatermark` on `tsCol` upstream (EventTime
+    * mode reads the watermark; with no watermark the floor is 0 and
+    * nothing lower-evicts — still correct, just unbounded for
+    * pathological out-of-order feeds).
+    *
+    * The StreamingSuite equivalence test delivers the events fixture
+    * across micro-batches and checks the final per-user statuses
+    * reproduce batch q_funnel's stage counts exactly.
+    */
+  def funnelStream(df: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String], horizonUs: Long): DataFrame = {
+    require(steps.length == 3, s"exactly 3 funnel steps (got ${steps.length})")
+    require(horizonUs > 0, s"step horizon must be > 0 (got $horizonUs)")
+    implicit val inEnc = Encoders.product[FunnelEvt]
+    implicit val outEnc = Encoders.product[FunnelStatus]
+    implicit val keyEnc = Encoders.scalaLong
+    val stepNo = when(col(typeCol) === steps(0), 1)
+      .when(col(typeCol) === steps(1), 2)
+      .when(col(typeCol) === steps(2), 3)
+    val typed: Dataset[FunnelEvt] = df
+      .filter(stepNo.isNotNull)
+      .select(col(userCol).cast("long").as("user"), stepNo.as("step"),
+        // no cast: a cast would mint a fresh attribute WITHOUT the
+        // upstream watermark tag EventTime mode needs
+        col(tsCol).as("ts"))
+      .as[FunnelEvt]
+    typed.groupByKey(_.user)
+      .transformWithState(new FunnelProcessor(horizonUs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Update())
+      .toDF("user", "t1", "t2", "t3")
+  }
+
+  /** [[funnelStream]]'s state machine: minT1 in a ValueState slot,
+    * step-2/3 candidate times in ListState slots, re-derive
+    * (t1, t2, t3) from scratch per batch (candidate lists are
+    * 2H-horizon-bounded, so the recompute is O(events in horizon)). */
+  class FunnelProcessor(horizonUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, FunnelEvt, FunnelStatus] {
+    @transient private var minT1:
+      org.apache.spark.sql.streaming.ValueState[Long] = _
+    @transient private var step2:
+      org.apache.spark.sql.streaming.ListState[Long] = _
+    @transient private var step3:
+      org.apache.spark.sql.streaming.ListState[Long] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      val ttl = org.apache.spark.sql.streaming.TTLConfig.NONE
+      minT1 = getHandle.getValueState[Long]("minT1", Encoders.scalaLong, ttl)
+      step2 = getHandle.getListState[Long]("step2", Encoders.scalaLong, ttl)
+      step3 = getHandle.getListState[Long]("step3", Encoders.scalaLong, ttl)
+    }
+    private def us(t: java.sql.Timestamp): Long = {
+      val i = t.toInstant // getTime is ms-truncated; keep µs exact
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    override def handleInputRows(user: Long, rows: Iterator[FunnelEvt],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[FunnelStatus] = {
+      val wmUs = tv.getCurrentWatermarkInMs() * 1000L
+      var t1 = if (minT1.exists()) minT1.get() else Long.MaxValue
+      val n2 = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val n3 = scala.collection.mutable.ArrayBuffer.empty[Long]
+      rows.foreach { e =>
+        val u = us(e.ts)
+        e.step match {
+          case 1 => if (u < t1) t1 = u
+          case 2 => n2 += u
+          case 3 => n3 += u
+        }
+      }
+      if (t1 != Long.MaxValue) minT1.update(t1)
+      val floor = math.min(t1, wmUs)
+      val c2 = (step2.get().toSeq ++ n2).distinct
+        .filter(c => c > floor && (t1 == Long.MaxValue || c <= t1 + horizonUs))
+        .sorted
+      val c3 = (step3.get().toSeq ++ n3).distinct
+        .filter(p => p > floor && (t1 == Long.MaxValue || p <= t1 + 2 * horizonUs))
+        .sorted
+      val t2 = if (t1 == Long.MaxValue) None
+        else c2.find(c => c > t1 && c <= t1 + horizonUs)
+      val t3 = t2.flatMap(t => c3.find(p => p > t && p <= t + horizonUs))
+      // the store rejects empty list writes — clear() is the empty put
+      if (c2.nonEmpty) step2.put(c2.toArray) else step2.clear()
+      if (c3.nonEmpty) step3.put(c3.toArray) else step3.clear()
+      Iterator.single(FunnelStatus(user,
+        if (t1 == Long.MaxValue) None else Some(t1), t2, t3))
+    }
+  }
 }

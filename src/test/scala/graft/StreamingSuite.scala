@@ -967,4 +967,102 @@ class StreamingSuite extends GraftSuite {
     assert(text()(500L).endsWith("revD"),
       "resuming the same checkpoint must keep ordering monotonic")
   }
+
+  test("funnelStream: streaming ordered-step funnel == batch q_funnel, across batches and a restart") {
+    withRocksDb {
+      val sess = spark
+      import sess.implicits._
+      implicit val sqlCtx = sess.sqlContext
+      // deliver the whole fixture in event-time order over 3 batches
+      // with a restart in between — the streaming statuses must land
+      // on exactly batch q_funnel's stage counts
+      val ev = Tables.events(spark, sf0001)
+        .filter(col("event_type").isin("view", "click", "purchase"))
+        .select(col("user_id").cast("long"), col("event_type"), col("ts"))
+        .orderBy("ts")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2)))
+      val n = ev.length
+      val chunks = Seq(ev.slice(0, n / 3), ev.slice(n / 3, 2 * n / 3),
+        ev.slice(2 * n / 3, n))
+      val cp = java.nio.file.Files.createTempDirectory("funnel_tws_cp").toString
+      val latest = scala.collection.concurrent.TrieMap
+        .empty[Long, (Option[Long], Option[Long], Option[Long])]
+      def optLong(r: org.apache.spark.sql.Row, i: Int): Option[Long] =
+        if (r.isNullAt(i)) None else Some(r.getLong(i))
+      val ms = MemoryStream[(Long, String, Timestamp)]
+      def start() = graft.api.StreamzStateOps.funnelStream(
+          ms.toDF().toDF("user_id", "event_type", "ts")
+            .withWatermark("ts", "1 hour"),
+          "user_id", "event_type", "ts",
+          Seq("view", "click", "purchase"), horizonUs = 86400000000L)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.ProcessingTime(0))
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.collect().foreach { r =>
+            latest(r.getLong(0)) = (optLong(r, 1), optLong(r, 2), optLong(r, 3))
+          }
+          ()
+        }.start()
+      val q1 = start()
+      ms.addData(chunks(0).toSeq: _*); q1.processAllAvailable()
+      ms.addData(chunks(1).toSeq: _*); q1.processAllAvailable()
+      q1.stop() // candidate lists + minT1 survive only via the checkpoint
+      val q2 = start()
+      ms.addData(chunks(2).toSeq: _*); q2.processAllAvailable()
+      q2.stop()
+      val got = (latest.values.count(_._1.isDefined).toLong,
+        latest.values.count(_._2.isDefined).toLong,
+        latest.values.count(_._3.isDefined).toLong)
+      val b = graft.queries.Analytics.qFunnel(spark, sf0001).collect()(0)
+      val want = (b.getLong(0), b.getLong(1), b.getLong(2))
+      assert(got == want, s"streaming funnel counts $got != batch $want")
+      assert(got._1 > got._2 && got._2 > got._3 && got._3 > 0,
+        s"fixture should produce a strict funnel gradient, got $got")
+    }
+  }
+
+  test("funnelStream: a late, earlier step-1 re-qualifies a RETAINED step-2 candidate") {
+    // The case that makes streaming funnels need candidate retention
+    // instead of running minima: a click that is ineligible under the
+    // current t1 (it precedes it) must come back when a late view
+    // lowers t1 below it.
+    withRocksDb {
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx = sess.sqlContext
+    def usOf(s: String): Long = ts(s).toInstant.getEpochSecond * 1000000L
+    val ms = MemoryStream[(Long, String, Timestamp)]
+    val out = graft.api.StreamzStateOps.funnelStream(
+      ms.toDF().toDF("user_id", "event_type", "ts")
+        .withWatermark("ts", "24 hours"),
+      "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"), horizonUs = 86400000000L)
+    val q = out.writeStream.format("memory").queryName("funnel_ooo")
+      .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
+    def last(): (Option[Long], Option[Long], Option[Long]) = {
+      // Update mode appends one status row per batch the user is in;
+      // in-test we track definedness monotonically via the latest row
+      val rows = spark.table("funnel_ooo").collect()
+      val r = rows.last
+      def o(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
+      (o(1), o(2), o(3))
+    }
+    try {
+      ms.addData((1L, "click", ts("2024-01-01 10:00:00")),
+        (1L, "view", ts("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      assert(last() == (Some(usOf("2024-01-01 12:00:00")), None, None),
+        "click precedes t1 — funnel must be stuck at stage 1")
+      // late view 3h earlier: t1 drops, the retained click qualifies,
+      // and the purchase completes the funnel in the same batch
+      ms.addData((1L, "view", ts("2024-01-01 09:00:00")),
+        (1L, "purchase", ts("2024-01-01 11:00:00")))
+      q.processAllAvailable()
+      assert(last() == (Some(usOf("2024-01-01 09:00:00")),
+        Some(usOf("2024-01-01 10:00:00")), Some(usOf("2024-01-01 11:00:00"))),
+        "late earlier view must re-qualify the click and complete the funnel")
+    } finally q.stop()
+    }
+  }
 }
