@@ -151,17 +151,8 @@ object Analytics {
   private val PROFILE_COLS = Seq("o_orderkey", "o_custkey", "o_orderstatus",
     "o_totalprice", "o_orderdate", "o_orderpriority")
 
-  val qProfileTable: Q = (s, dir) => {
-    val aggs = PROFILE_COLS.flatMap(c => Seq(
-      sum(col(c).isNull.cast("long")).as(s"nn_$c"),
-      countDistinct(col(c)).as(s"nd_$c")))
-    val stackArgs = PROFILE_COLS.map(c => s"'$c', nn_$c, nd_$c").mkString(", ")
-    Tables.orders(s, dir)
-      .agg(aggs.head, aggs.tail: _*)
-      .selectExpr(s"stack(${PROFILE_COLS.length}, $stackArgs) " +
-        "AS (column_name, n_nulls, n_distinct)")
-      .orderBy("column_name")
-  }
+  val qProfileTable: Q = (s, dir) =>
+    graft.api.Profiling.profile(Tables.orders(s, dir), PROFILE_COLS, exact = true)
 
   val qProfileTableSql: String =
     PROFILE_COLS.map(c =>

@@ -30,10 +30,18 @@ object SearchDedup {
   // doc_id.
   private val BM25_TERMS = Seq("hash", "join", "merge")
 
-  val qTextBm25: Q = (s, dir) => {
+  val qTextBm25: Q = (s, dir) => bm25(s, dir, BM25_TERMS, k = 10)
+
+  /** Parameterized BM25: top-`k` docs for any fixed `terms` set — the
+    * library surface behind the pinned-literal oracle row (#102).
+    * Terms must be plain word tokens (they are inlined into column
+    * names and equality filters, not regexes).
+    */
+  def bm25(s: SparkSession, dir: String, terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty && k > 0, s"need terms and k > 0 (got $terms, $k)")
     val words = Tables.documents(s, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-    val tfCols = BM25_TERMS.map(t =>
+    val tfCols = terms.map(t =>
       sum(when(col("term") === t, 1L).otherwise(0L)).as(s"tf_$t")) :+
       count(lit(1)).as("dl")
     // cached: perDoc is |docs| rows (tiny vs the corpus) and feeds both
@@ -43,23 +51,23 @@ object SearchDedup {
     // q_text_tfidf, and the PlanSuite scan-count pin enforces it)
     val perDoc = words.groupBy(col("doc_id")).agg(tfCols.head, tfCols.tail: _*)
       .cache()
-    val globCols = BM25_TERMS.map(t =>
+    val globCols = terms.map(t =>
       sum(when(col(s"tf_$t") > 0, 1).otherwise(0)).cast("double").as(s"df_$t")) ++ Seq(
       count(lit(1)).cast("double").as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
     val glob = perDoc.agg(globCols.head, globCols.tail: _*)
     // per-term BM25 contribution, arithmetic shaped EXACTLY like the
     // oracle SQL (left-assoc *, / — same evaluation order bit-for-bit)
-    def bm25(t: String): Column =
+    def termScore(t: String): Column =
       log((col("n_docs") - col(s"df_$t") + lit(0.5)) / (col(s"df_$t") + lit(0.5)) + lit(1.0)) *
         (col(s"tf_$t").cast("double") * lit(2.2)) /
         (col(s"tf_$t").cast("double") +
           lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl"))))
     perDoc.crossJoin(broadcast(glob))
       .select(col("doc_id"),
-        round(BM25_TERMS.map(bm25).reduceLeft(_ + _), 6).as("score"))
+        round(terms.map(termScore).reduceLeft(_ + _), 6).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
-      .limit(10)
+      .limit(k)
   }
 
   val qTextBm25Sql: String = {

@@ -449,6 +449,31 @@ class ExtrasSuite extends GraftSuite {
         "if not, the oracle's recursive closure is untested beyond pairs")
   }
 
+  test("Profiling.profile: approx mode matches exact shape with HLL rel-err <= 5%; no expand in the plan") {
+    val orders = Tables.orders(spark, sf0001)
+    val exact = graft.api.Profiling.profile(orders).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val approxDf = graft.api.Profiling.profile(orders, exact = false)
+    val approx = approxDf.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(exact.map(_._1).toSeq == approx.map(_._1).toSeq, "same column rows")
+    exact.zip(approx).foreach { case ((c, nnE, ndE), (_, nnA, ndA)) =>
+      assert(nnE == nnA, s"$c: null counts are exact in both modes")
+      assert(math.abs(ndA - ndE).toDouble / math.max(ndE, 1L) <= 0.05,
+        s"$c: approx distinct $ndA vs exact $ndE beyond 5%")
+    }
+    // the point of approx mode at scale: ONE ordinary aggregate — no
+    // multi-distinct Expand multiplying the scan by #columns
+    val p = approxDf.queryExecution.executedPlan.toString
+    assert(!p.contains("Expand"),
+      s"approx profile must not need the multi-distinct expand:\n$p")
+    assert(plan(graft.api.Profiling.profile(orders)).contains("Expand"),
+      "premise: the exact mode does use the expand")
+  }
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.sparkPlan.toString
+
   test("q_text_bm25 (#102): top-10, descending rounded scores, multi-term ranking sane") {
     val rows = graft.queries.SearchDedup.qTextBm25(spark, sf0001).collect()
     assert(rows.length == 10)
