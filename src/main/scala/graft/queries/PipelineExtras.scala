@@ -99,7 +99,40 @@ object PipelineExtras {
   /** Core pipeline over any (doc_id, text) frame — factored out so
     * tests can plant boilerplate clusters the fixture lacks.
     */
-  private[graft] def ngramJaccardPairs(docs: DataFrame): DataFrame = {
+  private[graft] def ngramJaccardPairs(docs: DataFrame): DataFrame =
+    ngramPairsScored(docs,
+      ubKeep = (ub, sa, sb) =>
+        ub.cast("double") / (sa + sb - ub).cast("double")
+          >= lit(NGRAM_JACCARD_MIN - 1e-6),
+      finalScore = (inter, sa, sb) =>
+        round(inter.cast("double") / (sa + sb - inter).cast("double"), 6),
+      finalMin = NGRAM_JACCARD_MIN, scoreName = "jaccard")
+
+  /** CONTAINMENT variant: score = |A∩B| / min(|A|, |B|) — detects a
+    * small doc living INSIDE a big one (quotes, boilerplate wrappers,
+    * subset duplication), which Jaccard structurally misses: a
+    * 100-shingle doc fully contained in a 2000-shingle doc has
+    * containment 1.0 but Jaccard 0.05. Same candidate indexes, same
+    * exact-upper-bound prune (the intersection bound is score-
+    * agnostic; only the denominator changes, and it is exact), same
+    * survivor-only recount. ExtrasSuite plants exactly the
+    * quote-inclusion case and pins that containment reports it while
+    * the Jaccard pipeline (correctly) does not.
+    */
+  val NGRAM_CONTAIN_MIN = 0.8
+  private[graft] def ngramContainmentPairs(docs: DataFrame): DataFrame =
+    ngramPairsScored(docs,
+      ubKeep = (ub, sa, sb) =>
+        ub.cast("double") / least(sa, sb).cast("double")
+          >= lit(NGRAM_CONTAIN_MIN - 1e-6),
+      finalScore = (inter, sa, sb) =>
+        round(inter.cast("double") / least(sa, sb).cast("double"), 6),
+      finalMin = NGRAM_CONTAIN_MIN, scoreName = "containment")
+
+  private[graft] def ngramPairsScored(docs: DataFrame,
+      ubKeep: (Column, Column, Column) => Column,
+      finalScore: (Column, Column, Column) => Column,
+      finalMin: Double, scoreName: String): DataFrame = {
     // per-doc distinct via array_distinct BEFORE the explode: the
     // shingle set is defined per doc, so deduping inside the row is
     // exactly distinct-on-(doc_id, sh) — minus the full shuffle a
@@ -168,8 +201,7 @@ object PipelineExtras {
       .join(stats.select(col("doc_id").as("doc_b"), col("sz").as("sb"), col("rz").as("rb")), "doc_b")
     val ub = col("inter_r") + least(col("sa") - col("ra"), col("sb") - col("rb"))
     val survivors = withStats
-      .filter(ub.cast("double") / (col("sa") + col("sb") - ub).cast("double")
-        >= lit(NGRAM_JACCARD_MIN - 1e-6))
+      .filter(ubKeep(ub, col("sa"), col("sb")))
       .select(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
       .cache() // scanned 3× (both survIds union branches + recount join); tiny
     // Recount reads ONLY survivor docs' postings: the pa/pb join keys
@@ -192,9 +224,8 @@ object PipelineExtras {
       .agg(count(lit(1)).as("inter"))
     exact
       .select(col("doc_a"), col("doc_b"),
-        round(col("inter").cast("double") /
-          (col("sa") + col("sb") - col("inter")).cast("double"), 6).as("jaccard"))
-      .filter(col("jaccard") >= NGRAM_JACCARD_MIN)
+        finalScore(col("inter"), col("sa"), col("sb")).as(scoreName))
+      .filter(col(scoreName) >= finalMin)
       .orderBy("doc_a", "doc_b")
   }
 

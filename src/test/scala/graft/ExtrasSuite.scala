@@ -330,6 +330,31 @@ class ExtrasSuite extends GraftSuite {
     }
   }
 
+  test("ngramContainmentPairs: finds a quote fully contained in a long doc that Jaccard (correctly) misses") {
+    val sess = spark; import sess.implicits._
+    // plant the case the fixture lacks: doc 9001 is a 30-word fragment
+    // of doc 9000's 300-word text — containment 1.0, Jaccard ≈ 0.09
+    val words = (1 to 300).map(i => s"w${i * 7 % 211}x$i")
+    val big = words.mkString(" ")
+    val quote = words.slice(100, 130).mkString(" ")
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+      .unionByName(Seq((9000L, big), (9001L, quote)).toDF("doc_id", "text"))
+    val cont = graft.queries.PipelineExtras.ngramContainmentPairs(docs).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(cont.get((9000L, 9001L)).contains(1.0),
+      s"planted quote must be reported at containment 1.0; got ${cont.get((9000L, 9001L))}")
+    val jac = graft.queries.PipelineExtras.ngramJaccardPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jac.contains((9000L, 9001L)),
+      "the size-mismatched pair must be invisible to Jaccard — that gap is why containment exists")
+    // and the refactor must not have changed the jaccard pipeline: the
+    // fixture's own near-dup pairs still come out of both scorers
+    // (full dups have containment 1.0 ≥ 0.8 and jaccard ≥ 0.2)
+    val fixturePairs = jac.filter { case (a, b) => a < 9000 && b < 9000 }
+    assert(fixturePairs.nonEmpty && fixturePairs.forall(p => cont.contains(p)),
+      "fixture full-dups must appear in both scorers")
+  }
+
   test("range-join regimes: naive range-only join is a BNLJ; RangeBinJoin is an equi-join with identical rows") {
     // Pins WHY RangeBinJoin exists (SURVEY §2B row 101): a join whose
     // only condition is a range predicate has no equi key for Spark to
