@@ -34,11 +34,21 @@ object Profiling {
     require(cols.nonEmpty, "nothing to profile")
     val bad = cols.filterNot(df.columns.contains)
     require(bad.isEmpty, s"unknown columns: ${bad.mkString(", ")}")
-    val aggs = cols.flatMap(c => Seq(
-      sum(col(c).isNull.cast("long")).as(s"nn_$c"),
-      (if (exact) countDistinct(col(c))
-       else approx_count_distinct(col(c), 0.02)).as(s"nd_$c")))
-    val stackArgs = cols.map(c => s"'$c', nn_$c, nd_$c").mkString(", ")
+    // positional aliases + escaped literals: raw column names go into
+    // a generated SQL string below, so a name with spaces, dots,
+    // quotes or backticks must not break the stack() parse — the
+    // aliases are synthetic (nn_0/nd_0 …) and only the display
+    // literal carries the original name, escaped
+    def sqlLit(s: String) = "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    // backtick-quote on the Column side too: a bare col("a.b") would
+    // resolve as struct-field access, not the column named "a.b"
+    def qcol(c: String) = col("`" + c.replace("`", "``") + "`")
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) => Seq(
+      sum(qcol(c).isNull.cast("long")).as(s"nn_$i"),
+      (if (exact) countDistinct(qcol(c))
+       else approx_count_distinct(qcol(c), 0.02)).as(s"nd_$i")) }
+    val stackArgs = cols.indices.map(i =>
+      s"${sqlLit(cols(i))}, nn_$i, nd_$i").mkString(", ")
     df.agg(aggs.head, aggs.tail: _*)
       .selectExpr(s"stack(${cols.length}, $stackArgs) " +
         "AS (column_name, n_nulls, n_distinct)")

@@ -40,17 +40,29 @@ object RangeBinJoin {
     */
   def intervalJoin(left: DataFrame, loCol: String, hiCol: String,
                    right: DataFrame, valCol: String,
-                   binWidth: Long): DataFrame = {
+                   binWidth: Long, maxBins: Long = 4096L): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    require(maxBins > 0, s"maxBins must be positive, got $maxBins")
     val overlap = left.columns.toSet.intersect(right.columns.toSet)
     require(overlap.isEmpty, s"column collision between sides: $overlap")
+    require(!left.columns.contains("_bin") && !right.columns.contains("_bin"),
+      "inputs must not already have a _bin column (it is the join's working name)")
     // `div` is integer floor-toward-negative-infinity only for
     // non-negative operands; intervals over epoch-anchored values are
     // non-negative in practice. sequence() enumerates every bin the
     // interval can touch, so correctness never depends on the width
-    // heuristic — a too-small binWidth only costs blowup rows.
-    val lb = left.withColumn("_bin",
-      explode(expr(s"sequence($loCol div ${binWidth}L, $hiCol div ${binWidth}L)")))
+    // heuristic — a too-small binWidth only costs blowup rows, up to
+    // the maxBins guard: a row whose interval spans more bins fails
+    // loudly instead of exploding unbounded (pick binWidth ≈ the
+    // typical interval; raise maxBins only deliberately).
+    val lb = left.withColumn("_bin", explode(expr(
+      s"CASE WHEN ($loCol div ${binWidth}L) > ($hiCol div ${binWidth}L) " +
+        s"THEN CAST(ARRAY() AS ARRAY<BIGINT>) " + // empty interval → no bins
+        s"WHEN ($hiCol div ${binWidth}L) - ($loCol div ${binWidth}L) > ${maxBins}L " +
+        s"THEN CAST(raise_error(CONCAT('RangeBinJoin: interval spans more than " +
+        s"$maxBins bins of width $binWidth at row value ', $loCol, '..', $hiCol, " +
+        s"' — widen binWidth or raise maxBins')) AS ARRAY<BIGINT>) " +
+        s"ELSE sequence($loCol div ${binWidth}L, $hiCol div ${binWidth}L, 1L) END")))
     val rb = right.withColumn("_bin", expr(s"$valCol div ${binWidth}L"))
     lb.join(rb, Seq("_bin"))
       .filter(col(valCol) > col(loCol) && col(valCol) <= col(hiCol))

@@ -48,6 +48,17 @@ object RangeBinJoinRule extends Rule[LogicalPlan] {
 
   val WIDTH_CONF = "spark.graft.rangeBin.width"
 
+  /** Per-row cap on the bin explode. The conf is session-global but
+    * the safe width is per-join: a second range-only join in the same
+    * session with a much wider (or open-ended) interval would expand
+    * into millions of bin rows per input row — or overflow Sequence —
+    * on a query the naive nested-loop plan would have completed. A
+    * row whose interval spans more than this many bins fails LOUDLY
+    * with instructions instead of silently exploding.
+    */
+  val MAX_BINS_CONF = "spark.graft.rangeBin.maxBins"
+  val MAX_BINS_DEFAULT = 4096L
+
   /** Idempotently add the rule to the session's optimizer. */
   def install(spark: SparkSession): Unit = {
     val cur = spark.experimental.extraOptimizations
@@ -83,7 +94,13 @@ object RangeBinJoinRule extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val width = SQLConf.get.getConfString(WIDTH_CONF, "0").toLong
+    // a malformed conf value must disable the rule with a warning, not
+    // throw NumberFormatException into the optimization of EVERY query
+    val raw = SQLConf.get.getConfString(WIDTH_CONF, "0")
+    val width = scala.util.Try(raw.toLong).getOrElse {
+      logWarning(s"$WIDTH_CONF='$raw' is not a long — range-bin rewrite disabled")
+      0L
+    }
     if (width <= 0) return plan
     plan.transformUp {
       case j @ Join(left, right, Inner, Some(cond), _)
@@ -124,16 +141,28 @@ object RangeBinJoinRule extends Rule[LogicalPlan] {
         }
       }
 
+    val maxBins = scala.util.Try(
+      SQLConf.get.getConfString(MAX_BINS_CONF, MAX_BINS_DEFAULT.toString).toLong)
+      .getOrElse(MAX_BINS_DEFAULT)
     val w = Literal(width, LongType)
     def binOf(e: Expression) = IntegralDivide(e, w)
     val loBin = binOf(lo)
     val hiBin = binOf(hi)
-    // empty interval (lo > hi) must yield zero bins, not a Sequence
-    // error: Sequence with step 1 requires start <= stop
-    val bins = If(LessThanOrEqual(loBin, hiBin),
-      Sequence(loBin, hiBin, Some(Literal(1L, LongType)), None)
-        .withTimeZone(SQLConf.get.sessionLocalTimeZone),
-      Literal.create(Array.empty[Long], ArrayType(LongType, containsNull = false)))
+    val emptyBins =
+      Literal.create(Array.empty[Long], ArrayType(LongType, containsNull = false))
+    val seq = Sequence(loBin, hiBin, Some(Literal(1L, LongType)), None)
+      .withTimeZone(SQLConf.get.sessionLocalTimeZone)
+    // empty interval (lo > hi) → zero bins, not a Sequence error; an
+    // interval spanning more than maxBins → a loud, actionable error
+    // instead of an unbounded explode (see MAX_BINS_CONF)
+    val guarded = If(GreaterThan(Subtract(hiBin, loBin), Literal(maxBins, LongType)),
+      Cast(new RaiseError(Literal(
+        s"graft range-bin rewrite: an interval spans more than $maxBins bins of " +
+          s"width $width — raise $WIDTH_CONF or $MAX_BINS_CONF, or unset " +
+          s"$WIDTH_CONF to fall back to the nested-loop plan")),
+        ArrayType(LongType, containsNull = false)),
+      seq)
+    val bins = If(LessThanOrEqual(loBin, hiBin), guarded, emptyBins)
     val binAttr = AttributeReference("_graft_bin", LongType, nullable = false)()
     val exploded = Generate(Explode(bins), unrequiredChildIndex = Nil,
       outer = false, qualifier = None, generatorOutput = Seq(binAttr),

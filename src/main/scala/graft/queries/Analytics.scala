@@ -31,12 +31,19 @@ object Analytics {
   val qFunnel: Q = (s, dir) => {
     val ev = Tables.events(s, dir)
       .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    // s1/s2 are each consumed twice (next step's join + own count);
+    // cached — they are per-user frontiers (users-sized, tiny), and
+    // without the cache the events scan re-executes per consumer
+    // subtree (exchange reuse doesn't fire across them under AQE —
+    // same recipe as q_text_bm25/q_text_tfidf)
     val s1 = ev.filter(col("event_type") === "view")
       .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
+      .cache()
     val s2 = ev.filter(col("event_type") === "click")
       .join(s1, "user_id")
       .filter(col("us") > col("t1") && col("us") <= col("t1") + DAY_US)
       .groupBy(col("user_id")).agg(min(col("us")).as("t2"))
+      .cache()
     val s3 = ev.filter(col("event_type") === "purchase")
       .join(s2, "user_id")
       .filter(col("us") > col("t2") && col("us") <= col("t2") + DAY_US)

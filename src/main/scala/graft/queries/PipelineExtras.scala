@@ -108,26 +108,64 @@ object PipelineExtras {
         round(inter.cast("double") / (sa + sb - inter).cast("double"), 6),
       finalMin = NGRAM_JACCARD_MIN, scoreName = "jaccard")
 
-  /** CONTAINMENT variant: score = |A∩B| / min(|A|, |B|) — detects a
-    * small doc living INSIDE a big one (quotes, boilerplate wrappers,
-    * subset duplication), which Jaccard structurally misses: a
-    * 100-shingle doc fully contained in a 2000-shingle doc has
-    * containment 1.0 but Jaccard 0.05. Same candidate indexes, same
-    * exact-upper-bound prune (the intersection bound is score-
-    * agnostic; only the denominator changes, and it is exact), same
-    * survivor-only recount. ExtrasSuite plants exactly the
-    * quote-inclusion case and pins that containment reports it while
-    * the Jaccard pipeline (correctly) does not.
+  /** CONTAINMENT: score = |A∩B| / min(|A|, |B|) — detects a small doc
+    * living INSIDE a big one (quotes, boilerplate wrappers, subset
+    * duplication), which Jaccard structurally misses: a 100-shingle
+    * doc fully contained in a 2000-shingle doc has containment 1.0
+    * but Jaccard 0.05.
+    *
+    * Candidate generation is NOT Jaccard's rare-shingle indexes —
+    * their recall argument is score-dependent and fails here (an
+    * all-hot doc contained in a doc with its own rare vocabulary
+    * shares no rare shingle and no rarest-K with it, yet scores 1.0).
+    * Instead, the exact PPJoin-style prefix filter FOR the
+    * containment threshold τ: each doc's prefix = its ⌊(1−τ)·sz⌋+1
+    * globally-rarest shingles, candidates = prefix ⋈ FULL postings.
+    * Pigeonhole recall proof: if |A∩B| ≥ τ·min(|A|,|B|), the smaller
+    * doc S has at most (1−τ)·|S| shingles outside the overlap, so
+    * S's prefix contains at least one overlap shingle, and the
+    * partner's posting for it generates the pair. Exact, not
+    * approximate. Cost: each prefix posting joins its document
+    * frequency — rare-first ordering keeps that small for normal
+    * docs, and ∝ duplicate-cluster size for boilerplate (i.e.
+    * proportional to the true output), never all-pairs.
     */
   val NGRAM_CONTAIN_MIN = 0.8
-  private[graft] def ngramContainmentPairs(docs: DataFrame): DataFrame =
-    ngramPairsScored(docs,
-      ubKeep = (ub, sa, sb) =>
-        ub.cast("double") / least(sa, sb).cast("double")
-          >= lit(NGRAM_CONTAIN_MIN - 1e-6),
-      finalScore = (inter, sa, sb) =>
-        round(inter.cast("double") / least(sa, sb).cast("double"), 6),
-      finalMin = NGRAM_CONTAIN_MIN, scoreName = "containment")
+  private[graft] def ngramContainmentPairs(docs: DataFrame): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))")))
+        .as("sh"))
+      .cache() // consumed 4× (prefix source, candidate probe, recount both sides)
+    val shDf = sh
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz")).cache()
+    val prefix = shDf.join(sizes, "doc_id")
+      .withColumn("_r", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))))
+      .filter(col("_r") <=
+        floor((lit(1.0) - lit(NGRAM_CONTAIN_MIN)) * col("sz")).cast("long") + 1L)
+      .select(col("doc_id"), col("sh"))
+    val cand = prefix.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sa")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter").cast("double") / least(col("sa"), col("sb")).cast("double"), 6)
+          .as("containment"))
+      .filter(col("containment") >= NGRAM_CONTAIN_MIN)
+      .orderBy("doc_a", "doc_b")
+  }
 
   private[graft] def ngramPairsScored(docs: DataFrame,
       ubKeep: (Column, Column, Column) => Column,

@@ -355,6 +355,36 @@ class ExtrasSuite extends GraftSuite {
       "fixture full-dups must appear in both scorers")
   }
 
+  test("ngramContainmentPairs: an ALL-HOT doc inside a rare-rich container is still found (prefix-filter recall)") {
+    // The case Jaccard's rare-shingle candidate indexes cannot see at
+    // all (and the reason containment has its own PPJoin-style prefix
+    // index): 60 identical boilerplate docs make every copy shingle
+    // hot (df=61 > NGRAM_DF_CUT), and the container has ≥ K rare
+    // shingles of its own — no shared rare shingle, no shared
+    // rarest-K, yet each copy is 100% contained in the container.
+    val sess = spark; import sess.implicits._
+    val hotWords = (1 to 32).map(i => s"bpq${i}z")
+    val hotText = hotWords.mkString(" ")
+    val container = (hotWords ++ (1 to 300).map(i => s"uniq${i}q")).mkString(" ")
+    val copies = (0 until 60).map(i => (9100L + i, hotText))
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+      .unionByName((copies :+ (9200L, container)).toDF("doc_id", "text"))
+    val cont = graft.queries.PipelineExtras.ngramContainmentPairs(docs).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    (0 until 60).foreach { i =>
+      assert(cont.get((9100L + i, 9200L)).contains(1.0),
+        s"copy ${9100 + i} must be reported inside the container; got ${cont.get((9100L + i, 9200L))}")
+    }
+    // and the copies pair among themselves at 1.0 too
+    assert(cont.get((9100L, 9101L)).contains(1.0))
+    // Jaccard's pipeline misses the copy→container pairs (score ≈ 0.09
+    // AND invisible to its candidate indexes) — the capability gap
+    val jac = graft.queries.PipelineExtras.ngramJaccardPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jac.contains((9100L, 9200L)),
+      "the size-mismatched all-hot pair must not appear in the Jaccard output")
+  }
+
   test("range-join regimes: naive range-only join is a BNLJ; RangeBinJoin is an equi-join with identical rows") {
     // Pins WHY RangeBinJoin exists (SURVEY §2B row 101): a join whose
     // only condition is a range predicate has no equi key for Spark to
