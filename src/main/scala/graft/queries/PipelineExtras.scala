@@ -269,6 +269,48 @@ object PipelineExtras {
 
   val qDedupNgramJaccard: Q = (s, dir) => ngramJaccardPairs(Tables.documents(s, dir))
 
+  // ---- #109 q_dedup_containment ------------------------------------------
+  // Driver-visible containment dedup (scaladoc at
+  // ngramContainmentPairs): on this fixture its output coincides with
+  // the full-duplicate set (no planted partial containment — the
+  // distinguishing subset cases are suite-planted in ExtrasSuite),
+  // but the oracle still verifies the whole prefix-filter pipeline —
+  // shingling, rarest-prefix selection, candidate join, exact
+  // recount, least()-denominator score — cross-engine.
+  val qDedupContainment: Q = (s, dir) => ngramContainmentPairs(Tables.documents(s, dir))
+
+  val qDedupContainmentSql: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |           WHERE LEN(string_split(text, ' ')) >= 3),
+      |sh AS (SELECT DISTINCT doc_id, sh FROM (
+      |  SELECT doc_id, UNNEST(list_transform(generate_series(1, LEN(ws) - 2),
+      |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh FROM d)),
+      |dfc AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh),
+      |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+      |prefix AS (
+      |  SELECT doc_id, sh FROM (
+      |    SELECT sh.doc_id, sh.sh, sizes.sz,
+      |           ROW_NUMBER() OVER (PARTITION BY sh.doc_id ORDER BY dfc.df, sh.sh) AS _r
+      |    FROM sh JOIN dfc ON dfc.sh = sh.sh JOIN sizes ON sizes.doc_id = sh.doc_id)
+      |  WHERE _r <= CAST(FLOOR((1.0 - $NGRAM_CONTAIN_MIN) * sz) AS BIGINT) + 1),
+      |cand AS (
+      |  SELECT DISTINCT LEAST(a.doc_id, b.doc_id) AS doc_a,
+      |                  GREATEST(a.doc_id, b.doc_id) AS doc_b
+      |  FROM prefix a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id),
+      |inter AS (
+      |  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+      |  FROM cand c
+      |  JOIN sh pa ON pa.doc_id = c.doc_a
+      |  JOIN sh pb ON pb.doc_id = c.doc_b AND pb.sh = pa.sh
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b,
+      |       ROUND(CAST(inter AS DOUBLE) / CAST(LEAST(sa.sz, sb.sz) AS DOUBLE), 6) AS containment
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = doc_a
+      |JOIN sizes sb ON sb.doc_id = doc_b
+      |WHERE ROUND(CAST(inter AS DOUBLE) / CAST(LEAST(sa.sz, sb.sz) AS DOUBLE), 6) >= $NGRAM_CONTAIN_MIN
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val qDedupNgramJaccardSql: String =
     s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
       |           WHERE LEN(string_split(text, ' ')) >= 3),
@@ -788,6 +830,7 @@ object PipelineExtras {
     "q_sample_mix" -> qSampleMix,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_ngram_jaccard" -> qDedupNgramJaccard,
+    "q_dedup_containment" -> qDedupContainment,
     "q_dedup_embed_cosine" -> qDedupEmbedCosine,
     "q_text_langid" -> qTextLangid,
     "q_text_quality" -> qTextQuality,
@@ -804,6 +847,7 @@ object PipelineExtras {
     "q_sample_mix" -> qSampleMixSql,
     "q_dedup_simhash" -> qDedupSimhashSql,
     "q_dedup_ngram_jaccard" -> qDedupNgramJaccardSql,
+    "q_dedup_containment" -> qDedupContainmentSql,
     "q_dedup_embed_cosine" -> qDedupEmbedCosineSql,
     "q_text_langid" -> qTextLangidSql,
     "q_text_quality" -> qTextQualitySql,
