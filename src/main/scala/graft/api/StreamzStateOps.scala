@@ -442,6 +442,105 @@ object StreamzStateOps {
   }
 
   // not private: Catalyst's generated (de)serializers must access them
+  case class TwapKey(user: Long, epochDay: Long)
+  case class TwapReading(user: Long, ts: java.sql.Timestamp, v: Double)
+  case class TwapOut(user_id: Long, d: java.sql.Date, twap: Double, total_secs: Long)
+
+  /** STREAMING time-weighted average — the live version of batch
+    * `q_twap` (#108): per (user, day), each reading weighted by the
+    * whole seconds until the user's next same-day reading; the day's
+    * last reading carries no interval (same contract as the batch
+    * row). Emits the key's current (twap, total_secs) every
+    * micro-batch it is active in, once it has ≥ 2 readings (a
+    * single-reading day has no interval — batch drops it via
+    * HAVING sum(dt) > 0).
+    *
+    * Exactness under out-of-order arrival needs the day's readings
+    * retained, not a running pair: a late reading lands BETWEEN two
+    * already-seen readings and splits their interval. State per
+    * (user, day) = the day's readings in a ListState — naturally
+    * bounded by one key's daily volume, the same bound the batch
+    * window partition holds, and day-scoped keys go idle after one
+    * day + allowed lateness (pass `ttl` to reap them; event-time
+    * exactness is unaffected because a reaped key is one the
+    * watermark already sealed).
+    *
+    * Arithmetic mirrors the batch row exactly: value rounds to cents
+    * (decimal(18,2) ≡ integer cents), dt is integer seconds, the
+    * weighted sum is exact integer arithmetic, one double division +
+    * round(6) at the edge — so streamed == batch bit-for-bit.
+    * Ties in ts contribute dt = 0 and cannot reorder the sum, so no
+    * event-id tiebreak is needed.
+    */
+  def twapStream(df: DataFrame, userCol: String, tsCol: String,
+      valueCol: String, ttl: Option[java.time.Duration] = None): DataFrame = {
+    implicit val inEnc = Encoders.product[TwapReading]
+    implicit val outEnc = Encoders.product[TwapOut]
+    implicit val keyEnc = Encoders.product[TwapKey]
+    val typed: Dataset[TwapReading] = df.select(
+      col(userCol).cast("long").as("user"),
+      // no cast on ts: keep the upstream watermark tag
+      col(tsCol).as("ts"),
+      col(valueCol).cast("double").as("v")).as[TwapReading]
+    typed.groupByKey { r =>
+      val i = r.ts.toInstant
+      val us = i.getEpochSecond * 1000000L + i.getNano / 1000L
+      TwapKey(r.user, us / 86400000000L) // UTC day, matches to_date under the UTC session
+    }.transformWithState(new TwapProcessor(ttl),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Update())
+      .toDF("user_id", "d", "twap", "total_secs")
+  }
+
+  /** [[twapStream]]'s state: the day's (µs, cents) readings in one
+    * ListState slot; fold from scratch per batch (day-volume-bounded,
+    * exactly the batch window's working set). */
+  class TwapProcessor(ttl: Option[java.time.Duration])
+      extends org.apache.spark.sql.streaming.StatefulProcessor[TwapKey, TwapReading, TwapOut] {
+    @transient private var readings:
+      org.apache.spark.sql.streaming.ListState[(Long, Long)] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      val cfg = ttl.map(org.apache.spark.sql.streaming.TTLConfig.apply)
+        .getOrElse(org.apache.spark.sql.streaming.TTLConfig.NONE)
+      readings = getHandle.getListState[(Long, Long)]("readings",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), cfg)
+    }
+    override def handleInputRows(key: TwapKey, rows: Iterator[TwapReading],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[TwapOut] = {
+      val fresh = rows.map { r =>
+        val i = r.ts.toInstant
+        // cents ≡ the batch row's round(value, 2) cast decimal(18,2):
+        // BigDecimal.decimal + HALF_UP is exactly Catalyst's Round on
+        // DoubleType (math.round would differ on negative .xx5 values)
+        (i.getEpochSecond * 1000000L + i.getNano / 1000L,
+          (BigDecimal.decimal(r.v)
+            .setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLong)
+      }.toSeq
+      val all = (readings.get().toSeq ++ fresh).sortBy(_._1)
+      if (all.nonEmpty) readings.put(all.toArray)
+      var sumCentsDt = 0L
+      var sumDt = 0L
+      var k = 0
+      while (k < all.length - 1) {
+        val dt = (all(k + 1)._1 - all(k)._1) / 1000000L // whole seconds, like `div`
+        sumCentsDt += all(k)._2 * dt
+        sumDt += dt
+        k += 1
+      }
+      if (sumDt <= 0) Iterator.empty
+      else {
+        // same edge arithmetic as the batch row: exact integer sums,
+        // one double division, round(6)
+        val twap = BigDecimal(sumCentsDt.toDouble / 100.0 / sumDt.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        Iterator.single(TwapOut(key.user,
+          java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(key.epochDay)),
+          twap, sumDt))
+      }
+    }
+  }
+
+  // not private: Catalyst's generated (de)serializers must access them
   case class FunnelEvt(user: Long, step: Int, ts: java.sql.Timestamp)
   case class FunnelStatus(user: Long, t1: Option[Long],
       t2: Option[Long], t3: Option[Long])

@@ -1022,6 +1022,82 @@ class StreamingSuite extends GraftSuite {
     }
   }
 
+  test("twapStream: streaming time-weighted average == batch q_twap, across batches and a restart") {
+    withRocksDb {
+      val sess = spark
+      import sess.implicits._
+      implicit val sqlCtx = sess.sqlContext
+      val ev = Tables.events(spark, sf0001)
+        .select(col("user_id").cast("long"), col("ts"), col("value").cast("double"))
+        .orderBy("ts")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2)))
+      val n = ev.length
+      val chunks = Seq(ev.slice(0, n / 3), ev.slice(n / 3, 2 * n / 3),
+        ev.slice(2 * n / 3, n))
+      val cp = java.nio.file.Files.createTempDirectory("twap_tws_cp").toString
+      val latest = scala.collection.concurrent.TrieMap
+        .empty[(Long, java.sql.Date), (Double, Long)]
+      val ms = MemoryStream[(Long, Timestamp, Double)]
+      def start() = graft.api.StreamzStateOps.twapStream(
+          ms.toDF().toDF("user_id", "ts", "value").withWatermark("ts", "1 hour"),
+          "user_id", "ts", "value")
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.ProcessingTime(0))
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.collect().foreach { r =>
+            latest((r.getLong(0), r.getDate(1))) = (r.getDouble(2), r.getLong(3))
+          }
+          ()
+        }.start()
+      val q1 = start()
+      ms.addData(chunks(0).toSeq: _*); q1.processAllAvailable()
+      ms.addData(chunks(1).toSeq: _*); q1.processAllAvailable()
+      q1.stop() // the day's readings survive only via the checkpoint
+      val q2 = start()
+      ms.addData(chunks(2).toSeq: _*); q2.processAllAvailable()
+      q2.stop()
+      val want = graft.queries.Analytics.qTwap(spark, sf0001).collect()
+        .map(r => (r.getLong(0), r.getDate(1)) -> (r.getDouble(2), r.getLong(3))).toMap
+      assert(want.nonEmpty && latest.size == want.size,
+        s"key sets differ: streamed=${latest.size} batch=${want.size}")
+      want.foreach { case (k, (twapB, secsB)) =>
+        val (twapS, secsS) = latest.getOrElse(k, fail(s"missing streamed key $k"))
+        assert(secsS == secsB, s"$k: total_secs $secsS != $secsB")
+        assert(math.abs(twapS - twapB) <= 1e-9, s"$k: twap $twapS != $twapB")
+      }
+    }
+  }
+
+  test("twapStream: a late reading SPLITS an existing interval exactly") {
+    withRocksDb {
+      val sess = spark
+      import sess.implicits._
+      implicit val sqlCtx = sess.sqlContext
+      val ms = MemoryStream[(Long, Timestamp, Double)]
+      val out = graft.api.StreamzStateOps.twapStream(
+        ms.toDF().toDF("user_id", "ts", "value").withWatermark("ts", "24 hours"),
+        "user_id", "ts", "value")
+      val q = out.writeStream.format("memory").queryName("twap_ooo")
+        .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
+      try {
+        // 10.0 for 1000s (10:00:00 → 10:16:40)
+        ms.addData((7L, ts("2024-01-01 10:00:00"), 10.0),
+          (7L, ts("2024-01-01 10:16:40"), 99.0))
+        q.processAllAvailable()
+        var rows = spark.table("twap_ooo").collect()
+        assert(rows.last.getDouble(2) == 10.0 && rows.last.getLong(3) == 1000L)
+        // late reading lands INSIDE the interval: 10.0 for 400s, then
+        // 20.0 for 600s → (10*400 + 20*600) / 1000 = 16.0
+        ms.addData((7L, ts("2024-01-01 10:06:40"), 20.0))
+        q.processAllAvailable()
+        rows = spark.table("twap_ooo").collect()
+        assert(rows.last.getDouble(2) == 16.0 && rows.last.getLong(3) == 1000L,
+          s"late mid-interval reading must re-split the weights; got ${rows.last}")
+      } finally q.stop()
+    }
+  }
+
   test("funnelStream: a late, earlier step-1 re-qualifies a RETAINED step-2 candidate") {
     // The case that makes streaming funnels need candidate retention
     // instead of running minima: a click that is ineligible under the
