@@ -541,6 +541,120 @@ object StreamzStateOps {
   }
 
   // not private: Catalyst's generated (de)serializers must access them
+  case class CohortEvt(user: Long, isCohortEvent: Boolean, ts: java.sql.Timestamp)
+  case class CohortOut(user_id: Long, cohort_date: java.sql.Date, active_d7: Int)
+
+  /** STREAMING cohort retention, user level — the live feeder of
+    * batch `q_cohort_retention` (#105): each user is cohorted by
+    * their first cohort-event (first purchase) day and checked for
+    * activity exactly 7 days later. Unlike [[funnelStream]] /
+    * [[twapStream]] (Update-mode running statuses), this one emits
+    * APPEND-once-per-user: a user's row is final only when the
+    * watermark passes cohort_day + 8 days — no earlier first
+    * purchase can arrive (the watermark would drop it) and no
+    * day-7 activity can still be admissible — so finalization rides
+    * an EVENT-TIME TIMER, re-armed downward if a late earlier
+    * cohort event shifts the cohort. Aggregating the emitted rows by
+    * cohort_date reproduces the batch row's (n_users, retained_d7)
+    * for every sealed cohort (suite-pinned).
+    *
+    * State per user: the min cohort-event day (scalar) + the set of
+    * activity days that could still be some possible final cohort's
+    * day-7 target. A future cohort event is ≥ the watermark, so the
+    * final cohort day lies in [wmDay, curCohortDay] and only
+    * activity days in [wmDay+7, curCohortDay+7] are retained —
+    * state is bounded by the allowed lateness, not the stream's
+    * lifetime.
+    */
+  def cohortStream(df: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, cohortType: String): DataFrame = {
+    implicit val inEnc = Encoders.product[CohortEvt]
+    implicit val outEnc = Encoders.product[CohortOut]
+    implicit val keyEnc = Encoders.scalaLong
+    val typed: Dataset[CohortEvt] = df.select(
+      col(userCol).cast("long").as("user"),
+      (col(typeCol) === cohortType).as("isCohortEvent"),
+      col(tsCol).as("ts")) // no cast: keep the watermark tag
+      .as[CohortEvt]
+    typed.groupByKey(_.user)
+      .transformWithState(new CohortProcessor,
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
+      .toDF("user_id", "cohort_date", "active_d7")
+  }
+
+  class CohortProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, CohortEvt, CohortOut] {
+    private val DAY_MS = 86400000L
+    @transient private var cohortDay:
+      org.apache.spark.sql.streaming.ValueState[Long] = _
+    @transient private var activeDays:
+      org.apache.spark.sql.streaming.ListState[Long] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      val ttl = org.apache.spark.sql.streaming.TTLConfig.NONE
+      cohortDay = getHandle.getValueState[Long]("cohortDay", Encoders.scalaLong, ttl)
+      activeDays = getHandle.getListState[Long]("activeDays", Encoders.scalaLong, ttl)
+    }
+    override def handleInputRows(user: Long, rows: Iterator[CohortEvt],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[CohortOut] = {
+      val wmDay = tv.getCurrentWatermarkInMs() / DAY_MS
+      val prev = if (cohortDay.exists()) Some(cohortDay.get()) else None
+      var cohort = prev.getOrElse(Long.MaxValue)
+      val newDays = scala.collection.mutable.Set.empty[Long]
+      rows.foreach { e =>
+        val d = e.ts.toInstant.toEpochMilli / DAY_MS
+        if (e.isCohortEvent && d < cohort) cohort = d
+        newDays += d
+      }
+      if (cohort == Long.MaxValue) {
+        // no cohort event yet: retain candidate activity days (only
+        // those a future cohort ≥ wmDay could still target)
+        val keep = (activeDays.get().toSeq ++ newDays).distinct
+          .filter(_ >= wmDay + 7)
+        if (keep.nonEmpty) activeDays.put(keep.toArray) else activeDays.clear()
+        Iterator.empty
+      } else {
+        // re-arm the finalization timer when the cohort day drops
+        // (first sight, or a late earlier cohort event): one live
+        // timer per user at (cohort + 8) days
+        if (!prev.contains(cohort)) {
+          prev.foreach(p => getHandle.deleteTimer((p + 8) * DAY_MS))
+          getHandle.registerTimer((cohort + 8) * DAY_MS)
+          cohortDay.update(cohort)
+        }
+        // possible final cohorts = [min(wmDay, cohort), cohort]: once
+        // the watermark passes the cohort day the cohort is FROZEN
+        // (an earlier cohort event would be dropped), so the bound
+        // collapses to exactly cohort + 7
+        val lo = math.min(wmDay, cohort) + 7
+        val keep = (activeDays.get().toSeq ++ newDays).distinct
+          .filter(d => d >= lo && d <= cohort + 7)
+        if (keep.nonEmpty) activeDays.put(keep.toArray) else activeDays.clear()
+        Iterator.empty
+      }
+    }
+    override def handleExpiredTimer(user: Long,
+        tv: org.apache.spark.sql.streaming.TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[CohortOut] = {
+      val out = if (cohortDay.exists()) {
+        val c = cohortDay.get()
+        val hit = activeDays.get().contains(c + 7)
+        Iterator.single(CohortOut(user,
+          java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(c)),
+          if (hit) 1 else 0))
+      } else Iterator.empty
+      // keep cohortDay: it is FROZEN (watermark passed it) and doubles
+      // as the finalized marker — clearing it would let the user's
+      // NEXT purchase re-cohort them and emit a second row, breaking
+      // append-once (a user's cohort is their FIRST purchase, ever).
+      // Post-finalization state is one long per user; activity days
+      // all fall outside [*, cohort+7] from here on and stay empty.
+      activeDays.clear()
+      out
+    }
+  }
+
+  // not private: Catalyst's generated (de)serializers must access them
   case class FunnelEvt(user: Long, step: Int, ts: java.sql.Timestamp)
   case class FunnelStatus(user: Long, t1: Option[Long],
       t2: Option[Long], t3: Option[Long])

@@ -1069,6 +1069,60 @@ class StreamingSuite extends GraftSuite {
     }
   }
 
+  test("cohortStream: append-once user rows aggregate to batch q_cohort_retention for sealed cohorts") {
+    withRocksDb {
+      val sess = spark
+      import sess.implicits._
+      implicit val sqlCtx = sess.sqlContext
+      val ev = Tables.events(spark, sf0001)
+        .select(col("user_id").cast("long"), col("event_type"), col("ts"))
+        .orderBy("ts")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2)))
+      val n = ev.length
+      val chunks = Seq(ev.slice(0, n / 3), ev.slice(n / 3, 2 * n / 3),
+        ev.slice(2 * n / 3, n))
+      val cp = java.nio.file.Files.createTempDirectory("cohort_tws_cp").toString
+      val emitted = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, java.sql.Date, Int)]
+      val ms = MemoryStream[(Long, String, Timestamp)]
+      def start() = graft.api.StreamzStateOps.cohortStream(
+          ms.toDF().toDF("user_id", "event_type", "ts")
+            .withWatermark("ts", "1 hour"),
+          "user_id", "event_type", "ts", cohortType = "purchase")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.ProcessingTime(0))
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          emitted.synchronized {
+            df.collect().foreach(r =>
+              emitted += ((r.getLong(0), r.getDate(1), r.getInt(2))))
+          }
+          ()
+        }.start()
+      val q1 = start()
+      ms.addData(chunks(0).toSeq: _*); q1.processAllAvailable()
+      ms.addData(chunks(1).toSeq: _*); q1.processAllAvailable()
+      q1.stop() // cohort day, activity set AND the armed timer must survive
+      val q2 = start()
+      ms.addData(chunks(2).toSeq: _*); q2.processAllAvailable()
+      q2.stop()
+      // append-once: no user emits twice
+      assert(emitted.map(_._1).distinct.size == emitted.size,
+        s"duplicate per-user emissions: ${emitted.groupBy(_._1).filter(_._2.size > 1).keys.take(5)}")
+      // sealed cohorts = watermark passed cohort_day + 8
+      val wmMs = ev.map(_._3.getTime).max - 3600000L
+      val got = emitted.groupBy(_._2).map { case (d, rows) =>
+        d -> (rows.size.toLong, rows.map(_._3).sum.toLong) }
+      val want = graft.queries.Analytics.qCohortRetention(spark, sf0001).collect()
+        .map(r => r.getDate(0) -> (r.getLong(1), r.getLong(2)))
+        .filter { case (d, _) => (d.toLocalDate.toEpochDay + 8) * 86400000L <= wmMs }
+        .toMap
+      assert(want.nonEmpty, "fixture must seal at least one cohort")
+      assert(got == want,
+        s"sealed-cohort aggregates differ:\n got=${got.toSeq.sortBy(_._1.toString)}\nwant=${want.toSeq.sortBy(_._1.toString)}")
+    }
+  }
+
   test("twapStream: a late reading SPLITS an existing interval exactly") {
     withRocksDb {
       val sess = spark
