@@ -37,6 +37,14 @@ object RangeBinJoin {
     * (e.g. epoch µs). Output = all columns of both inputs; column
     * sets must be disjoint. `binWidth` is the bucket size in the same
     * unit — choose it close to the typical `hi − lo`.
+    *
+    * `maxBins` (default 4096) caps the per-row explode: a row whose
+    * interval spans more bins fails at runtime with an actionable
+    * message. This is deliberately default-ON — an uncapped outlier
+    * interval silently turns the join quadratic-ish, which at scale
+    * is a worse failure than a loud error; callers with legitimately
+    * wide intervals should raise `binWidth` (preferred) or pass a
+    * larger `maxBins` explicitly.
     */
   def intervalJoin(left: DataFrame, loCol: String, hiCol: String,
                    right: DataFrame, valCol: String,

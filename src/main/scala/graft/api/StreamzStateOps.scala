@@ -443,7 +443,7 @@ object StreamzStateOps {
 
   // not private: Catalyst's generated (de)serializers must access them
   case class TwapKey(user: Long, epochDay: Long)
-  case class TwapReading(user: Long, ts: java.sql.Timestamp, v: Double)
+  case class TwapReading(user: Long, ord: Long, ts: java.sql.Timestamp, v: Double)
   case class TwapOut(user_id: Long, d: java.sql.Date, twap: Double, total_secs: Long)
 
   /** STREAMING time-weighted average — the live version of batch
@@ -469,16 +469,20 @@ object StreamzStateOps {
     * (decimal(18,2) ≡ integer cents), dt is integer seconds, the
     * weighted sum is exact integer arithmetic, one double division +
     * round(6) at the edge — so streamed == batch bit-for-bit.
-    * Ties in ts contribute dt = 0 and cannot reorder the sum, so no
-    * event-id tiebreak is needed.
+    * `ordCol` is the batch window's tie-break (event_id): a tied
+    * timestamp contributes dt = 0 itself, but the tie ORDER decides
+    * which value carries the FOLLOWING interval, so the stream must
+    * sort by the same (ts, ord) the batch window does — µs-only
+    * sorting would make same-µs readings arrival-order-dependent.
     */
-  def twapStream(df: DataFrame, userCol: String, tsCol: String,
+  def twapStream(df: DataFrame, userCol: String, ordCol: String, tsCol: String,
       valueCol: String, ttl: Option[java.time.Duration] = None): DataFrame = {
     implicit val inEnc = Encoders.product[TwapReading]
     implicit val outEnc = Encoders.product[TwapOut]
     implicit val keyEnc = Encoders.product[TwapKey]
     val typed: Dataset[TwapReading] = df.select(
       col(userCol).cast("long").as("user"),
+      col(ordCol).cast("long").as("ord"),
       // no cast on ts: keep the upstream watermark tag
       col(tsCol).as("ts"),
       col(valueCol).cast("double").as("v")).as[TwapReading]
@@ -497,13 +501,13 @@ object StreamzStateOps {
   class TwapProcessor(ttl: Option[java.time.Duration])
       extends org.apache.spark.sql.streaming.StatefulProcessor[TwapKey, TwapReading, TwapOut] {
     @transient private var readings:
-      org.apache.spark.sql.streaming.ListState[(Long, Long)] = _
+      org.apache.spark.sql.streaming.ListState[(Long, Long, Long)] = _
     override def init(outputMode: OutputMode,
         timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
       val cfg = ttl.map(org.apache.spark.sql.streaming.TTLConfig.apply)
         .getOrElse(org.apache.spark.sql.streaming.TTLConfig.NONE)
-      readings = getHandle.getListState[(Long, Long)]("readings",
-        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), cfg)
+      readings = getHandle.getListState[(Long, Long, Long)]("readings",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong), cfg)
     }
     override def handleInputRows(key: TwapKey, rows: Iterator[TwapReading],
         tv: org.apache.spark.sql.streaming.TimerValues): Iterator[TwapOut] = {
@@ -512,18 +516,21 @@ object StreamzStateOps {
         // cents ≡ the batch row's round(value, 2) cast decimal(18,2):
         // BigDecimal.decimal + HALF_UP is exactly Catalyst's Round on
         // DoubleType (math.round would differ on negative .xx5 values)
-        (i.getEpochSecond * 1000000L + i.getNano / 1000L,
+        (i.getEpochSecond * 1000000L + i.getNano / 1000L, r.ord,
           (BigDecimal.decimal(r.v)
             .setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLong)
       }.toSeq
-      val all = (readings.get().toSeq ++ fresh).sortBy(_._1)
+      // (us, ord) = the batch window's exact ordering: a same-µs tie
+      // contributes dt = 0 itself but decides who carries the NEXT
+      // interval, so the tiebreak must match the batch lead()
+      val all = (readings.get().toSeq ++ fresh).sortBy(r => (r._1, r._2))
       if (all.nonEmpty) readings.put(all.toArray)
       var sumCentsDt = 0L
       var sumDt = 0L
       var k = 0
       while (k < all.length - 1) {
         val dt = (all(k + 1)._1 - all(k)._1) / 1000000L // whole seconds, like `div`
-        sumCentsDt += all(k)._2 * dt
+        sumCentsDt += all(k)._3 * dt
         sumDt += dt
         k += 1
       }
@@ -567,22 +574,34 @@ object StreamzStateOps {
     * lifetime.
     */
   def cohortStream(df: DataFrame, userCol: String, typeCol: String,
-      tsCol: String, cohortType: String): DataFrame = {
+      tsCol: String, cohortType: String,
+      activityTtl: Option[java.time.Duration] = None): DataFrame = {
     implicit val inEnc = Encoders.product[CohortEvt]
     implicit val outEnc = Encoders.product[CohortOut]
     implicit val keyEnc = Encoders.scalaLong
     val typed: Dataset[CohortEvt] = df.select(
       col(userCol).cast("long").as("user"),
-      (col(typeCol) === cohortType).as("isCohortEvent"),
+      // null-safe: a NULL event_type is "not the cohort event", not a
+      // NULL that kills deserialization into the primitive Boolean
+      (col(typeCol) <=> lit(cohortType)).as("isCohortEvent"),
       col(tsCol).as("ts")) // no cast: keep the watermark tag
       .as[CohortEvt]
     typed.groupByKey(_.user)
-      .transformWithState(new CohortProcessor,
+      .transformWithState(new CohortProcessor(activityTtl),
         org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
       .toDF("user_id", "cohort_date", "active_d7")
   }
 
-  class CohortProcessor
+  /** `activityTtl` reaps the candidate-activity set of users the
+    * stream stops seeing BEFORE any cohort event (they have no timer
+    * to clean them up — without a TTL that state lives forever on a
+    * churn-heavy stream). A reaped-then-returning user rebuilds
+    * activity from scratch, so set it comfortably above the allowed
+    * lateness. The cohortDay slot deliberately takes NO TTL: it is
+    * the finalized marker that keeps append-once true for users who
+    * purchase again long after their cohort row emitted.
+    */
+  class CohortProcessor(activityTtl: Option[java.time.Duration])
       extends org.apache.spark.sql.streaming.StatefulProcessor[Long, CohortEvt, CohortOut] {
     private val DAY_MS = 86400000L
     @transient private var cohortDay:
@@ -591,9 +610,11 @@ object StreamzStateOps {
       org.apache.spark.sql.streaming.ListState[Long] = _
     override def init(outputMode: OutputMode,
         timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
-      val ttl = org.apache.spark.sql.streaming.TTLConfig.NONE
-      cohortDay = getHandle.getValueState[Long]("cohortDay", Encoders.scalaLong, ttl)
-      activeDays = getHandle.getListState[Long]("activeDays", Encoders.scalaLong, ttl)
+      val none = org.apache.spark.sql.streaming.TTLConfig.NONE
+      val actCfg = activityTtl.map(org.apache.spark.sql.streaming.TTLConfig.apply)
+        .getOrElse(none)
+      cohortDay = getHandle.getValueState[Long]("cohortDay", Encoders.scalaLong, none)
+      activeDays = getHandle.getListState[Long]("activeDays", Encoders.scalaLong, actCfg)
     }
     override def handleInputRows(user: Long, rows: Iterator[CohortEvt],
         tv: org.apache.spark.sql.streaming.TimerValues): Iterator[CohortOut] = {

@@ -96,18 +96,6 @@ object PipelineExtras {
   val NGRAM_RAREST_K = 5
   val NGRAM_JACCARD_MIN = 0.2
 
-  /** Core pipeline over any (doc_id, text) frame — factored out so
-    * tests can plant boilerplate clusters the fixture lacks.
-    */
-  private[graft] def ngramJaccardPairs(docs: DataFrame): DataFrame =
-    ngramPairsScored(docs,
-      ubKeep = (ub, sa, sb) =>
-        ub.cast("double") / (sa + sb - ub).cast("double")
-          >= lit(NGRAM_JACCARD_MIN - 1e-6),
-      finalScore = (inter, sa, sb) =>
-        round(inter.cast("double") / (sa + sb - inter).cast("double"), 6),
-      finalMin = NGRAM_JACCARD_MIN, scoreName = "jaccard")
-
   /** CONTAINMENT: score = |A∩B| / min(|A|, |B|) — detects a small doc
     * living INSIDE a big one (quotes, boilerplate wrappers, subset
     * duplication), which Jaccard structurally misses: a 100-shingle
@@ -145,8 +133,16 @@ object PipelineExtras {
     val prefix = shDf.join(sizes, "doc_id")
       .withColumn("_r", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))))
+      // +1e-9 BEFORE the floor: (1.0 − 0.8) is 0.19999999999999998 in
+      // binary, so for sz divisible by 5 the product lands a hair
+      // under the exact integer and floor loses one prefix slot —
+      // one fewer than the pigeonhole bound needs. The epsilon
+      // dominates the representation error (≤ ~1e-13 for any real
+      // sz) without ever reaching the next integer; the oracle SQL
+      // carries the identical expression.
       .filter(col("_r") <=
-        floor((lit(1.0) - lit(NGRAM_CONTAIN_MIN)) * col("sz")).cast("long") + 1L)
+        floor((lit(1.0) - lit(NGRAM_CONTAIN_MIN)) * col("sz") + lit(1e-9))
+          .cast("long") + 1L)
       .select(col("doc_id"), col("sh"))
     val cand = prefix.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") =!= col("b.doc_id"))
@@ -167,10 +163,10 @@ object PipelineExtras {
       .orderBy("doc_a", "doc_b")
   }
 
-  private[graft] def ngramPairsScored(docs: DataFrame,
-      ubKeep: (Column, Column, Column) => Column,
-      finalScore: (Column, Column, Column) => Column,
-      finalMin: Double, scoreName: String): DataFrame = {
+  /** Core Jaccard pipeline over any (doc_id, text) frame — factored
+    * out so tests can plant boilerplate clusters the fixture lacks.
+    */
+  private[graft] def ngramJaccardPairs(docs: DataFrame): DataFrame = {
     // per-doc distinct via array_distinct BEFORE the explode: the
     // shingle set is defined per doc, so deduping inside the row is
     // exactly distinct-on-(doc_id, sh) — minus the full shuffle a
@@ -239,7 +235,8 @@ object PipelineExtras {
       .join(stats.select(col("doc_id").as("doc_b"), col("sz").as("sb"), col("rz").as("rb")), "doc_b")
     val ub = col("inter_r") + least(col("sa") - col("ra"), col("sb") - col("rb"))
     val survivors = withStats
-      .filter(ubKeep(ub, col("sa"), col("sb")))
+      .filter(ub.cast("double") / (col("sa") + col("sb") - ub).cast("double")
+        >= lit(NGRAM_JACCARD_MIN - 1e-6))
       .select(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
       .cache() // scanned 3× (both survIds union branches + recount join); tiny
     // Recount reads ONLY survivor docs' postings: the pa/pb join keys
@@ -262,8 +259,9 @@ object PipelineExtras {
       .agg(count(lit(1)).as("inter"))
     exact
       .select(col("doc_a"), col("doc_b"),
-        finalScore(col("inter"), col("sa"), col("sb")).as(scoreName))
-      .filter(col(scoreName) >= finalMin)
+        round(col("inter").cast("double") /
+          (col("sa") + col("sb") - col("inter")).cast("double"), 6).as("jaccard"))
+      .filter(col("jaccard") >= NGRAM_JACCARD_MIN)
       .orderBy("doc_a", "doc_b")
   }
 
@@ -292,7 +290,7 @@ object PipelineExtras {
       |    SELECT sh.doc_id, sh.sh, sizes.sz,
       |           ROW_NUMBER() OVER (PARTITION BY sh.doc_id ORDER BY dfc.df, sh.sh) AS _r
       |    FROM sh JOIN dfc ON dfc.sh = sh.sh JOIN sizes ON sizes.doc_id = sh.doc_id)
-      |  WHERE _r <= CAST(FLOOR((1.0 - $NGRAM_CONTAIN_MIN) * sz) AS BIGINT) + 1),
+      |  WHERE _r <= CAST(FLOOR((1.0 - $NGRAM_CONTAIN_MIN) * sz + 1e-9) AS BIGINT) + 1),
       |cand AS (
       |  SELECT DISTINCT LEAST(a.doc_id, b.doc_id) AS doc_a,
       |                  GREATEST(a.doc_id, b.doc_id) AS doc_b

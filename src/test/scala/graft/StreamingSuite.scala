@@ -1028,19 +1028,21 @@ class StreamingSuite extends GraftSuite {
       import sess.implicits._
       implicit val sqlCtx = sess.sqlContext
       val ev = Tables.events(spark, sf0001)
-        .select(col("user_id").cast("long"), col("ts"), col("value").cast("double"))
+        .select(col("user_id").cast("long"), col("event_id").cast("long"),
+          col("ts"), col("value").cast("double"))
         .orderBy("ts")
-        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2)))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getDouble(3)))
       val n = ev.length
       val chunks = Seq(ev.slice(0, n / 3), ev.slice(n / 3, 2 * n / 3),
         ev.slice(2 * n / 3, n))
       val cp = java.nio.file.Files.createTempDirectory("twap_tws_cp").toString
       val latest = scala.collection.concurrent.TrieMap
         .empty[(Long, java.sql.Date), (Double, Long)]
-      val ms = MemoryStream[(Long, Timestamp, Double)]
+      val ms = MemoryStream[(Long, Long, Timestamp, Double)]
       def start() = graft.api.StreamzStateOps.twapStream(
-          ms.toDF().toDF("user_id", "ts", "value").withWatermark("ts", "1 hour"),
-          "user_id", "ts", "value")
+          ms.toDF().toDF("user_id", "event_id", "ts", "value")
+            .withWatermark("ts", "1 hour"),
+          "user_id", "event_id", "ts", "value")
         .writeStream.outputMode("update")
         .option("checkpointLocation", cp)
         .trigger(Trigger.ProcessingTime(0))
@@ -1128,26 +1130,38 @@ class StreamingSuite extends GraftSuite {
       val sess = spark
       import sess.implicits._
       implicit val sqlCtx = sess.sqlContext
-      val ms = MemoryStream[(Long, Timestamp, Double)]
+      val ms = MemoryStream[(Long, Long, Timestamp, Double)]
       val out = graft.api.StreamzStateOps.twapStream(
-        ms.toDF().toDF("user_id", "ts", "value").withWatermark("ts", "24 hours"),
-        "user_id", "ts", "value")
+        ms.toDF().toDF("user_id", "event_id", "ts", "value")
+          .withWatermark("ts", "24 hours"),
+        "user_id", "event_id", "ts", "value")
       val q = out.writeStream.format("memory").queryName("twap_ooo")
         .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
       try {
         // 10.0 for 1000s (10:00:00 → 10:16:40)
-        ms.addData((7L, ts("2024-01-01 10:00:00"), 10.0),
-          (7L, ts("2024-01-01 10:16:40"), 99.0))
+        ms.addData((7L, 1L, ts("2024-01-01 10:00:00"), 10.0),
+          (7L, 2L, ts("2024-01-01 10:16:40"), 99.0))
         q.processAllAvailable()
         var rows = spark.table("twap_ooo").collect()
         assert(rows.last.getDouble(2) == 10.0 && rows.last.getLong(3) == 1000L)
         // late reading lands INSIDE the interval: 10.0 for 400s, then
         // 20.0 for 600s → (10*400 + 20*600) / 1000 = 16.0
-        ms.addData((7L, ts("2024-01-01 10:06:40"), 20.0))
+        ms.addData((7L, 3L, ts("2024-01-01 10:06:40"), 20.0))
         q.processAllAvailable()
         rows = spark.table("twap_ooo").collect()
         assert(rows.last.getDouble(2) == 16.0 && rows.last.getLong(3) == 1000L,
           s"late mid-interval reading must re-split the weights; got ${rows.last}")
+        // same-µs tie across batches: the batch window orders by
+        // (ts, event_id), so the HIGHER id of a tie carries the next
+        // interval even when it ARRIVES later
+        ms.addData((8L, 10L, ts("2024-01-01 11:00:00"), 50.0),
+          (8L, 12L, ts("2024-01-01 11:00:30"), 0.0))
+        q.processAllAvailable()
+        ms.addData((8L, 11L, ts("2024-01-01 11:00:00"), 70.0))
+        q.processAllAvailable()
+        val u8 = spark.table("twap_ooo").collect().filter(_.getLong(0) == 8L).last
+        assert(u8.getDouble(2) == 70.0 && u8.getLong(3) == 30L,
+          s"tie order must match the batch (ts, event_id) window; got $u8")
       } finally q.stop()
     }
   }
