@@ -31,6 +31,7 @@ object Engine {
       case t => spark.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(t)
     }
     FloatVecDot.register(spark)
+    functions.KllQuantile.register(spark) // kll_sketch_agg / kll_union_agg / kll_quantiles
     // opt-in optimizer rewrite: range-only joins → binned equi-joins
     // (fires only when spark.graft.rangeBin.width is set — see
     // plans/RangeBinJoinRule)

@@ -133,6 +133,35 @@ object Scalars2 {
       |FROM orders
       |ORDER BY o_orderkey""".stripMargin
 
+  // ---- #110 q_agg_quantile_sketch ----------------------------------------
+  // Mergeable KLL quantile sketches (functions/KllQuantile): per-flag
+  // sketches of l_extendedprice, plus a GLOBAL row re-merged from the
+  // per-flag partials via kll_union_agg — the sketch-persistence move
+  // that makes 100 TB percentiles one linear pass + a KB-sized merge
+  // instead of a full-domain sort (#89 stays the exact oracled row).
+  // Engine-specific (sketch bytes / estimates differ across engines) —
+  // declared no_oracle like #21b; ExtrasSuite pins the ≤3% rank-error
+  // bound and partial-vs-direct merge equivalence.
+  val qAggQuantileSketch: Q = (s, dir) => {
+    graft.functions.KllQuantile.register(s)
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+    s.sql(
+      """WITH parts AS (
+        |  SELECT l_returnflag,
+        |         kll_sketch_agg(CAST(l_extendedprice AS DOUBLE)) AS sk
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        |       round(qs[0], 2) AS p50, round(qs[1], 2) AS p95, round(qs[2], 2) AS p99
+        |FROM (SELECT l_returnflag, kll_quantiles(sk, array(0.5, 0.95, 0.99)) AS qs
+        |      FROM parts)
+        |UNION ALL
+        |SELECT 'ALL' AS l_returnflag,
+        |       round(qs[0], 2) AS p50, round(qs[1], 2) AS p95, round(qs[2], 2) AS p99
+        |FROM (SELECT kll_quantiles(kll_union_agg(sk), array(0.5, 0.95, 0.99)) AS qs
+        |      FROM parts)
+        |ORDER BY l_returnflag""".stripMargin)
+  }
+
   // ------------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "q_win_value_funcs" -> qWinValueFuncs,
@@ -140,6 +169,7 @@ object Scalars2 {
     "q_str_funcs2" -> qStrFuncs2,
     "q_cond_funcs" -> qCondFuncs,
     "q_bitwise" -> qBitwise,
+    "q_agg_quantile_sketch" -> qAggQuantileSketch,
   )
 
   val oracleSql: Map[String, String] = Map(

@@ -504,6 +504,49 @@ class ExtrasSuite extends GraftSuite {
         "if not, the oracle's recursive closure is untested beyond pairs")
   }
 
+  test("KLL quantile sketch: rank error within bound vs exact sort; grouped partials union to the same answer") {
+    graft.functions.KllQuantile.register(spark)
+    graft.Engine.init(spark, sf0001)
+    val sess = spark; import sess.implicits._
+    val exact = spark.table("lineitem")
+      .select($"l_extendedprice".cast("double")).as[Double]
+      .collect().sorted
+    val n = exact.length
+    val probs = Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+    def rankOf(v: Double): Double = {
+      val idx = exact.count(_ <= v) // inclusive rank
+      idx.toDouble / n
+    }
+    // direct sketch over the column, via plain SQL through Engine
+    val direct = spark.sql(
+      s"""SELECT kll_quantiles(kll_sketch_agg(CAST(l_extendedprice AS DOUBLE)),
+         |       array(${probs.mkString(", ")})) AS qs FROM lineitem""".stripMargin)
+      .collect()(0).getSeq[Double](0)
+    // KLL k=200 normalized rank error ≈ 1.65%; assert with headroom
+    probs.zip(direct).foreach { case (p, est) =>
+      assert(math.abs(rankOf(est) - p) <= 0.03,
+        s"p=$p: estimate $est has rank ${rankOf(est)} (err > 3%)")
+    }
+    // mergeability: per-group partial sketches → kll_union_agg must
+    // hold the SAME bound (the partial-aggregation / persistence path)
+    val merged = spark.sql(
+      s"""SELECT kll_quantiles(kll_union_agg(sk), array(${probs.mkString(", ")})) AS qs
+         |FROM (SELECT l_returnflag,
+         |             kll_sketch_agg(CAST(l_extendedprice AS DOUBLE)) AS sk
+         |      FROM lineitem GROUP BY l_returnflag)""".stripMargin)
+      .collect()(0).getSeq[Double](0)
+    probs.zip(merged).foreach { case (p, est) =>
+      assert(math.abs(rankOf(est) - p) <= 0.03,
+        s"merged p=$p: estimate $est has rank ${rankOf(est)} (err > 3%)")
+    }
+    // empty input → NaNs, not a crash
+    val empty = spark.sql(
+      """SELECT kll_quantiles(kll_sketch_agg(CAST(l_extendedprice AS DOUBLE)),
+        |       array(0.5)) AS qs FROM lineitem WHERE l_orderkey < 0""".stripMargin)
+      .collect()(0).getSeq[Double](0)
+    assert(empty.head.isNaN)
+  }
+
   test("Profiling.profile: approx mode matches exact shape with HLL rel-err <= 5%; no expand in the plan") {
     val orders = Tables.orders(spark, sf0001)
     val exact = graft.api.Profiling.profile(orders).collect()
