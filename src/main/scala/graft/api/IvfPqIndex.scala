@@ -361,6 +361,14 @@ object IvfPqIndex {
 
   private def statsPath(dir: String) = s"$dir/stats/probes"
 
+  /** Fallback batch id for non-streaming recordProbes calls: millis
+    * disambiguated by an in-process counter, so two ad-hoc calls in
+    * the same millisecond get distinct `batch=` dirs instead of the
+    * second overwriting the first's stats. */
+  private val adhocSeq = new java.util.concurrent.atomic.AtomicLong(0)
+  private def adhocId(): Long =
+    System.currentTimeMillis() * 1000L + (adhocSeq.getAndIncrement() % 1000L)
+
   /** Log a query workload's probe routing into the index's stats
     * side-table (`stats/probes/batch=<id>`, one tiny aggregate row per
     * probed cell per call). The serving tier calls this on its query
@@ -380,7 +388,7 @@ object IvfPqIndex {
       nProbe: Int = 4, batchId: Option[Long] = None): Unit = {
     val meta = loadMeta(spark, indexDir)
     val probe = IvfIndex.nearestCells(meta.centers, nProbe)
-    val id = batchId.getOrElse(System.currentTimeMillis())
+    val id = batchId.getOrElse(adhocId())
     queries.select(explode(probe(col("embedding"))).as("cell"))
       .groupBy(col("cell")).agg(count(lit(1)).as("n_probes"))
       .repartition(1)

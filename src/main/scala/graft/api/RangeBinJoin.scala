@@ -63,17 +63,23 @@ object RangeBinJoin {
     // the maxBins guard: a row whose interval spans more bins fails
     // loudly instead of exploding unbounded (pick binWidth ≈ the
     // typical interval; raise maxBins only deliberately).
+    // backtick-quote the interpolated names (doubling embedded
+    // backticks) — a name with spaces/dots/hyphens must not break the
+    // parse or resolve as struct-field access (same escaping rule as
+    // Profiling.profile)
+    def q(name: String) = "`" + name.replace("`", "``") + "`"
+    val (lo, hi, v) = (q(loCol), q(hiCol), q(valCol))
     val lb = left.withColumn("_bin", explode(expr(
-      s"CASE WHEN ($loCol div ${binWidth}L) > ($hiCol div ${binWidth}L) " +
+      s"CASE WHEN ($lo div ${binWidth}L) > ($hi div ${binWidth}L) " +
         s"THEN CAST(ARRAY() AS ARRAY<BIGINT>) " + // empty interval → no bins
-        s"WHEN ($hiCol div ${binWidth}L) - ($loCol div ${binWidth}L) > ${maxBins}L " +
+        s"WHEN ($hi div ${binWidth}L) - ($lo div ${binWidth}L) > ${maxBins}L " +
         s"THEN CAST(raise_error(CONCAT('RangeBinJoin: interval spans more than " +
-        s"$maxBins bins of width $binWidth at row value ', $loCol, '..', $hiCol, " +
+        s"$maxBins bins of width $binWidth at row value ', $lo, '..', $hi, " +
         s"' — widen binWidth or raise maxBins')) AS ARRAY<BIGINT>) " +
-        s"ELSE sequence($loCol div ${binWidth}L, $hiCol div ${binWidth}L, 1L) END")))
-    val rb = right.withColumn("_bin", expr(s"$valCol div ${binWidth}L"))
+        s"ELSE sequence($lo div ${binWidth}L, $hi div ${binWidth}L, 1L) END")))
+    val rb = right.withColumn("_bin", expr(s"$v div ${binWidth}L"))
     lb.join(rb, Seq("_bin"))
-      .filter(col(valCol) > col(loCol) && col(valCol) <= col(hiCol))
+      .filter(col(v) > col(lo) && col(v) <= col(hi))
       .drop("_bin")
   }
 }

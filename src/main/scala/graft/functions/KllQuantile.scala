@@ -53,7 +53,15 @@ object KllQuantile {
         KllSketchAgg(exprs.head, k)
       }, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "kll_union_agg", exprs => KllUnionAgg(exprs.head), "scala_udf")
+      "kll_union_agg", exprs => {
+        val k = if (exprs.length > 1) exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+            v.toString.toInt
+          case other => throw new IllegalArgumentException(
+            s"kll_union_agg: k must be a literal, got $other")
+        } else 0 // 0 = adopt the first input sketch's k
+        KllUnionAgg(exprs.head, k)
+      }, "scala_udf")
     spark.udf.register("kll_quantiles",
       (bytes: Array[Byte], probs: Seq[Double]) => {
         val s = heapify(bytes)
@@ -103,9 +111,16 @@ case class KllSketchAgg(
 }
 
 /** Union BINARY KLL sketches (re-merge persisted or grouped partials —
-  * the mergeable-sketch persistence move, same as hll_union_agg). */
+  * the mergeable-sketch persistence move, same as hll_union_agg).
+  *
+  * k = 0 (the default) sizes the merge buffer from the FIRST input
+  * sketch, so `kll_sketch_agg(x, 400)` partials union at k=400
+  * accuracy instead of silently degrading to the k=200 default (KLL
+  * merge takes min-k). An explicit literal k pins it:
+  * `kll_union_agg(sketch, 400)`. */
 case class KllUnionAgg(
     child: Expression,
+    k: Int = 0,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[KllDoublesSketch] with UnaryLike[Expression] {
@@ -114,18 +129,23 @@ case class KllUnionAgg(
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = false
   override def createAggregationBuffer(): KllDoublesSketch =
-    KllDoublesSketch.newHeapInstance(KllQuantile.DEFAULT_K)
+    KllDoublesSketch.newHeapInstance(if (k > 0) k else KllQuantile.DEFAULT_K)
   override def update(buf: KllDoublesSketch, input: InternalRow): KllDoublesSketch = {
     val v = child.eval(input)
-    if (v != null) {
+    if (v == null) buf
+    else {
       val other = KllDoublesSketch.heapify(
         Memory.wrap(v.asInstanceOf[Array[Byte]]))
-      buf.merge(other)
+      if (k <= 0 && buf.isEmpty && buf.getK != other.getK) {
+        // re-seed the still-empty buffer at the incoming sketch's k —
+        // merging into the k=200 default would clamp accuracy to min-k
+        val fresh = KllDoublesSketch.newHeapInstance(other.getK)
+        fresh.merge(other); fresh
+      } else { buf.merge(other); buf }
     }
-    buf
   }
   override def merge(a: KllDoublesSketch, b: KllDoublesSketch): KllDoublesSketch = {
-    a.merge(b); a
+    if (a.isEmpty) b else { a.merge(b); a }
   }
   override def eval(buf: KllDoublesSketch): Any = buf.toByteArray
   override def serialize(buf: KllDoublesSketch): Array[Byte] = buf.toByteArray

@@ -48,9 +48,14 @@ object Analytics {
       .join(s2, "user_id")
       .filter(col("us") > col("t2") && col("us") <= col("t2") + DAY_US)
       .groupBy(col("user_id")).agg(min(col("us")).as("t3"))
-    s1.agg(count(lit(1)).as("n_view"))
-      .crossJoin(s2.agg(count(lit(1)).as("n_view_click")))
-      .crossJoin(s3.agg(count(lit(1)).as("n_view_click_purchase")))
+    // the final answer is three scalar counts — materialize them
+    // through the caches NOW, then unpersist, so repeated calls in a
+    // long-lived session don't accumulate cached frontier plans
+    // (previously relied on the caller's catalog.clearCache())
+    val (n1, n2, n3) = (s1.count(), s2.count(), s3.count())
+    s1.unpersist(); s2.unpersist()
+    import s.implicits._
+    Seq((n1, n2, n3)).toDF("n_view", "n_view_click", "n_view_click_purchase")
   }
 
   val qFunnelSql: String = EV +

@@ -38,6 +38,20 @@ object SearchDedup {
     * names and equality filters, not regexes).
     */
   def bm25(s: SparkSession, dir: String, terms: Seq[String], k: Int): DataFrame = {
+    val (topk, perDoc) = bm25Frames(s, dir, terms, k)
+    // k rows — materialize through the cache, then unpersist, so a
+    // long-lived session calling bm25 repeatedly doesn't accumulate
+    // cached per-doc plans (previously relied on catalog.clearCache())
+    val rows = topk.collect()
+    perDoc.unpersist()
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), topk.schema)
+  }
+
+  /** The lazy plan behind [[bm25]]: (top-k frame, cached per-doc
+    * table). PlanSuite pins the plan shape on this (TakeOrdered +
+    * single cached corpus pass); callers own the unpersist. */
+  private[graft] def bm25Frames(s: SparkSession, dir: String, terms: Seq[String],
+      k: Int): (DataFrame, DataFrame) = {
     require(terms.nonEmpty && k > 0, s"need terms and k > 0 (got $terms, $k)")
     val words = Tables.documents(s, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
@@ -63,11 +77,12 @@ object SearchDedup {
         (col(s"tf_$t").cast("double") * lit(2.2)) /
         (col(s"tf_$t").cast("double") +
           lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl"))))
-    perDoc.crossJoin(broadcast(glob))
+    val topk = perDoc.crossJoin(broadcast(glob))
       .select(col("doc_id"),
         round(terms.map(termScore).reduceLeft(_ + _), 6).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
+    (topk, perDoc)
   }
 
   val qTextBm25Sql: String = {

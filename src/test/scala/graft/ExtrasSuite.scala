@@ -545,6 +545,24 @@ class ExtrasSuite extends GraftSuite {
         |       array(0.5)) AS qs FROM lineitem WHERE l_orderkey < 0""".stripMargin)
       .collect()(0).getSeq[Double](0)
     assert(empty.head.isNaN)
+    // k preservation (r9 ADVICE fix): unioning k=400 partials must
+    // yield a k=400 sketch, not silently clamp to the k=200 default
+    // (KLL merge takes min-k, so a default-sized union buffer would
+    // halve the advertised accuracy); explicit kll_union_agg(sk, 400)
+    // pins the same thing without relying on first-input inference
+    import org.apache.datasketches.kll.KllDoublesSketch
+    import org.apache.datasketches.memory.Memory
+    Seq("kll_union_agg(sk)", "kll_union_agg(sk, 400)").foreach { agg =>
+      val bytes = spark.sql(
+        s"""SELECT $agg AS sk
+           |FROM (SELECT l_returnflag,
+           |             kll_sketch_agg(CAST(l_extendedprice AS DOUBLE), 400) AS sk
+           |      FROM lineitem GROUP BY l_returnflag)""".stripMargin)
+        .collect()(0).getAs[Array[Byte]](0)
+      val sk = KllDoublesSketch.heapify(Memory.wrap(bytes))
+      assert(sk.getK == 400, s"$agg of k=400 partials degraded to k=${sk.getK}")
+      assert(sk.getN == n, s"$agg lost values: ${sk.getN} != $n")
+    }
   }
 
   test("Profiling.profile: approx mode matches exact shape with HLL rel-err <= 5%; no expand in the plan") {

@@ -239,7 +239,10 @@ class PlanSuite extends GraftSuite {
   }
 
   test("q_text_bm25 (#102): top-10 via TakeOrderedAndProject; documents scanned once") {
-    val df = queries.SearchDedup.qTextBm25(spark, sf0001)
+    // the public surface materializes+unpersists (r9 leak fix), so pin
+    // the plan on the lazy frames behind it
+    val (df, perDoc) = queries.SearchDedup.bm25Frames(
+      spark, sf0001, Seq("hash", "join", "merge"), 10)
     val p = plan(df)
     assert(p.contains("TakeOrderedAndProject"),
       s"global top-10 must not be a full sort:\n$p")
@@ -252,6 +255,7 @@ class PlanSuite extends GraftSuite {
     val exec = df.queryExecution.executedPlan.toString
     assert(exec.contains("InMemoryTableScan") || exec.contains("ReusedExchange"),
       s"per-doc table must be cached (one corpus materialization):\n$exec")
+    perDoc.unpersist()
   }
 
   test("pq_adc: codegen'd in-stage, unsigned byte mask correct") {
