@@ -370,10 +370,13 @@ object PipelineExtras {
       |ORDER BY doc_a, doc_b""".stripMargin
 
   // ---- #63 q_dedup_embed_cosine ------------------------------------------
-  // Near-dup detection by embedding cosine, blocked by label (the
-  // blocking key stands in for an IVF/LSH bucket at scale: pairs are
-  // only generated within a block). Unit-normalized vectors ⇒ cosine
-  // = dot product.
+  // Near-dup detection by embedding cosine, blocked by label. The
+  // label is a STAND-IN block (all-pairs within it — quadratic if a
+  // block grows); the scale path is #111 q_dedup_embed_bucketed,
+  // whose block is derived from the vector itself (sign bands) so the
+  // same bucket→re-rank shape holds at 100 TB. #63 stays as the exact
+  // fixture cross-check the bucketed row's recall is measured against.
+  // Unit-normalized vectors ⇒ cosine = dot product.
   val qDedupEmbedCosine: Q = (s, dir) => {
     graft.functions.FloatVecDot.register(s)
     val e = Tables.embeddings(s, dir)
@@ -395,6 +398,37 @@ object PipelineExtras {
       |    ON a.label = b.label AND a.vec_id < b.vec_id)
       |SELECT ia, ib, cos_sim FROM p WHERE cos_sim >= 0.4
       |ORDER BY ia, ib""".stripMargin
+
+  // ---- #111 q_dedup_embed_bucketed ---------------------------------------
+  // The scale-safe embedding dedup: candidates from DETERMINISTIC
+  // sign-band blocking (api/EmbedBlocking — 64 bands × 8 fixed dims,
+  // frozen table), exact cosine ≥ 0.4 re-rank on candidates only.
+  // Every band key is integer sign arithmetic, so the DuckDB oracle
+  // recomputes IDENTICAL candidates and the row is fully hash-checked
+  // (same reason #71's MinHash banding is oracle-able). Unlike #63 it
+  // needs no label: blocking is content-derived, the candidate join
+  // is a (band, key) equi-join, and nothing is all-pairs — the plan
+  // that survives 100 TB (PlanSuite pins no-cartesian).
+  val qDedupEmbedBucketed: Q = (s, dir) =>
+    graft.api.EmbedBlocking.dedupPairs(
+      s, Tables.embeddings(s, dir), "vec_id", "embedding", tau = 0.4)
+
+  val qDedupEmbedBucketedSql: String =
+    s"""WITH dims(band, bit, dim) AS (VALUES ${graft.api.EmbedBlocking.dimsValuesSql}),
+       |k AS (
+       |  SELECT e.vec_id, d.band,
+       |         SUM(CASE WHEN e.embedding[d.dim + 1] >= 0 THEN 1 << d.bit ELSE 0 END) AS key
+       |  FROM embeddings e CROSS JOIN dims d GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+       |  FROM k a JOIN k b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
+       |p AS (
+       |  SELECT ia, ib,
+       |         ROUND(list_sum(list_transform(generate_series(1, 64),
+       |           i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE))), 6) AS cos_sim
+       |  FROM cand JOIN embeddings ea ON ea.vec_id = cand.ia
+       |            JOIN embeddings eb ON eb.vec_id = cand.ib)
+       |SELECT ia, ib, cos_sim FROM p WHERE cos_sim >= 0.4 ORDER BY ia, ib""".stripMargin
 
   // ---- #64 q_text_langid -------------------------------------------------
   // N-gram-profile language ID: profile = each lang's top-10 terms by
@@ -830,6 +864,7 @@ object PipelineExtras {
     "q_dedup_ngram_jaccard" -> qDedupNgramJaccard,
     "q_dedup_containment" -> qDedupContainment,
     "q_dedup_embed_cosine" -> qDedupEmbedCosine,
+    "q_dedup_embed_bucketed" -> qDedupEmbedBucketed,
     "q_text_langid" -> qTextLangid,
     "q_text_quality" -> qTextQuality,
     "q_text_tokens" -> qTextTokens,
@@ -847,6 +882,7 @@ object PipelineExtras {
     "q_dedup_ngram_jaccard" -> qDedupNgramJaccardSql,
     "q_dedup_containment" -> qDedupContainmentSql,
     "q_dedup_embed_cosine" -> qDedupEmbedCosineSql,
+    "q_dedup_embed_bucketed" -> qDedupEmbedBucketedSql,
     "q_text_langid" -> qTextLangidSql,
     "q_text_quality" -> qTextQualitySql,
     "q_text_tokens" -> qTextTokensSql,

@@ -590,6 +590,39 @@ class ExtrasSuite extends GraftSuite {
   private def plan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.sparkPlan.toString
 
+  test("q_dedup_embed_bucketed (#111): recall vs the exact row, candidates bounded, blocking beats chance") {
+    val e = Tables.embeddings(spark, sf0001)
+    val n = e.count()
+    val allPairs = n * (n - 1) / 2
+    // #63's label-blocked exact pairs are the recall reference
+    val exact = graft.queries.PipelineExtras.qDedupEmbedCosine(spark, sf0001)
+      .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture must contain cos >= 0.4 pairs")
+    val cands = graft.api.EmbedBlocking.candidatePairs(e, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val frac = cands.size.toDouble / allPairs
+    // scale shape: candidates stay a bounded fraction of all pairs
+    // (model bound BANDS * 2^-BITS = 0.25; measured 0.193)
+    assert(frac <= 0.25, f"candidate fraction $frac%.3f exceeds the band model bound")
+    // recall on the fixture's WORST-case geometry (random unit
+    // vectors, tau=0.4 => per-dim sign agreement ~0.63): deterministic
+    // measured 0.8 here; production near-dup thresholds (cos >= 0.85)
+    // put the same table at recall ~1 (see EmbedBlocking scaladoc)
+    val recall = (exact & cands).size.toDouble / exact.size
+    assert(recall >= 0.6, f"recall $recall%.2f vs #63's pairs below floor")
+    // the blocking must CONCENTRATE true pairs, not sample at random:
+    // recall >= 3x the candidate fraction (measured ~4.1x)
+    assert(recall >= 3 * frac,
+      f"recall $recall%.2f <= 3 x candidate fraction $frac%.3f — blocking no better than chance")
+    // and the oracled row's output = exact cosine re-rank over exactly
+    // these candidates (subset sanity vs a brute-force recompute)
+    val out = graft.queries.PipelineExtras.qDedupEmbedBucketed(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.subsetOf(cands), "output pairs must come from the candidate set")
+    assert((exact & cands).subsetOf(out),
+      "every exact pair that IS a candidate must survive the re-rank")
+  }
+
   test("q_text_bm25 (#102): top-10, descending rounded scores, multi-term ranking sane") {
     val rows = graft.queries.SearchDedup.qTextBm25(spark, sf0001).collect()
     assert(rows.length == 10)

@@ -238,6 +238,14 @@ class PlanSuite extends GraftSuite {
       s"expected the interval side's bin explode in the plan:\n$p")
   }
 
+  test("q_dedup_embed_bucketed (#111): no cartesian/BNLJ — candidates via (band, key) equi-join") {
+    val p = plan(queries.PipelineExtras.qDedupEmbedBucketed(spark, sf0001))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"bucketed embedding dedup must never go all-pairs:\n$p")
+    // the band-key generation is a projection-side explode, not a shuffle
+    assert(p.contains("Generate explode"), s"expected the band-key explode:\n$p")
+  }
+
   test("q_text_bm25 (#102): top-10 via TakeOrderedAndProject; documents scanned once") {
     // the public surface materializes+unpersists (r9 leak fix), so pin
     // the plan on the lazy frames behind it
