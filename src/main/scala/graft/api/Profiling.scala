@@ -54,4 +54,65 @@ object Profiling {
         "AS (column_name, n_nulls, n_distinct)")
       .orderBy("column_name")
   }
+
+  /** Full ANALYZE for NUMERIC columns — [[profile]]'s counts plus
+    * min/max/avg, still ONE aggregate pass over the table, one output
+    * row per column.
+    *
+    * Same two modes:
+    *  - `exact = true` — exact distincts (multi-distinct expand, the
+    *    oracled `q_profile_stats` path); min/max are exact by nature;
+    *    avg is `round(avg(double), 6)` — deterministic whenever the
+    *    column's double sum is exact (integer-valued columns; money
+    *    columns should be profiled on their decimal cast).
+    *  - `exact = false` — `approx_count_distinct` AND mergeable KLL
+    *    sketches (`kll_sketch_agg`, k=200 ⇒ rank error ≈ 1.65%)
+    *    giving `p50`/`p95` per column in the SAME pass: no expand,
+    *    every aggregate partial-merges map-side — the 100 TB ANALYZE.
+    *    Sketch bytes are engine-specific, so this mode is suite-bound
+    *    (ExtrasSuite: rank error ≤ 3% vs the exact sort), not oracled.
+    */
+  def profileStats(df: DataFrame, columns: Seq[String] = Nil,
+                   exact: Boolean = true): DataFrame = {
+    val cols = if (columns.nonEmpty) columns else df.columns.toSeq
+    require(cols.nonEmpty, "nothing to profile")
+    val bad = cols.filterNot(df.columns.contains)
+    require(bad.isEmpty, s"unknown columns: ${bad.mkString(", ")}")
+    if (!exact) graft.functions.KllQuantile.register(df.sparkSession)
+    def sqlLit(s: String) = "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    def qname(c: String) = "`" + c.replace("`", "``") + "`"
+    def qcol(c: String) = col(qname(c))
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+      val d = qcol(c).cast("double")
+      Seq(
+        sum(qcol(c).isNull.cast("long")).as(s"nn_$i"),
+        (if (exact) countDistinct(qcol(c))
+         else approx_count_distinct(qcol(c), 0.02)).as(s"nd_$i"),
+        min(d).as(s"mn_$i"),
+        max(d).as(s"mx_$i"),
+        round(avg(d), 6).as(s"av_$i")) ++
+        (if (exact) Nil
+         else Seq(expr(s"kll_sketch_agg(CAST(${qname(c)} AS DOUBLE))").as(s"kll_$i")))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    if (exact) {
+      val stackArgs = cols.indices.map(i =>
+        s"${sqlLit(cols(i))}, nn_$i, nd_$i, mn_$i, mx_$i, av_$i").mkString(", ")
+      one.selectExpr(s"stack(${cols.length}, $stackArgs) " +
+          "AS (column_name, n_nulls, n_distinct, min_v, max_v, avg_v)")
+        .orderBy("column_name")
+    } else {
+      // extract p50/p95 from each sketch on the single aggregated row
+      // (group-count-sized input — the extractor UDF is off the hot path)
+      val withQ = cols.indices.foldLeft(one) { (acc, i) =>
+        acc.withColumn(s"q_$i", expr(s"kll_quantiles(kll_$i, array(0.5D, 0.95D))"))
+      }
+      val stackArgs = cols.indices.map(i =>
+        s"${sqlLit(cols(i))}, nn_$i, nd_$i, mn_$i, mx_$i, av_$i, " +
+          s"q_$i[0], q_$i[1]").mkString(", ")
+      withQ.selectExpr(s"stack(${cols.length}, $stackArgs) " +
+          "AS (column_name, n_nulls, n_distinct, min_v, max_v, avg_v, p50, p95)")
+        .orderBy("column_name")
+    }
+  }
 }

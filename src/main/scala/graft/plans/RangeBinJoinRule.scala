@@ -23,10 +23,19 @@ import org.apache.spark.sql.types.{ArrayType, LongType}
   * rewrite is correct for any strictness/openness of the bounds and
   * any bin width.
   *
-  * Deliberately opt-in and narrow (v1):
-  *  - fires only when `spark.graft.rangeBin.width` is set > 0 — bin
-  *    width is a units-of-the-data decision (15 min in µs, 1 day in
-  *    days…) the engine cannot guess without stats;
+  * Deliberately opt-in and narrow:
+  *  - fires only when a width is DECLARED, by (in priority order):
+  *    a per-join `df.hint("range_bin", w)` on either join input
+  *    (resolved to a [[RangeBinWidthHint]] marker by the
+  *    session-extension analyzer rule — see [[graft.GraftExtensions]]),
+  *    the session conf `spark.graft.rangeBin.width` set to a long,
+  *    or the conf set to `auto`, which derives the width per join
+  *    from a sampled quantile of the observed interval widths (p90 of
+  *    up to 10 000 bounds-side rows ⇒ ≥ 90% of rows explode into ≤ 2
+  *    bins; cached per canonicalized bounds plan). `auto` stays
+  *    opt-in because it runs a small sampling job during optimization
+  *    — silently scanning user data to plan user queries is a
+  *    decision the session owner makes, not the engine;
   *  - only INNER joins whose condition is precisely one lower and
   *    one upper bound on the same BIGINT value expression, each
   *    bound referencing only the opposite side, everything
@@ -93,19 +102,91 @@ object RangeBinJoinRule extends Rule[LogicalPlan] {
     case other => Seq(other)
   }
 
+  /** Conf-declared width: Fixed(w), Auto (sample per join), or None. */
+  private sealed trait WidthSpec
+  private case class Fixed(w: Long) extends WidthSpec
+  private case object Auto extends WidthSpec
+
+  /** Nearest range_bin hint marker under `p`, NOT descending into a
+    * nested join (that join owns its own hints). */
+  private def hintWidth(p: LogicalPlan): Option[Long] = p match {
+    case RangeBinWidthHint(_, w) => Some(w)
+    case _: Join => None
+    case other => other.children.iterator.flatMap(hintWidth).nextOption()
+  }
+
+  // re-entrancy guard: the Auto sampler executes a query DURING
+  // optimization; the nested optimization must not itself sample (or
+  // rewrite) — finite by construction either way, but pointless work
+  private val inSampling = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = false
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (inSampling.get()) return plan
     // a malformed conf value must disable the rule with a warning, not
     // throw NumberFormatException into the optimization of EVERY query
     val raw = SQLConf.get.getConfString(WIDTH_CONF, "0")
-    val width = scala.util.Try(raw.toLong).getOrElse {
-      logWarning(s"$WIDTH_CONF='$raw' is not a long — range-bin rewrite disabled")
-      0L
-    }
-    if (width <= 0) return plan
-    plan.transformUp {
+    val confSpec: Option[WidthSpec] =
+      if (raw.equalsIgnoreCase("auto")) Some(Auto)
+      else scala.util.Try(raw.toLong).toOption match {
+        case Some(w) if w > 0 => Some(Fixed(w))
+        case Some(_) => None // 0 / negative = disabled
+        case None =>
+          logWarning(s"$WIDTH_CONF='$raw' is not a long or 'auto' — " +
+            "range-bin rewrite disabled")
+          None
+      }
+    val anyHint = plan.exists { case _: RangeBinWidthHint => true; case _ => false }
+    if (confSpec.isEmpty && !anyHint) return plan
+    val rewritten = plan.transformUp {
       case j @ Join(left, right, Inner, Some(cond), _)
           if !j.isStreaming && j.resolved =>
-        rewrite(j, left, right, cond, width).getOrElse(j)
+        val spec = hintWidth(left).orElse(hintWidth(right)).map(Fixed(_))
+          .orElse(confSpec)
+        spec.flatMap(s => rewrite(j, left, right, cond, s)).getOrElse(j)
+    }
+    // hints are consumed (or ignored — e.g. on an equi-keyed join the
+    // rule stays hands-off): always strip the markers so nothing
+    // unknown reaches physical planning
+    rewritten.transformUp { case RangeBinWidthHint(c, _) => c }
+  }
+
+  /** Auto mode: width = p90 of observed interval widths over a sample
+    * of the bounds side (≤ [[SAMPLE_ROWS]] rows), so ≥ 90% of rows
+    * explode into ≤ 2 bins. Cached by canonicalized (plan, lo, hi) —
+    * re-optimizing the same join (AQE re-plans, repeated queries)
+    * must not re-scan. */
+  val SAMPLE_ROWS = 10000
+  private val widthCache =
+    new java.util.concurrent.ConcurrentHashMap[(LogicalPlan, Expression, Expression), java.lang.Long]()
+
+  private def sampledWidth(boundsSide: LogicalPlan, lo: Expression,
+      hi: Expression): Option[Long] = {
+    val key = (boundsSide.canonicalized, lo.canonicalized, hi.canonicalized)
+    Option(widthCache.get(key)).map(_.longValue()).orElse {
+      val spark = SparkSession.active
+      inSampling.set(true)
+      try {
+        val proj = Project(Seq(Alias(Subtract(hi, lo), "_graft_w")()), boundsSide)
+        val widths = org.apache.spark.sql.graft.LogicalPlanExec
+          .ofRows(spark, Limit(Literal(SAMPLE_ROWS), proj))
+          .collect().iterator
+          .filterNot(_.isNullAt(0)).map(_.getLong(0)).filter(_ >= 0L).toArray
+        if (widths.isEmpty) {
+          logWarning(s"$WIDTH_CONF=auto: no non-empty intervals in the sample — " +
+            "leaving the join un-rewritten")
+          None
+        } else {
+          java.util.Arrays.sort(widths)
+          val w = math.max(1L,
+            widths(math.max(0, math.min(widths.length - 1,
+              math.ceil(0.9 * widths.length).toInt - 1))))
+          if (widthCache.size > 256) widthCache.clear() // bounded; repopulates
+          widthCache.put(key, w)
+          Some(w)
+        }
+      } finally inSampling.set(false)
     }
   }
 
@@ -129,7 +210,7 @@ object RangeBinJoinRule extends Rule[LogicalPlan] {
     }
 
   private def rewrite(j: Join, left: LogicalPlan, right: LogicalPlan,
-                      cond: Expression, width: Long): Option[LogicalPlan] = {
+                      cond: Expression, spec: WidthSpec): Option[LogicalPlan] = {
     val conjuncts = splitConjuncts(cond)
     if (conjuncts.length != 2) return None
     val (boundsSide, valSide, vx, lo, hi) =
@@ -140,6 +221,12 @@ object RangeBinJoinRule extends Rule[LogicalPlan] {
           case None => return None
         }
       }
+    // width only AFTER the shape matched: Auto must never sample for a
+    // join the rule would not rewrite anyway
+    val width = spec match {
+      case Fixed(w) => w
+      case Auto => sampledWidth(boundsSide, lo, hi).getOrElse(return None)
+    }
 
     val maxBins = scala.util.Try(
       SQLConf.get.getConfString(MAX_BINS_CONF, MAX_BINS_DEFAULT.toString).toLong)

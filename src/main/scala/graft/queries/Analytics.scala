@@ -172,6 +172,30 @@ object Analytics {
         s"COUNT(DISTINCT $c) AS n_distinct FROM orders")
       .mkString("\nUNION ALL ") + "\nORDER BY column_name"
 
+  // ---- #113 q_profile_stats ----------------------------------------------
+  // Full ANALYZE over lineitem's numeric columns: #107's counts plus
+  // min/max/avg, one aggregate pass (api/Profiling.profileStats).
+  // Exact mode is the oracled row; all five columns are integer-valued
+  // so the double sums behind avg are exact and round(.,6) is
+  // deterministic cross-engine (§2.5.2). The 100 TB path is
+  // profileStats(exact = false): approx distincts + mergeable KLL
+  // p50/p95 in the same pass, no multi-distinct expand — suite-bound
+  // in ExtrasSuite (sketches are engine-specific, like #110).
+  val PROFILE_STATS_COLS =
+    Seq("l_linenumber", "l_orderkey", "l_partkey", "l_quantity", "l_suppkey")
+
+  val qProfileStats: Q = (s, dir) =>
+    graft.api.Profiling.profileStats(
+      Tables.lineitem(s, dir), PROFILE_STATS_COLS, exact = true)
+
+  val qProfileStatsSql: String =
+    PROFILE_STATS_COLS.map(c =>
+      s"SELECT '$c' AS column_name, COUNT(*) - COUNT($c) AS n_nulls, " +
+        s"COUNT(DISTINCT $c) AS n_distinct, CAST(MIN($c) AS DOUBLE) AS min_v, " +
+        s"CAST(MAX($c) AS DOUBLE) AS max_v, " +
+        s"ROUND(AVG(CAST($c AS DOUBLE)), 6) AS avg_v FROM lineitem")
+      .mkString("\nUNION ALL ") + "\nORDER BY column_name"
+
   // ---- #108 q_twap -------------------------------------------------------
   // Time-weighted average of `value` per (user, day) — the
   // metrics/finance aggregate where each reading is weighted by how
@@ -226,6 +250,7 @@ object Analytics {
     "q_cohort_retention" -> qCohortRetention,
     "q_win_distinct_count" -> qWinDistinctCount,
     "q_profile_table" -> qProfileTable,
+    "q_profile_stats" -> qProfileStats,
     "q_twap" -> qTwap,
   )
 
@@ -234,6 +259,7 @@ object Analytics {
     "q_cohort_retention" -> qCohortRetentionSql,
     "q_win_distinct_count" -> qWinDistinctCountSql,
     "q_profile_table" -> qProfileTableSql,
+    "q_profile_stats" -> qProfileStatsSql,
     "q_twap" -> qTwapSql,
   )
 }

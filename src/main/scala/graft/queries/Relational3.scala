@@ -201,6 +201,34 @@ object Relational3 {
       |GROUP BY p.event_id
       |ORDER BY p.event_id""".stripMargin
 
+  // ---- #112 q_join_asof_binned -------------------------------------------
+  // The as-of join (#13's semantics, result-identical) on the bin
+  // machinery instead of the join-all-history + row_number trick:
+  // per-(user, 30-day bin) latest order + a carry window over the
+  // per-bin timeline, so each purchase event touches one bin's raw
+  // orders plus one carried row — linear under key skew where #13's
+  // shape is per-key quadratic (api/AsofBinJoin has the full cost
+  // argument). Oracle = #13's exact SQL: same semantics, same rows.
+  val qJoinAsofBinned: Q = (s, dir) => {
+    val ev = Tables.events(s, dir).filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("_t"))
+    val o = Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        // o_orderdate is TIMESTAMP_NTZ; UTC session ⇒ the cast is the
+        // same wall-clock instant mapping #13's NTZ<=TZ coercion uses
+        unix_micros(col("o_orderdate").cast("timestamp")).as("_rt"))
+    graft.api.AsofBinJoin.asofJoin(
+        ev, leftIdCol = "event_id", leftTimeCol = "_t", keysLeft = Seq("user_id"),
+        right = o, rightTimeCol = "_rt", keysRight = Seq("o_custkey"),
+        tieBreakCols = Seq("o_orderkey"), binWidth = 30L * 86400000000L)
+      .select(col("event_id"), col("user_id"),
+        col("o_orderkey").as("asof_orderkey"),
+        col("o_orderdate").cast("date").as("asof_orderdate"))
+      .orderBy("event_id")
+  }
+
+  val qJoinAsofBinnedSql: String = Relational.qJoinAsofSql
+
   // ------------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "q_string_agg" -> qStringAgg,
@@ -209,6 +237,7 @@ object Relational3 {
     "q_histogram" -> qHistogram,
     "q_anomaly_zscore" -> qAnomalyZscore,
     "q_join_range_binned" -> qJoinRangeBinned,
+    "q_join_asof_binned" -> qJoinAsofBinned,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -218,5 +247,6 @@ object Relational3 {
     "q_histogram" -> qHistogramSql,
     "q_anomaly_zscore" -> qAnomalyZscoreSql,
     "q_join_range_binned" -> qJoinRangeBinnedSql,
+    "q_join_asof_binned" -> qJoinAsofBinnedSql,
   )
 }

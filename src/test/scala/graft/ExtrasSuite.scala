@@ -481,6 +481,118 @@ class ExtrasSuite extends GraftSuite {
     } finally spark.conf.unset(graft.plans.RangeBinJoinRule.WIDTH_CONF)
   }
 
+  test("range_bin hint: per-join width beats the conf; conf-only still works; no-op off the range shape") {
+    // the r9 per-join seam: df.hint("range_bin", w) resolved by the
+    // GraftExtensions analyzer rule (UnresolvedHint never survives to
+    // extraOptimizations — this is WHY the extension exists)
+    graft.plans.RangeBinJoinRule.install(spark)
+    val sess = spark; import sess.implicits._
+    val left = spark.range(0, 2000).select(
+      $"id".as("lid"), ($"id" * 37L % 100000L).as("lo"))
+      .withColumn("hi", $"lo" + 500L)
+    val right = spark.range(0, 3000).select(
+      $"id".as("rid"), ($"id" * 61L % 100000L).as("v"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def planOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.toString
+
+    spark.conf.unset(graft.plans.RangeBinJoinRule.WIDTH_CONF)
+    val truth = rows(left.join(right, $"v" > $"lo" && $"v" <= $"hi"))
+
+    // hint alone (no conf): rewrite fires at the hinted width
+    val hinted = left.hint("range_bin", 500L)
+      .join(right, $"v" > $"lo" && $"v" <= $"hi")
+    val hp = planOf(hinted)
+    assert(!hp.contains("BroadcastNestedLoopJoin") && hp.contains(" div 500"),
+      s"hint alone must drive the rewrite at width 500:\n$hp")
+    assert(rows(hinted) == truth)
+
+    try {
+      // hint BEATS conf: conf says 250, hint says 500 — plan bins at 500
+      spark.conf.set(graft.plans.RangeBinJoinRule.WIDTH_CONF, "250")
+      val both = left.hint("range_bin", 500L)
+        .join(right, $"v" > $"lo" && $"v" <= $"hi")
+      val bp = planOf(both)
+      assert(bp.contains(" div 500") && !bp.contains(" div 250"),
+        s"per-join hint must override the session conf:\n$bp")
+      assert(rows(both) == truth)
+
+      // conf-only (no hint) keeps working at the conf width
+      val confOnly = left.join(right, $"v" > $"lo" && $"v" <= $"hi")
+      val cp = planOf(confOnly)
+      assert(cp.contains(" div 250") && !cp.contains("BroadcastNestedLoopJoin"),
+        s"conf fallback must still fire:\n$cp")
+      assert(rows(confOnly) == truth)
+    } finally spark.conf.unset(graft.plans.RangeBinJoinRule.WIDTH_CONF)
+
+    // hint on a non-range (equi-keyed) join: clean no-op — marker is
+    // stripped, no bin machinery, plan executes
+    val equi = left.hint("range_bin", 500L).join(right, $"lid" === $"rid")
+    val ep = planOf(equi)
+    assert(!ep.contains("_graft_bin") && !ep.contains("RangeBinWidthHint"),
+      s"hint off the range shape must vanish without trace:\n$ep")
+    assert(equi.count() > 0)
+  }
+
+  test("range_bin auto width: sampled p90 interval width keeps bins/row <= 2 on the range-binned workload") {
+    // conf=auto derives the width from the data: p90 of sampled
+    // (hi - lo). The q_join_range_binned workload has constant
+    // 15-minute intervals, so the sampled width must be EXACTLY
+    // 900000000 µs — and a width >= every interval width bounds the
+    // explode at floor(hi/W) - floor(lo/W) + 1 <= 2 bins per row.
+    graft.plans.RangeBinJoinRule.install(spark)
+    val sess = spark; import sess.implicits._
+    val W = 900000000L
+    val ev = Tables.events(spark, sf0001)
+      .select(col("event_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), (col("us") - W).as("lo"), col("us").as("hi"))
+    val c = ev.filter(col("event_type") === "click").select(col("us").as("v"))
+    val naive = p.join(c, $"v" > $"lo" && $"v" <= $"hi")
+      .groupBy($"event_id").agg(count(lit(1)).as("n_clicks"))
+    val truth = graft.queries.Relational3.qJoinRangeBinned(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    try {
+      spark.conf.set(graft.plans.RangeBinJoinRule.WIDTH_CONF, "auto")
+      val plan = naive.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"auto mode must remove the nested loop:\n$plan")
+      assert(plan.contains(s" div $W"),
+        s"sampled p90 of constant 15-min intervals must be exactly $W (<= 2 bins/row):\n$plan")
+      val got = naive.orderBy("event_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == truth, "auto-binned rows must match the hand-binned oracle row")
+    } finally spark.conf.unset(graft.plans.RangeBinJoinRule.WIDTH_CONF)
+  }
+
+  test("q_join_asof_binned (#112): row-identical to q_join_asof, including no-match lefts") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), Option(r.get(2)), Option(r.get(3)))).toSeq
+    val classic = rows(graft.queries.Relational.qJoinAsof(spark, sf0001))
+    val binned = rows(graft.queries.Relational3.qJoinAsofBinned(spark, sf0001))
+    assert(classic.nonEmpty)
+    assert(binned == classic,
+      s"binned as-of diverges: ${binned.diff(classic).take(3)} vs ${classic.diff(binned).take(3)}")
+
+    // edge semantics the fixture doesn't plant (every purchase there
+    // has a prior order): no-match left keeps nulls; exact-tie time
+    // (rt == t) is IN; carry crosses empty bins; tie at same rt breaks
+    // by the tiebreak column — all through the API directly
+    val sess = spark; import sess.implicits._
+    val l = Seq((1L, 10L, 1000L), (2L, 20L, 5L), (3L, 10L, 2500L), (4L, 10L, 100L))
+      .toDF("lid", "k", "t")
+    val r = Seq((10L, 100L, 7L, "a"), (10L, 100L, 9L, "b"), (10L, 900L, 1L, "c"))
+      .toDF("rk", "rt", "rtb", "v")
+    val out = graft.api.AsofBinJoin.asofJoin(
+        l, "lid", "t", Seq("k"), r, "rt", Seq("rk"), Seq("rtb"), binWidth = 100L)
+      .select("lid", "v").collect().map(x => x.getLong(0) -> Option(x.get(1))).toMap
+    assert(out(1L) == Some("c"), "latest-before across bins (rt=900 <= t=1000)")
+    assert(out(2L) == None, "no-match key keeps null")
+    assert(out(3L) == Some("c"), "carry must cross empty bins (bins 10..24 empty)")
+    assert(out(4L) == Some("b"), "rt == t is IN; tie at rt=100 breaks by tiebreak desc")
+  }
+
   test("q_dedup_clusters (#103): a valid partition of the pair graph into min-labeled components") {
     val pairs = graft.queries.MinHashDf.qDedupMinhashDf(spark, sf0001)
       .select("doc_a", "doc_b").collect()
@@ -563,6 +675,47 @@ class ExtrasSuite extends GraftSuite {
       assert(sk.getK == 400, s"$agg of k=400 partials degraded to k=${sk.getK}")
       assert(sk.getN == n, s"$agg lost values: ${sk.getN} != $n")
     }
+  }
+
+  test("Profiling.profileStats: approx mode adds KLL p50/p95 in one expand-free pass, rank error <= 3%") {
+    val sess = spark; import sess.implicits._
+    val li = Tables.lineitem(spark, sf0001)
+    val cols = graft.queries.Analytics.PROFILE_STATS_COLS
+    val exactDf = graft.api.Profiling.profileStats(li, cols)
+    val approxDf = graft.api.Profiling.profileStats(li, cols, exact = false)
+    // shape: approx = exact's six columns + p50 + p95
+    assert(exactDf.columns.toSeq ==
+      Seq("column_name", "n_nulls", "n_distinct", "min_v", "max_v", "avg_v"))
+    assert(approxDf.columns.toSeq == exactDf.columns.toSeq ++ Seq("p50", "p95"))
+    val approx = approxDf.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+        r.getDouble(5), r.getDouble(6), r.getDouble(7))).toMap
+    val exact = exactDf.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    cols.foreach { c =>
+      val (nnA, ndA, mnA, mxA, _, p50, p95) = approx(c)
+      val (nnE, ndE, mnE, mxE) = exact(c)
+      assert(nnA == nnE && mnA == mnE && mxA == mxE,
+        s"$c: null/min/max must be exact in both modes")
+      assert(math.abs(ndA - ndE).toDouble / math.max(ndE, 1L) <= 0.05,
+        s"$c: approx distinct $ndA vs exact $ndE")
+      // KLL k=200 rank error ~1.65%: the estimate must lie between the
+      // exact quantiles at p ± 3%. (A value-rank assertion would be
+      // wrong on discrete columns — l_linenumber has 7 values, so the
+      // CDF jumps ~14% per value and the rank of even the TRUE
+      // quantile overshoots p.)
+      val vals = li.select(col(c).cast("double")).as[Double].collect().sorted
+      def exactQ(p: Double) =
+        vals(math.max(0, math.min(vals.length - 1, math.ceil(p * vals.length).toInt - 1)))
+      assert(p50 >= exactQ(0.47) && p50 <= exactQ(0.53),
+        s"$c: p50=$p50 outside [${exactQ(0.47)}, ${exactQ(0.53)}]")
+      assert(p95 >= exactQ(0.92) && p95 <= exactQ(0.98),
+        s"$c: p95=$p95 outside [${exactQ(0.92)}, ${exactQ(0.98)}]")
+    }
+    // the scale claim: the approx pass has NO multi-distinct expand
+    val p = approxDf.queryExecution.executedPlan.toString
+    assert(!p.contains("Expand"),
+      s"approx profileStats must not need the multi-distinct expand:\n$p")
   }
 
   test("Profiling.profile: approx mode matches exact shape with HLL rel-err <= 5%; no expand in the plan") {

@@ -238,6 +238,15 @@ class PlanSuite extends GraftSuite {
       s"expected the interval side's bin explode in the plan:\n$p")
   }
 
+  test("q_join_asof_binned (#112): no BNLJ/cartesian; the lookback is a carry window, not a history join") {
+    val p = plan(queries.Relational3.qJoinAsofBinned(spark, sf0001))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"binned as-of must stay equi-join shaped:\n$p")
+    // the raw-history candidate join is bin-scoped: its condition
+    // carries the _bin equality alongside the key
+    assert(p.contains("_bin"), s"expected the bin-scoped candidate join:\n$p")
+  }
+
   test("q_dedup_embed_bucketed (#111): no cartesian/BNLJ — candidates via (band, key) equi-join") {
     val p = plan(queries.PipelineExtras.qDedupEmbedBucketed(spark, sf0001))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -12,6 +12,9 @@ object SparkTestBase {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // session-build extension point: analyzer-injected range_bin
+      // hint resolution (runtime install() cannot add analyzer rules)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       // static conf: keep saveAsTable outputs out of the repo dir
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_wh").toString)
