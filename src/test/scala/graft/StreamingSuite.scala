@@ -1209,4 +1209,59 @@ class StreamingSuite extends GraftSuite {
     } finally q.stop()
     }
   }
+
+  test("StreamContain: streamed containment == batch q_dedup_containment, across a restart; subset pair found cross-batch") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx = sess.sqlContext
+    // corpus = fixture + the planted quote-in-doc pair, split so the
+    // CONTAINER arrives in batch 0 and the QUOTE in batch 1 — the
+    // subset pair must surface across batches, i.e. through the
+    // frozen-prefix / posting state, not within one micro-batch
+    val words = (1 to 300).map(i => s"w${i * 7 % 211}x$i")
+    val planted = Seq((9000L, words.mkString(" ")),
+      (9001L, words.slice(100, 130).mkString(" ")))
+    val fixture = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val (chunk1, chunk2) = fixture.partition(_._1 % 2 == 0)
+    val state = java.nio.file.Files.createTempDirectory("scont_state").toString
+    val out = java.nio.file.Files.createTempDirectory("scont_out").toString
+    val cp = java.nio.file.Files.createTempDirectory("scont_cp").toString
+    val ms = MemoryStream[(Long, String)]
+    def start() = graft.api.StreamContain.start(
+      ms.toDF().toDF("doc_id", "text"), state, out, cp)
+    val q1 = start()
+    ms.addData((chunk1.toSeq :+ planted.head): _*)
+    q1.processAllAvailable()
+    q1.stop() // mid-stream kill: offsets survive only via the checkpoint
+    val q2 = start()
+    ms.addData((chunk2.toSeq :+ planted(1)): _*)
+    q2.processAllAvailable()
+    q2.stop()
+    def pairMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val got = pairMap(graft.api.StreamContain.readPairs(spark, out))
+    val want = pairMap(graft.queries.PipelineExtras.ngramContainmentPairs(
+      spark.createDataFrame(fixture.toSeq ++ planted).toDF("doc_id", "text")))
+    assert(want.contains((9000L, 9001L)),
+      "sanity: the batch scorer must see the planted subset pair")
+    assert(got == want,
+      s"streamed pairs must equal the batch scorer; diff=" +
+        s"${(got.keySet diff want.keySet).take(5)} / ${(want.keySet diff got.keySet).take(5)}")
+    // replay idempotence: a crash-in-commit reruns a batch with the
+    // SAME id — pairs and state dirs overwrite, nothing duplicates
+    graft.api.StreamContain.writeBatch(
+      spark.createDataFrame(chunk2.toSeq :+ planted(1)).toDF("doc_id", "text"),
+      state, out, 1L, graft.queries.PipelineExtras.NGRAM_CONTAIN_MIN)
+    val again = pairMap(graft.api.StreamContain.readPairs(spark, out))
+    assert(again == want, "replaying a batch id must not duplicate pairs")
+    // at-least-once: a doc re-delivered in a LATER batch is dropped
+    // against the seen set — no self-pairs, no score changes
+    graft.api.StreamContain.writeBatch(
+      spark.createDataFrame(Seq(planted.head)).toDF("doc_id", "text"),
+      state, out, 2L, graft.queries.PipelineExtras.NGRAM_CONTAIN_MIN)
+    val after = pairMap(graft.api.StreamContain.readPairs(spark, out))
+    assert(after == want, "re-delivering a seen doc must be a no-op")
+  }
 }
