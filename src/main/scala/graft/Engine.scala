@@ -44,5 +44,8 @@ object Engine {
     spark.udf.register("frequent_items",
       org.apache.spark.sql.functions.udaf(
         new functions.FrequentItems(queries.PipelineExtras.TOPK_WORDS_CAPACITY)))
+    // SQL table functions: SELECT * FROM graft_funnel('events', …) —
+    // the same descriptions GraftExtensions injects at session build
+    api.EventAnalytics.registerTableFunctions(spark)
   }
 }

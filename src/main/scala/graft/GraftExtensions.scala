@@ -22,5 +22,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectResolutionRule(_ => plans.ResolveRangeBinHint)
     ext.injectOptimizerRule(_ => plans.RangeBinJoinRule)
+    // SQL table functions for the analytics wave: graft_funnel /
+    // graft_cohort_retention / graft_twap (Engine.init registers the
+    // same ones at runtime for conf-only sessions)
+    api.EventAnalytics.descriptions.foreach(ext.injectTableFunction)
   }
 }

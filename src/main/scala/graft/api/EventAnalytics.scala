@@ -1,0 +1,209 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, ByteType, IntegerType, LongType, ShortType, StringType}
+
+/** The product-analytics wave (§2B #104/#105/#108) as REUSABLE
+  * DataFrame builders and as SQL TABLE functions — so a warehouse
+  * user types
+  * {{{
+  *   SELECT * FROM graft_funnel('events', 'user_id', 'event_type',
+  *     'ts', array('view','click','purchase'), 86400000000)
+  * }}}
+  * instead of reaching for the Scala API. Registered two ways:
+  *  - at session build by [[graft.GraftExtensions]]
+  *    (`injectTableFunction` — the public extension seam);
+  *  - at runtime by `Engine.init` for conf-only sessions (the
+  *    table-function registry is session state, reached through the
+  *    same `private[sql]` bridge as the width sampler).
+  *
+  * The builders generalize the oracled queries (steps, cohort event,
+  * day offset, column names are parameters) and the fixed-parameter
+  * oracle rows delegate to them, so the SQL surface and the §2B
+  * contract can never drift apart. One deliberate difference: the
+  * oracled `q_funnel` materializes its per-user frontiers eagerly
+  * through a cache (the frontier chain is consumed by both the next
+  * step and its own count — ADVICE round-8), while a TVF must return
+  * a lazy PLAN, so [[funnelDf]] cross-joins the three 1-row counts
+  * and leans on exchange reuse instead; at frontier sizes (≤ users)
+  * both are sub-second, and the cached path remains the Scala API.
+  *
+  * TVF arguments must be literals (Spark resolves table functions
+  * during analysis, before any data exists to evaluate non-constant
+  * expressions); violations raise a clear per-argument error.
+  * Working column names `_u/_et/_us/_d/_v/_tie` are reserved inside
+  * the builders — inputs are renamed into them immediately, so only
+  * the named input columns themselves are constrained.
+  */
+object EventAnalytics {
+
+  /** Ordered-step funnel over an event frame: users whose step-k
+    * event falls within `horizonUs` of their step-(k−1) time, steps
+    * strictly ordered, first-qualifying time per step. Output: ONE
+    * row of cumulative counts `n_<s1>`, `n_<s1>_<s2>`, … — exactly
+    * `q_funnel`'s row for the default steps. */
+  def funnelDf(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String], horizonUs: Long): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(horizonUs > 0, s"horizonUs must be positive, got $horizonUs")
+    val ev = events.select(col(userCol).as("_u"), col(typeCol).as("_et"),
+      unix_micros(col(tsCol)).as("_us"))
+    val first = ev.filter(col("_et") === steps.head)
+      .groupBy(col("_u")).agg(min(col("_us")).as("_t"))
+    val frontiers = steps.tail.scanLeft(first) { (prev, step) =>
+      ev.filter(col("_et") === step)
+        .join(prev.select(col("_u"), col("_t").as("_pt")), "_u")
+        .filter(col("_us") > col("_pt") && col("_us") <= col("_pt") + horizonUs)
+        .groupBy(col("_u")).agg(min(col("_us")).as("_t"))
+    }
+    frontiers.zipWithIndex.map { case (f, i) =>
+      f.agg(count(lit(1)).as("n_" + steps.take(i + 1).mkString("_")))
+    }.reduce(_.crossJoin(_))
+  }
+
+  /** Cohort retention: users cohorted by FIRST `cohortEvent` date;
+    * per cohort, how many were active (any event) exactly
+    * `dayOffset` days later. Output (cohort_date, n_users,
+    * retained_d<offset>) — `q_cohort_retention` at (purchase, 7). */
+  def cohortRetentionDf(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, cohortEvent: String, dayOffset: Int): DataFrame = {
+    val ev = events.select(col(userCol).as("_u"), col(typeCol).as("_et"),
+      col(tsCol).as("_ts"))
+    val firsts = ev.filter(col("_et") === cohortEvent)
+      .groupBy(col("_u")).agg(min(to_date(col("_ts"))).as("cohort_date"))
+    val activity = ev.select(col("_u"), to_date(col("_ts")).as("_d")).distinct()
+    firsts.join(activity, "_u")
+      .groupBy(col("cohort_date"), col("_u"))
+      .agg(max(when(col("_d") === date_add(col("cohort_date"), dayOffset), 1)
+        .otherwise(0)).as("_active"))
+      .groupBy(col("cohort_date"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("_active")).cast("bigint").as(s"retained_d$dayOffset"))
+      .orderBy("cohort_date")
+  }
+
+  /** Time-weighted average of `valueCol` per (user, UTC day); weight
+    * = whole seconds until the user's next same-day event, the day's
+    * last reading carries no interval (contract), ties broken by
+    * `tieBreakCol`. Exact decimal(18,2) × integer-seconds arithmetic
+    * with one double division + round(6) at the edge — `q_twap`'s
+    * row at (user_id, ts, value, event_id). Output
+    * (<userCol>, d, twap, total_secs). */
+  def twapDf(events: DataFrame, userCol: String, tsCol: String,
+      valueCol: String, tieBreakCol: String): DataFrame = {
+    val w = Window.partitionBy(col("_u"), col("_d"))
+      .orderBy(col("_us"), col("_tie"))
+    events
+      .select(col(userCol).as("_u"), col(tieBreakCol).as("_tie"),
+        to_date(col(tsCol)).as("_d"), unix_micros(col(tsCol)).as("_us"),
+        round(col(valueCol), 2).cast("decimal(18,2)").as("_v"))
+      .withColumn("_next_us", lead(col("_us"), 1).over(w))
+      .filter(col("_next_us").isNotNull)
+      .withColumn("_dt", expr("(_next_us - _us) div 1000000"))
+      .groupBy(col("_u"), col("_d"))
+      .agg(
+        round(sum(col("_v") * col("_dt")).cast("double") /
+          sum(col("_dt")).cast("double"), 6).as("twap"),
+        sum(col("_dt")).cast("bigint").as("total_secs"))
+      .filter(col("total_secs") > 0)
+      .select(col("_u").as(userCol), col("_d").as("d"),
+        col("twap"), col("total_secs"))
+      .orderBy(userCol, "d")
+  }
+
+  // --- SQL table-function surface ----------------------------------------
+
+  type Desc = (FunctionIdentifier, ExpressionInfo,
+    Seq[Expression] => LogicalPlan)
+
+  private def fail(fn: String, i: Int, what: String, must: String): Nothing =
+    throw new IllegalArgumentException(
+      s"$fn: argument ${i + 1} ($what) must be $must")
+
+  private def strArg(fn: String, args: Seq[Expression], i: Int,
+      what: String): String = {
+    val e = args(i)
+    if (!e.foldable || e.dataType != StringType) fail(fn, i, what, "a string literal")
+    Option(e.eval()).map(_.toString)
+      .getOrElse(fail(fn, i, what, "a non-null string literal"))
+  }
+
+  private def longArg(fn: String, args: Seq[Expression], i: Int,
+      what: String): Long = {
+    val e = args(i)
+    e.dataType match {
+      case LongType | IntegerType | ShortType | ByteType if e.foldable =>
+        Option(e.eval()).map(_.asInstanceOf[Number].longValue)
+          .getOrElse(fail(fn, i, what, "a non-null integer literal"))
+      case _ => fail(fn, i, what, "an integer literal")
+    }
+  }
+
+  private def strSeqArg(fn: String, args: Seq[Expression], i: Int,
+      what: String): Seq[String] = {
+    val e = args(i)
+    e.dataType match {
+      case ArrayType(StringType, _) if e.foldable =>
+        Option(e.eval()).map(_.asInstanceOf[ArrayData].toObjectArray(StringType)
+          .map(v => if (v == null) fail(fn, i, what, "an array of non-null strings")
+            else v.toString).toSeq)
+          .getOrElse(fail(fn, i, what, "a non-null array of string literals"))
+      case _ => fail(fn, i, what, "an array of string literals, e.g. array('view','click')")
+    }
+  }
+
+  private def arity(fn: String, args: Seq[Expression], n: Int, sig: String): Unit =
+    if (args.length != n) throw new IllegalArgumentException(
+      s"$fn expects $n arguments: $fn($sig); got ${args.length}")
+
+  private def desc(name: String)(build: Seq[Expression] => DataFrame): Desc =
+    (FunctionIdentifier(name),
+      new ExpressionInfo(EventAnalytics.getClass.getCanonicalName, null, name),
+      // .logical, not .analyzed: the plan re-analyzes inside the
+      // calling query, so the named table resolves against the
+      // CALLER's catalog state (temp views included) like any FROM
+      (args: Seq[Expression]) => build(args).queryExecution.logical)
+
+  /** The injectable/registrable descriptions. Table name is the
+    * first argument — resolved through the calling session's
+    * catalog, so temp views, `Engine.init` views, and catalog tables
+    * all work. */
+  val descriptions: Seq[Desc] = Seq(
+    desc("graft_funnel") { args =>
+      val fn = "graft_funnel"
+      arity(fn, args, 6, "table, user_col, type_col, ts_col, steps_array, horizon_us")
+      funnelDf(SparkSession.active.table(strArg(fn, args, 0, "table")),
+        strArg(fn, args, 1, "user_col"), strArg(fn, args, 2, "type_col"),
+        strArg(fn, args, 3, "ts_col"), strSeqArg(fn, args, 4, "steps_array"),
+        longArg(fn, args, 5, "horizon_us"))
+    },
+    desc("graft_cohort_retention") { args =>
+      val fn = "graft_cohort_retention"
+      arity(fn, args, 6, "table, user_col, type_col, ts_col, cohort_event, day_offset")
+      cohortRetentionDf(SparkSession.active.table(strArg(fn, args, 0, "table")),
+        strArg(fn, args, 1, "user_col"), strArg(fn, args, 2, "type_col"),
+        strArg(fn, args, 3, "ts_col"), strArg(fn, args, 4, "cohort_event"),
+        longArg(fn, args, 5, "day_offset").toInt)
+    },
+    desc("graft_twap") { args =>
+      val fn = "graft_twap"
+      arity(fn, args, 5, "table, user_col, ts_col, value_col, tiebreak_col")
+      twapDf(SparkSession.active.table(strArg(fn, args, 0, "table")),
+        strArg(fn, args, 1, "user_col"), strArg(fn, args, 2, "ts_col"),
+        strArg(fn, args, 3, "value_col"), strArg(fn, args, 4, "tiebreak_col"))
+    })
+
+  /** Runtime registration for conf-only sessions (extension-built
+    * sessions get the same functions injected at build). Idempotent —
+    * re-registration overwrites with identical builders. */
+  def registerTableFunctions(spark: SparkSession): Unit =
+    descriptions.foreach { case (ident, info, builder) =>
+      org.apache.spark.sql.graft.TableFunctionReg.register(spark, ident, info, builder)
+    }
+}

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** SQL table-function surface (api/EventAnalytics): `SELECT * FROM
+  * graft_funnel(...)` etc. must return exactly the oracled DataFrame
+  * rows, through BOTH registration paths — session-build injection
+  * (GraftExtensions, which SparkTestBase wires via
+  * spark.sql.extensions) and Engine.init's runtime registration —
+  * with literal-argument violations raising clear errors.
+  */
+class SqlTvfSuite extends GraftSuite {
+
+  private def withEventsView[A](name: String)(f: => A): A = {
+    Tables.events(spark, sf0001).createOrReplaceTempView(name)
+    try f finally spark.catalog.dropTempView(name)
+  }
+
+  test("graft_funnel TVF == q_funnel (injected via GraftExtensions)") {
+    withEventsView("ev_tvf") {
+      val got = spark.sql(
+        "SELECT * FROM graft_funnel('ev_tvf', 'user_id', 'event_type', 'ts', " +
+          "array('view', 'click', 'purchase'), 86400000000)")
+      assert(got.columns.toSeq ==
+        Seq("n_view", "n_view_click", "n_view_click_purchase"))
+      val want = queries.Analytics.qFunnel(spark, sf0001).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq == want, "TVF funnel row must equal the oracled q_funnel row")
+    }
+  }
+
+  test("graft_cohort_retention TVF == q_cohort_retention; non-default offset changes the column name") {
+    withEventsView("ev_tvf") {
+      val got = spark.sql(
+        "SELECT * FROM graft_cohort_retention('ev_tvf', 'user_id', " +
+          "'event_type', 'ts', 'purchase', 7)").collect()
+        .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSeq
+      val want = queries.Analytics.qCohortRetention(spark, sf0001).collect()
+        .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSeq
+      assert(got == want, "TVF cohort rows must equal the oracled query")
+      val d14 = spark.sql(
+        "SELECT * FROM graft_cohort_retention('ev_tvf', 'user_id', " +
+          "'event_type', 'ts', 'purchase', 14)")
+      assert(d14.columns.contains("retained_d14"),
+        "the retained column must carry the requested offset")
+    }
+  }
+
+  test("graft_twap TVF == q_twap; composes with ordinary SQL around it") {
+    withEventsView("ev_tvf") {
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getDate(1).toString, r.getDouble(2), r.getLong(3))
+      val got = spark.sql(
+        "SELECT * FROM graft_twap('ev_tvf', 'user_id', 'ts', 'value', 'event_id')")
+        .collect().map(key).toSeq
+      val want = queries.Analytics.qTwap(spark, sf0001).collect().map(key).toSeq
+      assert(got == want, "TVF twap rows must equal the oracled query")
+      // a TVF is a real FROM relation: filters/aggregates compose
+      val n = spark.sql(
+        "SELECT COUNT(*) FROM graft_twap('ev_tvf', 'user_id', 'ts', 'value', " +
+          "'event_id') WHERE total_secs > 100").head().getLong(0)
+      assert(n > 0 && n <= want.size)
+    }
+  }
+
+  test("runtime registration path (Engine.init-style) registers the same functions") {
+    // simulate a conf-only session: re-register over the injected ones
+    // through the sessionState bridge — must be an idempotent overwrite
+    graft.api.EventAnalytics.registerTableFunctions(spark)
+    withEventsView("ev_tvf2") {
+      val one = spark.sql(
+        "SELECT * FROM graft_funnel('ev_tvf2', 'user_id', 'event_type', 'ts', " +
+          "array('view', 'purchase'), 86400000000)")
+      assert(one.columns.toSeq == Seq("n_view", "n_view_purchase"))
+      assert(one.head().getLong(0) > 0)
+    }
+  }
+
+  test("literal-argument violations raise clear per-argument errors") {
+    withEventsView("ev_tvf3") {
+      val wrongArity = intercept[Exception] {
+        spark.sql("SELECT * FROM graft_twap('ev_tvf3', 'user_id', 'ts')").collect()
+      }
+      assert(wrongArity.getMessage.contains("graft_twap expects 5 arguments"),
+        s"got: ${wrongArity.getMessage}")
+      val nonLiteral = intercept[Exception] {
+        spark.sql("SELECT * FROM graft_funnel('ev_tvf3', 'user_id', 'event_type', " +
+          "'ts', array('view'), rand())").collect()
+      }
+      assert(nonLiteral.getMessage.contains("horizon_us") &&
+        nonLiteral.getMessage.contains("integer literal"),
+        s"got: ${nonLiteral.getMessage}")
+      val badSteps = intercept[Exception] {
+        spark.sql("SELECT * FROM graft_funnel('ev_tvf3', 'user_id', 'event_type', " +
+          "'ts', 'view', 86400000000)").collect()
+      }
+      assert(badSteps.getMessage.contains("steps_array"),
+        s"got: ${badSteps.getMessage}")
+    }
+  }
+}
