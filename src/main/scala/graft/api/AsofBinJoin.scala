@@ -44,14 +44,30 @@ import org.apache.spark.sql.functions._
   * left/right column sets disjoint; right rows ordered by
   * (time, tieBreak…) — the as-of pick is the lexicographic max ≤ t.
   * Left rows with no qualifying right row keep nulls (left join).
+  *
+  * `direction = "forward"` mirrors everything: EARLIEST right row at
+  * or after t — per-bin `min(struct)`, carry from FOLLOWING bins,
+  * `rt >= t` residual; the in-bin row still beats the carry (any
+  * in-bin time ≤ bin end < every later-bin time). `strict = true`
+  * excludes the exact-tie time (rt == t) — it only touches the
+  * in-bin residual, because carry bins lie strictly past the
+  * boundary by construction in both directions.
   */
 object AsofBinJoin {
 
   def asofJoin(left: DataFrame, leftIdCol: String, leftTimeCol: String,
                keysLeft: Seq[String],
                right: DataFrame, rightTimeCol: String, keysRight: Seq[String],
-               tieBreakCols: Seq[String], binWidth: Long): DataFrame = {
+               tieBreakCols: Seq[String], binWidth: Long,
+               direction: String = "backward", strict: Boolean = false): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val backward = direction match {
+      case "backward" => true
+      case "forward" => false
+      case other =>
+        throw new IllegalArgumentException(
+          s"direction must be 'backward' or 'forward', got '$other'")
+    }
     require(keysLeft.length == keysRight.length && keysLeft.nonEmpty,
       "need matching non-empty key lists")
     val overlap = left.columns.toSet.intersect(right.columns.toSet)
@@ -74,32 +90,47 @@ object AsofBinJoin {
     val rb = right.withColumn("_bin", expr(s"${q(rightTimeCol)} div ${binWidth}L"))
     val lb = left.withColumn("_bin", expr(s"${q(leftTimeCol)} div ${binWidth}L"))
 
-    // 1. in-bin latest per (key, bin) is NOT enough for the same-bin
-    //    case (it may be later than t), so same-bin candidates join raw:
+    // direction duals: the as-of pick aggregate, the in-bin residual,
+    // and the carry frame all mirror
+    def bestAgg = if (backward) max(bestStruct) else min(bestStruct)
+    val residual = (backward, strict) match {
+      case (true, false)  => col(rightTimeCol) <= col(leftTimeCol)
+      case (true, true)   => col(rightTimeCol) < col(leftTimeCol)
+      case (false, false) => col(rightTimeCol) >= col(leftTimeCol)
+      case (false, true)  => col(rightTimeCol) > col(leftTimeCol)
+    }
+
+    // 1. the in-bin extreme per (key, bin) is NOT enough for the
+    //    same-bin case (it may fall on the wrong side of t), so
+    //    same-bin candidates join raw:
     val inBinCond = keysLeft.zip(keysRight)
       .map { case (lk, rk) => col(lk) === col(rk) }
-      .reduce(_ && _) && lb("_bin") === rb("_bin") &&
-      col(rightTimeCol) <= col(leftTimeCol)
+      .reduce(_ && _) && lb("_bin") === rb("_bin") && residual
     val inBest = lb.join(rb, inBinCond)
       .groupBy(col(leftIdCol).as("_ib_id"))
-      .agg(max(bestStruct).as("_best"))
+      .agg(bestAgg.as("_best"))
 
-    // 2. carry = latest right row strictly before each bin, over the
+    // 2. carry = the extreme right row strictly past each bin (before
+    //    it when backward, after it when forward), over the
     //    per-(key, bin) timeline (left-needed bins ∪ right bins)
     val perBin = rb.groupBy(keysRight.map(col) :+ col("_bin"): _*)
-      .agg(max(bestStruct).as("_best"))
+      .agg(bestAgg.as("_best"))
       .select(keysRight.zip(keysLeft).map { case (rk, lk) => col(rk).as(lk) } ++
         Seq(col("_bin"), col("_best")): _*)
     val needBins = lb.select(keysLeft.map(col) :+ col("_bin"): _*).distinct()
     val timeline = needBins.join(perBin, keysLeft :+ "_bin", "full_outer")
     val carryW = Window.partitionBy(keysLeft.map(col): _*)
       .orderBy(col("_bin"))
-      .rowsBetween(Window.unboundedPreceding, -1)
     val carried = timeline
-      .withColumn("_carry", max(col("_best")).over(carryW))
+      .withColumn("_carry",
+        if (backward)
+          max(col("_best")).over(carryW.rowsBetween(Window.unboundedPreceding, -1))
+        else
+          min(col("_best")).over(carryW.rowsBetween(1, Window.unboundedFollowing)))
       .select(keysLeft.map(col) ++ Seq(col("_bin"), col("_carry")): _*)
 
-    // 3. stitch: in-bin beats carry (strictly later by construction)
+    // 3. stitch: in-bin beats carry (strictly closer to t by
+    //    construction, in either direction)
     val payload = coalesce(col("_best._payload"), col("_carry._payload"))
     lb.join(inBest, col(leftIdCol) === col("_ib_id"), "left")
       .join(carried, keysLeft :+ "_bin", "left")

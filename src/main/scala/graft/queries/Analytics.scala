@@ -83,22 +83,13 @@ object Analytics {
   // table + one user-keyed join, then two nested aggregations — all
   // partial-mergeable, no windows. Day arithmetic stays in DATE type
   // (integer days) so +7 is exact in both engines.
-  val qCohortRetention: Q = (s, dir) => {
-    val ev = Tables.events(s, dir)
-      .select(col("user_id"), col("event_type"), col("ts"))
-    val firsts = ev.filter(col("event_type") === "purchase")
-      .groupBy(col("user_id"))
-      .agg(min(to_date(col("ts"))).as("cohort_date"))
-    val activity = ev.select(col("user_id"), to_date(col("ts")).as("d")).distinct()
-    firsts.join(activity, "user_id")
-      .groupBy(col("cohort_date"), col("user_id"))
-      .agg(max(when(col("d") === date_add(col("cohort_date"), 7), 1).otherwise(0))
-        .as("active_d7"))
-      .groupBy(col("cohort_date"))
-      .agg(count(lit(1)).as("n_users"),
-        sum(col("active_d7")).cast("bigint").as("retained_d7"))
-      .orderBy("cohort_date")
-  }
+  // delegates to the generalized builder behind the graft_cohort_retention
+  // SQL table function (api/EventAnalytics) — one implementation, so the
+  // SQL surface and this oracled row cannot drift
+  val qCohortRetention: Q = (s, dir) =>
+    graft.api.EventAnalytics.cohortRetentionDf(
+      Tables.events(s, dir), "user_id", "event_type", "ts",
+      cohortEvent = "purchase", dayOffset = 7)
 
   val qCohortRetentionSql: String = EV +
     """, firsts AS (
@@ -207,24 +198,11 @@ object Analytics {
   // double division + round(6) happens once at the edge in a fixed
   // expression. One window partitioning (user, day) feeds one
   // aggregation on the same keys — a single exchange.
-  val qTwap: Q = (s, dir) => {
-    val w = Window.partitionBy(col("user_id"), col("d"))
-      .orderBy(col("us"), col("event_id"))
-    Tables.events(s, dir)
-      .select(col("user_id"), col("event_id"), to_date(col("ts")).as("d"),
-        unix_micros(col("ts")).as("us"),
-        round(col("value"), 2).cast("decimal(18,2)").as("v"))
-      .withColumn("next_us", lead(col("us"), 1).over(w))
-      .filter(col("next_us").isNotNull)
-      .withColumn("dt", expr("(next_us - us) div 1000000"))
-      .groupBy(col("user_id"), col("d"))
-      .agg(
-        round(sum(col("v") * col("dt")).cast("double") /
-          sum(col("dt")).cast("double"), 6).as("twap"),
-        sum(col("dt")).cast("bigint").as("total_secs"))
-      .filter(col("total_secs") > 0)
-      .orderBy("user_id", "d")
-  }
+  // delegates to the generalized builder behind the graft_twap SQL
+  // table function (api/EventAnalytics) — same one-implementation rule
+  val qTwap: Q = (s, dir) =>
+    graft.api.EventAnalytics.twapDf(
+      Tables.events(s, dir), "user_id", "ts", "value", tieBreakCol = "event_id")
 
   val qTwapSql: String = EV +
     """, t AS (
@@ -244,6 +222,66 @@ object Analytics {
       |HAVING SUM(dt) > 0
       |ORDER BY user_id, d""".stripMargin
 
+  // ---- #115 q_gapfill ----------------------------------------------------
+  // Time-series gap fill with forward carry (the "last observation
+  // carried forward" shape every daily-metrics table needs): per
+  // user, the day's LAST reading (by µs + event_id tiebreak) over
+  // the user's [first_day, last_day] span; missing days materialize
+  // with the carried value and is_observed = 0. Shape: one row_number
+  // window for the daily pick, sequence() + explode for the span
+  // (bounded by per-user day span — NEVER a calendar cross-join), a
+  // user∪day equi-join, and one last(ignoreNulls) running window —
+  // all keyed by user, two exchanges total. Value stays
+  // decimal(18,2) end-to-end (carried values are EXACT copies), so
+  // the row hashes cross-engine with no float rule needed.
+  val qGapfill: Q = (s, dir) => {
+    val daily = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"),
+        unix_micros(col("ts")).as("us"), col("event_id"),
+        round(col("value"), 2).cast("decimal(18,2)").as("v"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id"), col("d"))
+          .orderBy(col("us").desc, col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("d"), col("v"))
+    val days = daily.groupBy(col("user_id"))
+      .agg(min(col("d")).as("mind"), max(col("d")).as("maxd"))
+      .select(col("user_id"),
+        explode(expr("sequence(mind, maxd, interval 1 day)")).as("d"))
+    days.join(daily, Seq("user_id", "d"), "left")
+      .select(col("user_id"), col("d"),
+        last(col("v"), ignoreNulls = true).over(
+          Window.partitionBy(col("user_id")).orderBy(col("d"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("v_filled"),
+        when(col("v").isNull, 0L).otherwise(1L).as("is_observed"))
+      .orderBy("user_id", "d")
+  }
+
+  val qGapfillSql: String = EV +
+    """, daily AS (
+      |  SELECT user_id, d, v FROM (
+      |    SELECT user_id, CAST(ts AS DATE) AS d,
+      |           CAST(ROUND(value, 2) AS DECIMAL(18,2)) AS v,
+      |           ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+      |             ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+      |    FROM e)
+      |  WHERE rn = 1),
+      |span AS (SELECT user_id, MIN(d) AS mind, MAX(d) AS maxd FROM daily GROUP BY user_id),
+      |days AS (
+      |  SELECT user_id, CAST(UNNEST(generate_series(mind, maxd, INTERVAL 1 DAY)) AS DATE) AS d
+      |  FROM span),
+      |joined AS (
+      |  SELECT days.user_id, days.d, daily.v,
+      |         CASE WHEN daily.v IS NULL THEN 0 ELSE 1 END AS is_observed
+      |  FROM days LEFT JOIN daily ON days.user_id = daily.user_id AND days.d = daily.d)
+      |SELECT user_id, d,
+      |       last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY d
+      |         ROWS UNBOUNDED PRECEDING) AS v_filled,
+      |       CAST(is_observed AS BIGINT) AS is_observed
+      |FROM joined
+      |ORDER BY user_id, d""".stripMargin
+
   // ------------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "q_funnel" -> qFunnel,
@@ -252,6 +290,7 @@ object Analytics {
     "q_profile_table" -> qProfileTable,
     "q_profile_stats" -> qProfileStats,
     "q_twap" -> qTwap,
+    "q_gapfill" -> qGapfill,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -261,5 +300,6 @@ object Analytics {
     "q_profile_table" -> qProfileTableSql,
     "q_profile_stats" -> qProfileStatsSql,
     "q_twap" -> qTwapSql,
+    "q_gapfill" -> qGapfillSql,
   )
 }

@@ -229,6 +229,45 @@ object Relational3 {
 
   val qJoinAsofBinnedSql: String = Relational.qJoinAsofSql
 
+  // ---- #114 q_join_asof_forward ------------------------------------------
+  // The forward as-of: for each purchase, the user's EARLIEST click
+  // strictly after it (time-to-next-action). Exercises AsofBinJoin's
+  // direction="forward" dual — per-bin min(struct), carry from
+  // FOLLOWING bins, strict residual — end-to-end against a DuckDB
+  // row_number oracle. 1-day bins over the 30-day fixture span, so
+  // the carry window genuinely crosses bins. (Orders all predate
+  // events in this fixture, so the orders pairing that #13/#112 use
+  // would match nothing forward — the events self-pairing is the
+  // meaningful forward shape.)
+  val qJoinAsofForward: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("_t"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_event_id"), col("user_id").as("c_user_id"),
+        unix_micros(col("ts")).as("_rt"))
+    graft.api.AsofBinJoin.asofJoin(
+        p, leftIdCol = "event_id", leftTimeCol = "_t", keysLeft = Seq("user_id"),
+        right = c, rightTimeCol = "_rt", keysRight = Seq("c_user_id"),
+        tieBreakCols = Seq("c_event_id"), binWidth = 86400000000L,
+        direction = "forward", strict = true)
+      .select(col("event_id"), col("user_id"),
+        col("c_event_id").as("next_click_id"), col("_rt").as("next_click_us"))
+      .orderBy("event_id")
+  }
+
+  val qJoinAsofForwardSql: String = EV +
+    """SELECT event_id, user_id, next_click_id, next_click_us FROM (
+      |  SELECT p.event_id, p.user_id, c.event_id AS next_click_id,
+      |         epoch_us(c.ts) AS next_click_us,
+      |         ROW_NUMBER() OVER (PARTITION BY p.event_id
+      |           ORDER BY c.ts ASC NULLS LAST, c.event_id ASC NULLS LAST) AS rn
+      |  FROM e p LEFT JOIN e c
+      |    ON p.user_id = c.user_id AND c.event_type = 'click' AND c.ts > p.ts
+      |  WHERE p.event_type = 'purchase')
+      |WHERE rn = 1
+      |ORDER BY event_id""".stripMargin
+
   // ------------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "q_string_agg" -> qStringAgg,
@@ -238,6 +277,7 @@ object Relational3 {
     "q_anomaly_zscore" -> qAnomalyZscore,
     "q_join_range_binned" -> qJoinRangeBinned,
     "q_join_asof_binned" -> qJoinAsofBinned,
+    "q_join_asof_forward" -> qJoinAsofForward,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -248,5 +288,6 @@ object Relational3 {
     "q_anomaly_zscore" -> qAnomalyZscoreSql,
     "q_join_range_binned" -> qJoinRangeBinnedSql,
     "q_join_asof_binned" -> qJoinAsofBinnedSql,
+    "q_join_asof_forward" -> qJoinAsofForwardSql,
   )
 }

@@ -593,6 +593,32 @@ class ExtrasSuite extends GraftSuite {
     assert(out(4L) == Some("b"), "rt == t is IN; tie at rt=100 breaks by tiebreak desc")
   }
 
+  test("AsofBinJoin forward/strict duals: earliest-after pick, forward carry, strict boundary") {
+    val sess = spark; import sess.implicits._
+    val l = Seq((1L, 10L, 50L), (2L, 20L, 5L), (3L, 10L, 2500L), (4L, 10L, 100L))
+      .toDF("lid", "k", "t")
+    val r = Seq((10L, 100L, 7L, "a"), (10L, 100L, 9L, "b"), (10L, 900L, 1L, "c"))
+      .toDF("rk", "rt", "rtb", "v")
+    def run(strict: Boolean) = graft.api.AsofBinJoin.asofJoin(
+        l, "lid", "t", Seq("k"), r, "rt", Seq("rk"), Seq("rtb"), binWidth = 100L,
+        direction = "forward", strict = strict)
+      .select("lid", "v").collect().map(x => x.getLong(0) -> Option(x.get(1))).toMap
+    val incl = run(strict = false)
+    assert(incl(1L) == Some("a"), "earliest-after picks min (rt, tiebreak): rt=100 tb=7")
+    assert(incl(2L) == None, "no-match key keeps null")
+    assert(incl(3L) == None, "nothing at or after t=2500 — forward no-match")
+    assert(incl(4L) == Some("a"), "rt == t is IN when strict=false; tie breaks by tiebreak asc")
+    val str = run(strict = true)
+    assert(str(4L) == Some("c"),
+      "strict=true excludes rt == t (both rt=100 rows) — carry from a later bin wins")
+    assert(str(1L) == Some("a"), "strictness only moves the boundary row")
+    // direction typo fails fast, not silently-backward
+    intercept[IllegalArgumentException] {
+      graft.api.AsofBinJoin.asofJoin(l, "lid", "t", Seq("k"), r, "rt", Seq("rk"),
+        Seq("rtb"), binWidth = 100L, direction = "fwd")
+    }
+  }
+
   test("q_dedup_clusters (#103): a valid partition of the pair graph into min-labeled components") {
     val pairs = graft.queries.MinHashDf.qDedupMinhashDf(spark, sf0001)
       .select("doc_a", "doc_b").collect()

@@ -247,6 +247,20 @@ class PlanSuite extends GraftSuite {
     assert(p.contains("_bin"), s"expected the bin-scoped candidate join:\n$p")
   }
 
+  test("q_join_asof_forward (#114): the forward dual keeps the same equi-join shape") {
+    val p = plan(queries.Relational3.qJoinAsofForward(spark, sf0001))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"forward as-of must stay equi-join shaped:\n$p")
+    assert(p.contains("_bin"), s"expected the bin-scoped candidate join:\n$p")
+  }
+
+  test("q_gapfill (#115): span explode + user-keyed windows — no calendar cross-join, no partition-less window") {
+    val p = plan(queries.Analytics.qGapfill(spark, sf0001))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"gapfill must not cross-join a calendar:\n$p")
+    assert(p.contains("sequence(mind"), s"expected the per-user span sequence:\n$p")
+  }
+
   test("q_dedup_embed_bucketed (#111): no cartesian/BNLJ — candidates via (band, key) equi-join") {
     val p = plan(queries.PipelineExtras.qDedupEmbedBucketed(spark, sf0001))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
