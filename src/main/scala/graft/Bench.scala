@@ -79,10 +79,8 @@ object Bench {
       .filter(g => g.size >= 2 && g.min > 1e-3)
       .map(g => g.max / g.min)
       .sorted
-    // nearest-rank: ceil(p*n)-1 clamped — (p*n).toInt biased high on
-    // small samples (with 2 reps the "median" was actually the max)
     def pct(p: Double) = if (ratios.isEmpty) -1.0
-      else ratios(math.max(0, math.min(ratios.size - 1, math.ceil(p * ratios.size).toInt - 1)))
+      else graft.util.Stats.nearestRank(ratios.toIndexedSeq, p)
     val spreadPath = sys.env.getOrElse("SPARK_GRAFT_SPREAD_OUT", "/tmp/graft_bench_spread.json")
     // %.3f on query mins keeps the 91-query line compact enough for
     // the driver's bounded tail capture (raw Double.toString ~doubles it).

@@ -72,7 +72,7 @@ object AsofBinJoin {
       "need matching non-empty key lists")
     val overlap = left.columns.toSet.intersect(right.columns.toSet)
     require(overlap.isEmpty, s"column collision between sides: $overlap")
-    val working = Seq("_bin", "_best", "_carry", "_payload")
+    val working = Seq("_bin", "_best", "_carry", "_payload", "_ib_id")
     require(!(left.columns ++ right.columns).exists(working.contains),
       s"inputs must not use the join's working names $working")
 

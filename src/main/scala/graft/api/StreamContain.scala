@@ -98,6 +98,7 @@ object StreamContain {
   private[graft] def writeBatch(batch: DataFrame, stateDir: String,
       outPath: String, batchId: Long, threshold: Double): Unit = {
     val spark = batch.sparkSession
+    checkThresholdMarker(spark, stateDir, threshold)
 
     // history = strictly earlier batches: a replay of THIS id must
     // re-derive from the state it saw first time, not from its own
@@ -113,32 +114,28 @@ object StreamContain {
     }
     val seenSizes = readState("sizes", sizeSchema)
 
-    // shingle exactly like the batch query (3-gram over whitespace
-    // words, per-doc distinct, docs < 3 words carry no shingles);
-    // dropDuplicates first: at-least-once delivery may repeat a doc
-    // row WITHIN a batch, which would double-count its size
-    val shB = batch.select(col("doc_id"), col("text"))
-      .dropDuplicates("doc_id")
-      .join(seenSizes.select("doc_id"), Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .filter(size(col("ws")) >= 3)
-      .select(col("doc_id"), explode(array_distinct(expr(
-        "transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))")))
-        .as("sh"))
+    // shingle EXACTLY like the batch query — the transform is the
+    // shared PipelineExtras.containShingles, so the two paths cannot
+    // drift; dropDuplicates first: at-least-once delivery may repeat
+    // a doc row WITHIN a batch, which would double-count its size
+    val shB = graft.queries.PipelineExtras.containShingles(
+        batch.select(col("doc_id"), col("text"))
+          .dropDuplicates("doc_id")
+          .join(seenSizes.select("doc_id"), Seq("doc_id"), "left_anti"))
       .cache() // consumed ~6×: sizes, prefix, both candidate legs, recount
+    try {
     val sizesB = shB.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
 
     // frozen prefix: ranked by BATCH-LOCAL rarity — a cost heuristic
     // only (see the order-free proof above), so no history rescan;
-    // same +1e-9-before-floor slot arithmetic as the batch query
+    // the slot arithmetic is the shared containPrefixSlots
     val prefixB = shB
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
       .join(sizesB, "doc_id")
       .withColumn("_r", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))))
       .filter(col("_r") <=
-        floor((lit(1.0) - lit(threshold)) * col("sz") + lit(1e-9))
-          .cast("long") + 1L)
+        graft.queries.PipelineExtras.containPrefixSlots(col("sz"), threshold))
       .select(col("doc_id"), col("sh"))
 
     val shH = readState("shingles", shingleSchema)
@@ -178,8 +175,35 @@ object StreamContain {
     shB.write.mode("overwrite").parquet(s"$stateDir/shingles/batch=$batchId")
     prefixB.write.mode("overwrite").parquet(s"$stateDir/prefix/batch=$batchId")
     sizesB.write.mode("overwrite").parquet(s"$stateDir/sizes/batch=$batchId")
-    shB.unpersist()
+    } finally shB.unpersist() // a throwing write must not pin the cache
     ()
+  }
+
+  /** Frozen prefixes bake the threshold in at ingest: a pair needs a
+    * ⌊(1−τ)·sz⌋+1 prefix for the pigeonhole guarantee at τ, so state
+    * written at a HIGHER τ (shorter prefixes) silently loses recall
+    * if the stream restarts at a lower one. Pin τ in a marker file
+    * under stateDir on first write and refuse a mismatch — rebuild
+    * the state dir to change the threshold. */
+  private def checkThresholdMarker(spark: SparkSession, stateDir: String,
+      threshold: Double): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val marker = new org.apache.hadoop.fs.Path(s"$stateDir/_threshold")
+    val fs = marker.getFileSystem(conf)
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val stored = try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim.toDouble
+        finally in.close()
+      if (stored != threshold) throw new IllegalStateException(
+        s"StreamContain state at $stateDir was built at threshold $stored; " +
+          s"restarting at $threshold would silently lose recall for pairs " +
+          "below the stored threshold (frozen prefixes are too short). " +
+          "Use a fresh stateDir (and checkpoint) to change the threshold.")
+    } else {
+      val out = fs.create(marker, true)
+      try out.write(threshold.toString.getBytes("UTF-8")) finally out.close()
+    }
   }
 
   /** All pairs emitted so far, one row per pair (batch column

@@ -30,12 +30,13 @@ import org.apache.spark.sql.types.{ArrayType, LongType}
   *    session-extension analyzer rule — see [[graft.GraftExtensions]]),
   *    the session conf `spark.graft.rangeBin.width` set to a long,
   *    or the conf set to `auto`, which derives the width per join
-  *    from a sampled quantile of the observed interval widths (p90 of
-  *    up to 10 000 bounds-side rows ⇒ ≥ 90% of rows explode into ≤ 2
-  *    bins; cached per canonicalized bounds plan). `auto` stays
-  *    opt-in because it runs a small sampling job during optimization
-  *    — silently scanning user data to plan user queries is a
-  *    decision the session owner makes, not the engine;
+  *    from the observed interval widths of the first 10 000
+  *    bounds-side rows (max(p90, max/64) — see [[sampledWidth]] for
+  *    the prefix-sample bias argument; cached per canonicalized
+  *    bounds plan). `auto` stays opt-in because it runs a small
+  *    sampling job during optimization — silently scanning user data
+  *    to plan user queries is a decision the session owner makes,
+  *    not the engine;
   *  - only INNER joins whose condition is precisely one lower and
   *    one upper bound on the same BIGINT value expression, each
   *    bound referencing only the opposite side, everything
@@ -123,7 +124,11 @@ object RangeBinJoinRule extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (inSampling.get()) return plan
+    // the sampling fragment must not rewrite — but it MUST still shed
+    // any hint markers torn out of the outer plan with the bounds
+    // side, or the fragment's physical planning hits an unknown node
+    if (inSampling.get())
+      return plan.transformUp { case RangeBinWidthHint(c, _) => c }
     // a malformed conf value must disable the rule with a warning, not
     // throw NumberFormatException into the optimization of EVERY query
     val raw = SQLConf.get.getConfString(WIDTH_CONF, "0")
@@ -152,11 +157,20 @@ object RangeBinJoinRule extends Rule[LogicalPlan] {
     rewritten.transformUp { case RangeBinWidthHint(c, _) => c }
   }
 
-  /** Auto mode: width = p90 of observed interval widths over a sample
-    * of the bounds side (≤ [[SAMPLE_ROWS]] rows), so ≥ 90% of rows
-    * explode into ≤ 2 bins. Cached by canonicalized (plan, lo, hi) —
-    * re-optimizing the same join (AQE re-plans, repeated queries)
-    * must not re-scan. */
+  /** Auto mode: width from the first [[SAMPLE_ROWS]] bounds-side rows
+    * — a PREFIX sample (Limit short-circuits the scan; a uniform
+    * random sample would read the whole side during optimization,
+    * which auto must never do). Width = max(prefix p90, prefix
+    * max / 64): the p90 targets ≤ 2 bins for ≥ 90% of typical rows,
+    * and the max/64 floor bounds even the widest OBSERVED interval at
+    * ≤ 65 bins — two orders under MAX_BINS' kill switch — so a
+    * width-skewed prefix (narrow early intervals, wide tail) degrades
+    * toward more bins per wide row instead of toward the
+    * `raise_error` cliff. Unsampled tail rows beyond 64× the observed
+    * max can still trip MAX_BINS; that residual is why `auto` is
+    * opt-in and the hint/conf forms exist. Cached by canonicalized
+    * (plan, lo, hi) — re-optimizing the same join (AQE re-plans,
+    * repeated queries) must not re-scan. */
   val SAMPLE_ROWS = 10000
   private val widthCache =
     new java.util.concurrent.ConcurrentHashMap[(LogicalPlan, Expression, Expression), java.lang.Long]()
@@ -179,9 +193,8 @@ object RangeBinJoinRule extends Rule[LogicalPlan] {
           None
         } else {
           java.util.Arrays.sort(widths)
-          val w = math.max(1L,
-            widths(math.max(0, math.min(widths.length - 1,
-              math.ceil(0.9 * widths.length).toInt - 1))))
+          val p90 = graft.util.Stats.nearestRank(widths, 0.9)
+          val w = math.max(1L, math.max(p90, widths(widths.length - 1) / 64))
           if (widthCache.size > 256) widthCache.clear() // bounded; repopulates
           widthCache.put(key, w)
           Some(w)

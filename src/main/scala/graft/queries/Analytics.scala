@@ -250,10 +250,12 @@ object Analytics {
         explode(expr("sequence(mind, maxd, interval 1 day)")).as("d"))
     days.join(daily, Seq("user_id", "d"), "left")
       .select(col("user_id"), col("d"),
+        // double cast at the edge (§2.5.1 / SchemaGuardSuite): carried
+        // values are exact 2-decimal copies, exactly representable
         last(col("v"), ignoreNulls = true).over(
           Window.partitionBy(col("user_id")).orderBy(col("d"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          .as("v_filled"),
+          .cast("double").as("v_filled"),
         when(col("v").isNull, 0L).otherwise(1L).as("is_observed"))
       .orderBy("user_id", "d")
   }
@@ -276,8 +278,8 @@ object Analytics {
       |         CASE WHEN daily.v IS NULL THEN 0 ELSE 1 END AS is_observed
       |  FROM days LEFT JOIN daily ON days.user_id = daily.user_id AND days.d = daily.d)
       |SELECT user_id, d,
-      |       last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY d
-      |         ROWS UNBOUNDED PRECEDING) AS v_filled,
+      |       CAST(last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY d
+      |         ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS v_filled,
       |       CAST(is_observed AS BIGINT) AS is_observed
       |FROM joined
       |ORDER BY user_id, d""".stripMargin

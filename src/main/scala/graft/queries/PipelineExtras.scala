@@ -119,13 +119,34 @@ object PipelineExtras {
     * proportional to the true output), never all-pairs.
     */
   val NGRAM_CONTAIN_MIN = 0.8
+  /** Per-doc distinct 3-gram shingles — SHARED with the streaming
+    * scorer ([[graft.api.StreamContain]]): the streamed == batch
+    * guarantee depends on the shingling staying byte-identical, so
+    * there is exactly one copy of the transform. */
+  private[graft] def containShingles(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    .filter(size(col("ws")) >= 3)
+    .select(col("doc_id"), explode(array_distinct(expr(
+      "transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))")))
+      .as("sh"))
+
+  /** Prefix slot count for containment threshold `tau` given a size
+    * column: ⌊(1−τ)·sz⌋+1, the pigeonhole-complete prefix length —
+    * one copy for the same reason as [[containShingles]].
+    *
+    * +1e-9 BEFORE the floor: (1.0 − 0.8) is 0.19999999999999998 in
+    * binary, so for sz divisible by 5 the product lands a hair under
+    * the exact integer and floor loses one prefix slot — one fewer
+    * than the pigeonhole bound needs. The epsilon dominates the
+    * representation error (≤ ~1e-13 for any real sz) without ever
+    * reaching the next integer; the oracle SQL carries the identical
+    * expression. */
+  private[graft] def containPrefixSlots(sz: org.apache.spark.sql.Column,
+      tau: Double): org.apache.spark.sql.Column =
+    floor((lit(1.0) - lit(tau)) * sz + lit(1e-9)).cast("long") + 1L
+
   private[graft] def ngramContainmentPairs(docs: DataFrame): DataFrame = {
-    val sh = docs
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .filter(size(col("ws")) >= 3)
-      .select(col("doc_id"), explode(array_distinct(expr(
-        "transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))")))
-        .as("sh"))
+    val sh = containShingles(docs)
       .cache() // consumed 4× (prefix source, candidate probe, recount both sides)
     val shDf = sh
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
@@ -133,16 +154,7 @@ object PipelineExtras {
     val prefix = shDf.join(sizes, "doc_id")
       .withColumn("_r", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))))
-      // +1e-9 BEFORE the floor: (1.0 − 0.8) is 0.19999999999999998 in
-      // binary, so for sz divisible by 5 the product lands a hair
-      // under the exact integer and floor loses one prefix slot —
-      // one fewer than the pigeonhole bound needs. The epsilon
-      // dominates the representation error (≤ ~1e-13 for any real
-      // sz) without ever reaching the next integer; the oracle SQL
-      // carries the identical expression.
-      .filter(col("_r") <=
-        floor((lit(1.0) - lit(NGRAM_CONTAIN_MIN)) * col("sz") + lit(1e-9))
-          .cast("long") + 1L)
+      .filter(col("_r") <= containPrefixSlots(col("sz"), NGRAM_CONTAIN_MIN))
       .select(col("doc_id"), col("sh"))
     val cand = prefix.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") =!= col("b.doc_id"))

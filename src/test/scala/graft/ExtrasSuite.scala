@@ -566,6 +566,31 @@ class ExtrasSuite extends GraftSuite {
     } finally spark.conf.unset(graft.plans.RangeBinJoinRule.WIDTH_CONF)
   }
 
+  test("range_bin auto: a stray hint marker inside the sampled bounds side must not kill the query") {
+    // regression (round-9 review): the sampler's re-entrancy guard
+    // returned the fragment UNSTRIPPED, so a RangeBinWidthHint torn
+    // out of the outer plan with the bounds side reached physical
+    // planning ("No plan for RangeBinWidthHint"). Construct exactly
+    // that: an (ignored) hint on an equi join that then becomes the
+    // bounds side of an auto-width range join — the marker is still
+    // in the tree when the outer join samples.
+    graft.plans.RangeBinJoinRule.install(spark)
+    val sess = spark; import sess.implicits._
+    val base = spark.range(0, 500).select($"id".as("bid"), ($"id" * 37L % 10000L).as("lo"))
+    val dim = spark.range(0, 500).select($"id".as("bid"))
+    val bounds = base.hint("range_bin", 500L).join(dim, "bid")
+      .withColumn("hi", $"lo" + 200L)
+    val vals = spark.range(0, 1000).select(($"id" * 61L % 10000L).as("v"))
+    try {
+      spark.conf.set(graft.plans.RangeBinJoinRule.WIDTH_CONF, "auto")
+      val joined = bounds.join(vals, $"v" > $"lo" && $"v" <= $"hi")
+      val n = joined.count() // would throw "No plan for RangeBinWidthHint" pre-fix
+      spark.conf.unset(graft.plans.RangeBinJoinRule.WIDTH_CONF)
+      val truth = bounds.join(vals, $"v" > $"lo" && $"v" <= $"hi").count()
+      assert(n == truth, "auto-sampled rewrite must keep the rows")
+    } finally spark.conf.unset(graft.plans.RangeBinJoinRule.WIDTH_CONF)
+  }
+
   test("q_join_asof_binned (#112): row-identical to q_join_asof, including no-match lefts") {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
       (r.getLong(0), r.getLong(1), Option(r.get(2)), Option(r.get(3)))).toSeq
@@ -731,8 +756,7 @@ class ExtrasSuite extends GraftSuite {
       // CDF jumps ~14% per value and the rank of even the TRUE
       // quantile overshoots p.)
       val vals = li.select(col(c).cast("double")).as[Double].collect().sorted
-      def exactQ(p: Double) =
-        vals(math.max(0, math.min(vals.length - 1, math.ceil(p * vals.length).toInt - 1)))
+      def exactQ(p: Double) = graft.util.Stats.nearestRank(vals, p)
       assert(p50 >= exactQ(0.47) && p50 <= exactQ(0.53),
         s"$c: p50=$p50 outside [${exactQ(0.47)}, ${exactQ(0.53)}]")
       assert(p95 >= exactQ(0.92) && p95 <= exactQ(0.98),

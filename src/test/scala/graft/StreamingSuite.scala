@@ -1263,5 +1263,16 @@ class StreamingSuite extends GraftSuite {
       state, out, 2L, graft.queries.PipelineExtras.NGRAM_CONTAIN_MIN)
     val after = pairMap(graft.api.StreamContain.readPairs(spark, out))
     assert(after == want, "re-delivering a seen doc must be a no-op")
+    // frozen prefixes bake the threshold in: restarting the same
+    // state dir at a LOWER threshold would silently lose recall, so
+    // the pinned marker must refuse it outright
+    val mismatch = intercept[IllegalStateException] {
+      graft.api.StreamContain.writeBatch(
+        spark.createDataFrame(Seq(planted.head)).toDF("doc_id", "text"),
+        state, out, 3L, threshold = 0.6)
+    }
+    assert(mismatch.getMessage.contains("0.8") &&
+      mismatch.getMessage.contains("fresh stateDir"),
+      s"got: ${mismatch.getMessage}")
   }
 }
