@@ -117,6 +117,40 @@ object EventAnalytics {
       .orderBy(userCol, "d")
   }
 
+  /** Time-series gap fill with forward carry: per user, the day's
+    * LAST `valueCol` reading (by time + tiebreak) over the user's
+    * [first_day, last_day] span; missing days carry the last value
+    * with is_observed = 0. The span explode is bounded per user —
+    * never a calendar cross-join. Output
+    * (<userCol>, d, v_filled: double, is_observed) — `q_gapfill`'s
+    * rows at (user_id, ts, value, event_id). */
+  def gapfillDf(events: DataFrame, userCol: String, tsCol: String,
+      valueCol: String, tieBreakCol: String): DataFrame = {
+    val daily = events
+      .select(col(userCol).as("_u"), to_date(col(tsCol)).as("_d"),
+        unix_micros(col(tsCol)).as("_us"), col(tieBreakCol).as("_tie"),
+        round(col(valueCol), 2).cast("decimal(18,2)").as("_v"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("_u"), col("_d"))
+          .orderBy(col("_us").desc, col("_tie").desc)))
+      .filter(col("_rn") === 1)
+      .select(col("_u"), col("_d"), col("_v"))
+    val days = daily.groupBy(col("_u"))
+      .agg(min(col("_d")).as("_mind"), max(col("_d")).as("_maxd"))
+      .select(col("_u"),
+        explode(expr("sequence(_mind, _maxd, interval 1 day)")).as("_d"))
+    days.join(daily, Seq("_u", "_d"), "left")
+      .select(col("_u").as(userCol), col("_d").as("d"),
+        // double cast at the edge (§2.5.1): carried values are exact
+        // 2-decimal copies, exactly representable
+        last(col("_v"), ignoreNulls = true).over(
+          Window.partitionBy(col("_u")).orderBy(col("_d"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("v_filled"),
+        when(col("_v").isNull, 0L).otherwise(1L).as("is_observed"))
+      .orderBy(userCol, "d")
+  }
+
   // --- SQL table-function surface ----------------------------------------
 
   type Desc = (FunctionIdentifier, ExpressionInfo,
@@ -195,6 +229,13 @@ object EventAnalytics {
       val fn = "graft_twap"
       arity(fn, args, 5, "table, user_col, ts_col, value_col, tiebreak_col")
       twapDf(SparkSession.active.table(strArg(fn, args, 0, "table")),
+        strArg(fn, args, 1, "user_col"), strArg(fn, args, 2, "ts_col"),
+        strArg(fn, args, 3, "value_col"), strArg(fn, args, 4, "tiebreak_col"))
+    },
+    desc("graft_gapfill") { args =>
+      val fn = "graft_gapfill"
+      arity(fn, args, 5, "table, user_col, ts_col, value_col, tiebreak_col")
+      gapfillDf(SparkSession.active.table(strArg(fn, args, 0, "table")),
         strArg(fn, args, 1, "user_col"), strArg(fn, args, 2, "ts_col"),
         strArg(fn, args, 3, "value_col"), strArg(fn, args, 4, "tiebreak_col"))
     })

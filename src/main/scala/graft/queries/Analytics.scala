@@ -234,31 +234,12 @@ object Analytics {
   // all keyed by user, two exchanges total. Value stays
   // decimal(18,2) end-to-end (carried values are EXACT copies), so
   // the row hashes cross-engine with no float rule needed.
-  val qGapfill: Q = (s, dir) => {
-    val daily = Tables.events(s, dir)
-      .select(col("user_id"), to_date(col("ts")).as("d"),
-        unix_micros(col("ts")).as("us"), col("event_id"),
-        round(col("value"), 2).cast("decimal(18,2)").as("v"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("user_id"), col("d"))
-          .orderBy(col("us").desc, col("event_id").desc)))
-      .filter(col("rn") === 1)
-      .select(col("user_id"), col("d"), col("v"))
-    val days = daily.groupBy(col("user_id"))
-      .agg(min(col("d")).as("mind"), max(col("d")).as("maxd"))
-      .select(col("user_id"),
-        explode(expr("sequence(mind, maxd, interval 1 day)")).as("d"))
-    days.join(daily, Seq("user_id", "d"), "left")
-      .select(col("user_id"), col("d"),
-        // double cast at the edge (§2.5.1 / SchemaGuardSuite): carried
-        // values are exact 2-decimal copies, exactly representable
-        last(col("v"), ignoreNulls = true).over(
-          Window.partitionBy(col("user_id")).orderBy(col("d"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          .cast("double").as("v_filled"),
-        when(col("v").isNull, 0L).otherwise(1L).as("is_observed"))
-      .orderBy("user_id", "d")
-  }
+  // delegates to the generalized builder behind the graft_gapfill SQL
+  // table function (api/EventAnalytics) — same one-implementation rule
+  // as cohort/twap
+  val qGapfill: Q = (s, dir) =>
+    graft.api.EventAnalytics.gapfillDf(
+      Tables.events(s, dir), "user_id", "ts", "value", tieBreakCol = "event_id")
 
   val qGapfillSql: String = EV +
     """, daily AS (

@@ -717,6 +717,36 @@ object PipelineExtras {
       |      < 10 + ${DUCK_HASH4("source")} % 80
       |ORDER BY doc_id""".stripMargin
 
+  // ---- #116 q_sample_stratified ------------------------------------------
+  // Deterministic BALANCED sampling: exactly N docs per language
+  // stratum, ranked by md5(doc_id) — the class-balancing counterpart
+  // of #84's rate gate (a rate gate keeps strata proportional;
+  // training mixes routinely need per-class caps/floors instead).
+  // Hash-order rank is reproducible across runs and engines with no
+  // RNG state, and adding documents only displaces rows at the hash
+  // boundary. Shape: ONE per-stratum window (strata = languages, a
+  // handful — the exchange hashes |strata| keys); for web-scale
+  // strata where a per-stratum sort hurts, the hash-gate (#84) with a
+  // per-stratum rate is the pressure-relief valve, same determinism.
+  val STRATIFIED_N = 10
+  val qSampleStratified: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("lang"), col("doc_id"),
+        md5(col("doc_id").cast("string").cast("binary")).as("h"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))))
+      .filter(col("rk") <= STRATIFIED_N)
+      .select(col("lang"), col("doc_id"), col("rk").cast("bigint").as("rk"))
+      .orderBy("lang", "rk")
+
+  val qSampleStratifiedSql: String =
+    s"""SELECT lang, doc_id, CAST(rk AS BIGINT) AS rk FROM (
+      |  SELECT lang, doc_id, ROW_NUMBER() OVER (PARTITION BY lang
+      |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |  FROM documents) t
+      |WHERE rk <= $STRATIFIED_N
+      |ORDER BY lang, rk""".stripMargin
+
   // ---- #86 q_text_repetition (added r6) ----------------------------------
   // Gopher-style repetition signal: the fraction of a doc's 2-gram
   // occurrences covered by its single most frequent 2-gram, plus the
@@ -872,6 +902,7 @@ object PipelineExtras {
     "q_text_topk_words" -> qTextTopkWords,
     "q_decontaminate" -> qDecontaminate,
     "q_sample_mix" -> qSampleMix,
+    "q_sample_stratified" -> qSampleStratified,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_ngram_jaccard" -> qDedupNgramJaccard,
     "q_dedup_containment" -> qDedupContainment,
@@ -890,6 +921,7 @@ object PipelineExtras {
     "q_text_topk_words" -> qTextTopkWordsSql,
     "q_decontaminate" -> qDecontaminateSql,
     "q_sample_mix" -> qSampleMixSql,
+    "q_sample_stratified" -> qSampleStratifiedSql,
     "q_dedup_simhash" -> qDedupSimhashSql,
     "q_dedup_ngram_jaccard" -> qDedupNgramJaccardSql,
     "q_dedup_containment" -> qDedupContainmentSql,

@@ -258,7 +258,7 @@ class PlanSuite extends GraftSuite {
     val p = plan(queries.Analytics.qGapfill(spark, sf0001))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"gapfill must not cross-join a calendar:\n$p")
-    assert(p.contains("sequence(mind"), s"expected the per-user span sequence:\n$p")
+    assert(p.contains("sequence(_mind"), s"expected the per-user span sequence:\n$p")
   }
 
   test("q_dedup_embed_bucketed (#111): no cartesian/BNLJ — candidates via (band, key) equi-join") {

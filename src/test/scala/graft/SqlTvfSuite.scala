@@ -64,6 +64,18 @@ class SqlTvfSuite extends GraftSuite {
     }
   }
 
+  test("graft_gapfill TVF == q_gapfill") {
+    withEventsView("ev_tvf") {
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getDate(1).toString, r.getDouble(2), r.getLong(3))
+      val got = spark.sql(
+        "SELECT * FROM graft_gapfill('ev_tvf', 'user_id', 'ts', 'value', 'event_id')")
+        .collect().map(key).toSeq
+      val want = queries.Analytics.qGapfill(spark, sf0001).collect().map(key).toSeq
+      assert(got == want, "TVF gapfill rows must equal the oracled query")
+    }
+  }
+
   test("runtime registration path (Engine.init-style) registers the same functions") {
     // simulate a conf-only session: re-register over the injected ones
     // through the sessionState bridge — must be an idempotent overwrite
