@@ -791,4 +791,156 @@ object StreamzStateOps {
         if (t1 == Long.MaxValue) None else Some(t1), t2, t3))
     }
   }
+
+  // not private: Catalyst's generated (de)serializers must access them
+  case class GapReading(user: Long, ord: Long, ts: java.sql.Timestamp, v: Double)
+  case class GapOut(user_id: Long, d: java.sql.Date, v_filled: Double,
+      is_observed: Int)
+
+  /** STREAMING gap fill — the live feeder of batch `q_gapfill`
+    * (#115): per user, one APPEND-once row per day with the day's
+    * last reading, missing days carried forward. A day D is emitted
+    * exactly when it becomes FINAL, which needs all three of:
+    *  - the watermark passed D's end ((D+1)·day ≤ wm): no admissible
+    *    reading can change D's own pick;
+    *  - some observed day ≥ D exists: the batch span is
+    *    [first_day, last_day], so a trailing gap day is not a row
+    *    until a later reading proves the span covers it;
+    *  - every day < D is final (the carry value is settled) — free,
+    *    because days emit in order through a per-user cursor.
+    * Both frontiers move monotonically (watermark by contract; the
+    * max observed day because a smaller late reading is dropped), so
+    * the cursor never revisits — append-once like [[cohortStream]].
+    *
+    * State per user: the per-day best reading for UNSEALED days only
+    * (MapState, drained as days seal — bounded by the allowed
+    * lateness × reading days, the same horizon a watermarked
+    * interval join holds), plus three scalars (cursor, carry cents,
+    * max observed day). One event-time timer per user at the next
+    * unsealed day boundary walks the cursor when the watermark
+    * moves; an input batch drains too, because a new later reading
+    * can unlock already-watermarked gap days (the span bound, not
+    * the time bound, was the blocker).
+    *
+    * Money arithmetic matches the batch row exactly: readings
+    * round to cents on ingest (BigDecimal HALF_UP ≡ Catalyst Round,
+    * same as [[twapStream]]), carried days re-emit the same cents,
+    * and cents/100.0 is exact in double — streamed v_filled ==
+    * batch bit-for-bit. Caller sets `withWatermark(tsCol, …)`
+    * upstream.
+    */
+  def gapfillStream(df: DataFrame, userCol: String, ordCol: String,
+      tsCol: String, valueCol: String): DataFrame = {
+    implicit val inEnc = Encoders.product[GapReading]
+    implicit val outEnc = Encoders.product[GapOut]
+    implicit val keyEnc = Encoders.scalaLong
+    val typed: Dataset[GapReading] = df.select(
+      col(userCol).cast("long").as("user"),
+      col(ordCol).cast("long").as("ord"),
+      col(tsCol).as("ts"), // no cast: keep the watermark tag
+      col(valueCol).cast("double").as("v")).as[GapReading]
+    typed.groupByKey(_.user)
+      .transformWithState(new GapfillProcessor(),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
+      .toDF("user_id", "d", "v_filled", "is_observed")
+  }
+
+  class GapfillProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, GapReading, GapOut] {
+    private val DAY_MS = 86400000L
+    @transient private var best:
+      org.apache.spark.sql.streaming.MapState[Long, (Long, Long, Long)] = _
+    @transient private var cursor:
+      org.apache.spark.sql.streaming.ValueState[Long] = _
+    @transient private var carry:
+      org.apache.spark.sql.streaming.ValueState[Long] = _
+    @transient private var maxObs:
+      org.apache.spark.sql.streaming.ValueState[Long] = _
+    @transient private var armed:
+      org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      val none = org.apache.spark.sql.streaming.TTLConfig.NONE
+      best = getHandle.getMapState[Long, (Long, Long, Long)]("best",
+        Encoders.scalaLong,
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong),
+        none)
+      cursor = getHandle.getValueState[Long]("cursor", Encoders.scalaLong, none)
+      carry = getHandle.getValueState[Long]("carry", Encoders.scalaLong, none)
+      maxObs = getHandle.getValueState[Long]("maxObs", Encoders.scalaLong, none)
+      armed = getHandle.getValueState[Long]("armed", Encoders.scalaLong, none)
+    }
+
+    /** Emit every now-final day from the cursor forward; re-arm the
+      * boundary timer for the next unsealed day still inside the
+      * span. Idempotent — safe from both handlers. */
+    private def drain(wmMs: Long): Iterator[GapOut] = {
+      val mo = if (maxObs.exists()) maxObs.get() else return Iterator.empty
+      var d = if (cursor.exists()) cursor.get()
+        else {
+          val keys = best.keys()
+          if (!keys.hasNext) return Iterator.empty
+          var m = Long.MaxValue
+          keys.foreach(k => if (k < m) m = k)
+          m // the first observed day: final at first seal (anything
+            // earlier would be below the watermark by then)
+        }
+      val out = scala.collection.mutable.ArrayBuffer.empty[GapOut]
+      while ((d + 1) * DAY_MS <= wmMs && d <= mo) {
+        val cents = if (best.containsKey(d)) {
+          val c = best.getValue(d)._3
+          best.removeKey(d)
+          carry.update(c)
+          out += GapOut(0L, java.sql.Date.valueOf(
+            java.time.LocalDate.ofEpochDay(d)), c / 100.0, 1)
+          c
+        } else {
+          val c = carry.get() // cursor starts on an observed day, so
+          out += GapOut(0L, java.sql.Date.valueOf( // carry is always set
+            java.time.LocalDate.ofEpochDay(d)), c / 100.0, 0)
+          c
+        }
+        d += 1
+      }
+      cursor.update(d)
+      val want = if (d <= mo) (d + 1) * DAY_MS else -1L
+      val have = if (armed.exists()) armed.get() else -1L
+      if (have != want) {
+        if (have >= 0) getHandle.deleteTimer(have)
+        if (want >= 0) getHandle.registerTimer(want)
+        if (want >= 0) armed.update(want) else armed.clear()
+      }
+      out.iterator
+    }
+
+    override def handleInputRows(user: Long, rows: Iterator[GapReading],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[GapOut] = {
+      rows.foreach { r =>
+        val i = r.ts.toInstant
+        val us = i.getEpochSecond * 1000000L + i.getNano / 1000L
+        val d = us / 86400000000L
+        // cents ≡ the batch row's round(value, 2): BigDecimal HALF_UP
+        // is exactly Catalyst's Round on DoubleType
+        val cents = (BigDecimal.decimal(r.v)
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLong
+        // the day's LAST reading by (us, ord) — the batch row_number
+        // DESC pick, so the tiebreak must match exactly
+        val better = !best.containsKey(d) || {
+          val (pu, po, _) = best.getValue(d)
+          us > pu || (us == pu && r.ord > po)
+        }
+        if (better) best.updateValue(d, (us, r.ord, cents))
+        if (!maxObs.exists() || d > maxObs.get()) maxObs.update(d)
+      }
+      drain(tv.getCurrentWatermarkInMs()).map(_.copy(user_id = user))
+    }
+
+    override def handleExpiredTimer(user: Long,
+        tv: org.apache.spark.sql.streaming.TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[GapOut] = {
+      // this timer just fired — it is no longer registered
+      if (armed.exists() && armed.get() == info.getExpiryTimeInMs()) armed.clear()
+      drain(tv.getCurrentWatermarkInMs()).map(_.copy(user_id = user))
+    }
+  }
 }

@@ -1210,6 +1210,111 @@ class StreamingSuite extends GraftSuite {
     }
   }
 
+  test("gapfillStream: append-once sealed days == batch q_gapfill, across batches and a restart") {
+    withRocksDb {
+      val sess = spark
+      import sess.implicits._
+      implicit val sqlCtx = sess.sqlContext
+      val ev = Tables.events(spark, sf0001)
+        .select(col("user_id").cast("long"), col("event_id").cast("long"),
+          col("ts"), col("value").cast("double"))
+        .orderBy("ts")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getDouble(3)))
+      val n = ev.length
+      val chunks = Seq(ev.slice(0, n / 3), ev.slice(n / 3, 2 * n / 3),
+        ev.slice(2 * n / 3, n))
+      // sentinel far past the fixture: pushes the watermark beyond
+      // every real day's end, so EVERY batch row's day seals; the
+      // sentinel's own day stays unsealed (wm = its ts − 1h) and
+      // must emit nothing
+      val sentinel = (999999L, 1L,
+        new Timestamp(ev.map(_._3.getTime).max + 40L * 86400000L), 1.0)
+      val cp = java.nio.file.Files.createTempDirectory("gapfill_tws_cp").toString
+      val got = scala.collection.concurrent.TrieMap
+        .empty[(Long, String), (Double, Int)]
+      val ms = MemoryStream[(Long, Long, Timestamp, Double)]
+      def start() = graft.api.StreamzStateOps.gapfillStream(
+          ms.toDF().toDF("user_id", "event_id", "ts", "value")
+            .withWatermark("ts", "1 hour"),
+          "user_id", "event_id", "ts", "value")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.ProcessingTime(0))
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.collect().foreach { r =>
+            val k = (r.getLong(0), r.getDate(1).toString)
+            assert(!got.contains(k), s"append-once violated: $k emitted twice")
+            got(k) = (r.getDouble(2), r.getInt(3))
+          }
+          ()
+        }.start()
+      val q1 = start()
+      ms.addData(chunks(0).toSeq: _*); q1.processAllAvailable()
+      ms.addData(chunks(1).toSeq: _*); q1.processAllAvailable()
+      q1.stop() // cursor/carry/pending survive only via the checkpoint
+      val q2 = start()
+      ms.addData(chunks(2).toSeq: _*); q2.processAllAvailable()
+      ms.addData(sentinel); q2.processAllAvailable()
+      q2.stop()
+      val streamed = got.filter(_._1._1 != 999999L)
+      val want = graft.queries.Analytics.qGapfill(spark, sf0001).collect()
+        .map(r => (r.getLong(0), r.getDate(1).toString) ->
+          (r.getDouble(2), r.getLong(3).toInt)).toMap
+      assert(want.nonEmpty && streamed.size == want.size,
+        s"key sets differ: streamed=${streamed.size} batch=${want.size}; " +
+          s"missing=${(want.keySet diff streamed.keySet).take(5)} " +
+          s"extra=${(streamed.keySet diff want.keySet).take(5)}")
+      want.foreach { case (k, (vB, obsB)) =>
+        val (vS, obsS) = streamed(k)
+        assert(obsS == obsB, s"$k: is_observed $obsS != $obsB")
+        assert(vS == vB, s"$k: v_filled $vS != $vB (must be exact — cents copy)")
+      }
+    }
+  }
+
+  test("gapfillStream: a late same-day reading re-picks the day; a later reading unlocks watermarked gap days; below-watermark drops") {
+    withRocksDb {
+      val sess = spark
+      import sess.implicits._
+      implicit val sqlCtx = sess.sqlContext
+      val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Double, Int)]
+      val ms = MemoryStream[(Long, Long, Timestamp, Double)]
+      val q = graft.api.StreamzStateOps.gapfillStream(
+          ms.toDF().toDF("user_id", "event_id", "ts", "value")
+            .withWatermark("ts", "1 hour"),
+          "user_id", "event_id", "ts", "value")
+        .writeStream.outputMode("append").queryName("gap_ooo")
+        .trigger(Trigger.ProcessingTime(0))
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.collect().foreach(r => got.synchronized {
+            got += ((r.getLong(0), r.getDate(1).toString, r.getDouble(2), r.getInt(3)))
+          })
+          ()
+        }.start()
+      try {
+        ms.addData((1L, 1L, ts("2024-01-01 12:00:00"), 10.0))
+        q.processAllAvailable()
+        assert(got.isEmpty, "nothing seals while the watermark sits inside day 0")
+        // one batch carrying BOTH a late same-day re-pick (18:00 beats
+        // 12:00) and a day-3 reading that moves the watermark past
+        // days 0-2 AND extends the span over the gap days
+        ms.addData((1L, 2L, ts("2024-01-01 18:00:00"), 99.0),
+          (1L, 3L, ts("2024-01-04 12:00:00"), 30.0))
+        q.processAllAvailable()
+        assert(got.toList == List(
+          (1L, "2024-01-01", 99.0, 1),
+          (1L, "2024-01-02", 99.0, 0),
+          (1L, "2024-01-03", 99.0, 0)),
+          s"sealed days must carry the re-picked 18:00 value; got $got")
+        // below the watermark (wm ≈ Jan 4 11:00): dropped by the
+        // engine — no re-emission, no pick change, day 3 already out
+        ms.addData((1L, 4L, ts("2024-01-03 23:00:00"), 50.0))
+        q.processAllAvailable()
+        assert(got.size == 3, "a below-watermark reading must change nothing")
+      } finally q.stop()
+    }
+  }
+
   test("StreamContain: streamed containment == batch q_dedup_containment, across a restart; subset pair found cross-batch") {
     val sess = spark
     import sess.implicits._
