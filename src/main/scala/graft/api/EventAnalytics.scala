@@ -72,19 +72,35 @@ object EventAnalytics {
     * `dayOffset` days later. Output (cohort_date, n_users,
     * retained_d<offset>) — `q_cohort_retention` at (purchase, 7). */
   def cohortRetentionDf(events: DataFrame, userCol: String, typeCol: String,
-      tsCol: String, cohortEvent: String, dayOffset: Int): DataFrame = {
+      tsCol: String, cohortEvent: String, dayOffset: Int): DataFrame =
+    cohortMatrixDf(events, userCol, typeCol, tsCol, cohortEvent, Seq(dayOffset))
+
+  /** The retention MATRIX: one `retained_d<k>` column per offset in
+    * `dayOffsets`, same single pass — the curve a retention dashboard
+    * plots (d1/d7/d14/d30…), at the cost of ONE query instead of one
+    * per offset. Per-user conditional maxes all fold into the same
+    * two aggregations as the single-offset row, so the plan shape
+    * (two user-keyed exchanges, everything partial-merged) does not
+    * change with the number of offsets. */
+  def cohortMatrixDf(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, cohortEvent: String, dayOffsets: Seq[Int]): DataFrame = {
+    require(dayOffsets.nonEmpty, "need at least one day offset")
+    require(dayOffsets.distinct == dayOffsets, s"duplicate offsets: $dayOffsets")
     val ev = events.select(col(userCol).as("_u"), col(typeCol).as("_et"),
       col(tsCol).as("_ts"))
     val firsts = ev.filter(col("_et") === cohortEvent)
       .groupBy(col("_u")).agg(min(to_date(col("_ts"))).as("cohort_date"))
     val activity = ev.select(col("_u"), to_date(col("_ts")).as("_d")).distinct()
+    val perUser = dayOffsets.map(k =>
+      max(when(col("_d") === date_add(col("cohort_date"), k), 1).otherwise(0))
+        .as(s"_a$k"))
+    val perCohort = count(lit(1)).as("n_users") +: dayOffsets.map(k =>
+      sum(col(s"_a$k")).cast("bigint").as(s"retained_d$k"))
     firsts.join(activity, "_u")
       .groupBy(col("cohort_date"), col("_u"))
-      .agg(max(when(col("_d") === date_add(col("cohort_date"), dayOffset), 1)
-        .otherwise(0)).as("_active"))
+      .agg(perUser.head, perUser.tail: _*)
       .groupBy(col("cohort_date"))
-      .agg(count(lit(1)).as("n_users"),
-        sum(col("_active")).cast("bigint").as(s"retained_d$dayOffset"))
+      .agg(perCohort.head, perCohort.tail: _*)
       .orderBy("cohort_date")
   }
 

@@ -222,6 +222,35 @@ object Analytics {
       |HAVING SUM(dt) > 0
       |ORDER BY user_id, d""".stripMargin
 
+  // ---- #117 q_cohort_matrix ----------------------------------------------
+  // The retention CURVE (#105 generalized): d1/d7/d14 in ONE pass —
+  // the per-user conditional maxes fold into the same two user-keyed
+  // aggregations as the single-offset row, so the plan shape is
+  // offset-count-invariant (api/EventAnalytics.cohortMatrixDf).
+  val COHORT_MATRIX_OFFSETS = Seq(1, 7, 14)
+
+  val qCohortMatrix: Q = (s, dir) =>
+    graft.api.EventAnalytics.cohortMatrixDf(
+      Tables.events(s, dir), "user_id", "event_type", "ts",
+      cohortEvent = "purchase", dayOffsets = COHORT_MATRIX_OFFSETS)
+
+  val qCohortMatrixSql: String = EV +
+    s""", firsts AS (
+      |  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_date FROM e
+      |  WHERE event_type = 'purchase' GROUP BY user_id),
+      |activity AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM e),
+      |ret AS (
+      |  SELECT f.cohort_date, f.user_id,
+      |${COHORT_MATRIX_OFFSETS.map(k =>
+        s"         MAX(CASE WHEN a.d = f.cohort_date + INTERVAL $k DAY THEN 1 ELSE 0 END) AS a$k")
+        .mkString(",\n")}
+      |  FROM firsts f JOIN activity a ON a.user_id = f.user_id
+      |  GROUP BY 1, 2)
+      |SELECT cohort_date, COUNT(*) AS n_users,
+      |${COHORT_MATRIX_OFFSETS.map(k =>
+        s"       CAST(SUM(a$k) AS BIGINT) AS retained_d$k").mkString(",\n")}
+      |FROM ret GROUP BY cohort_date ORDER BY cohort_date""".stripMargin
+
   // ---- #115 q_gapfill ----------------------------------------------------
   // Time-series gap fill with forward carry (the "last observation
   // carried forward" shape every daily-metrics table needs): per
@@ -274,6 +303,7 @@ object Analytics {
     "q_profile_stats" -> qProfileStats,
     "q_twap" -> qTwap,
     "q_gapfill" -> qGapfill,
+    "q_cohort_matrix" -> qCohortMatrix,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -284,5 +314,6 @@ object Analytics {
     "q_profile_stats" -> qProfileStatsSql,
     "q_twap" -> qTwapSql,
     "q_gapfill" -> qGapfillSql,
+    "q_cohort_matrix" -> qCohortMatrixSql,
   )
 }
