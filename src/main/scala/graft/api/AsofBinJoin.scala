@@ -51,7 +51,11 @@ import org.apache.spark.sql.functions._
   * in-bin time ≤ bin end < every later-bin time). `strict = true`
   * excludes the exact-tie time (rt == t) — it only touches the
   * in-bin residual, because carry bins lie strictly past the
-  * boundary by construction in both directions.
+  * boundary by construction in both directions. `toleranceUs`
+  * (pandas merge_asof's bound) nulls a pick farther than the bound
+  * from t: because the pick is the time-EXTREME on its side, a pick
+  * outside the bound implies no candidate inside it, so filtering
+  * the chosen row is equivalent to bounding the candidates.
   */
 object AsofBinJoin {
 
@@ -59,8 +63,11 @@ object AsofBinJoin {
                keysLeft: Seq[String],
                right: DataFrame, rightTimeCol: String, keysRight: Seq[String],
                tieBreakCols: Seq[String], binWidth: Long,
-               direction: String = "backward", strict: Boolean = false): DataFrame = {
+               direction: String = "backward", strict: Boolean = false,
+               toleranceUs: Option[Long] = None): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    toleranceUs.foreach(t =>
+      require(t > 0, s"toleranceUs must be positive when set, got $t"))
     val backward = direction match {
       case "backward" => true
       case "forward" => false
@@ -130,8 +137,22 @@ object AsofBinJoin {
       .select(keysLeft.map(col) ++ Seq(col("_bin"), col("_carry")): _*)
 
     // 3. stitch: in-bin beats carry (strictly closer to t by
-    //    construction, in either direction)
-    val payload = coalesce(col("_best._payload"), col("_carry._payload"))
+    //    construction, in either direction). Tolerance (the pandas
+    //    merge_asof bound) applies to the CHOSEN row, not the
+    //    candidates: the pick inside the window is unchanged, a pick
+    //    farther than `toleranceUs` just nulls out — so it composes
+    //    with both directions and strictness for free. (A cost-side
+    //    carry bound — skip bins beyond tolerance — would be an
+    //    optimization on top; the filter alone is the semantics.)
+    val chosen = coalesce(col("_best"), col("_carry"))
+    val inTol = toleranceUs match {
+      case None => lit(true)
+      case Some(tol) =>
+        val dist = if (backward) col(leftTimeCol) - chosen.getField(rightTimeCol)
+          else chosen.getField(rightTimeCol) - col(leftTimeCol)
+        dist <= lit(tol)
+    }
+    val payload = when(chosen.isNotNull && inTol, chosen.getField("_payload"))
     lb.join(inBest, col(leftIdCol) === col("_ib_id"), "left")
       .join(carried, keysLeft :+ "_bin", "left")
       .select(left.columns.map(col) ++

@@ -208,6 +208,20 @@ object EventAnalytics {
     }
   }
 
+  private def intSeqArg(fn: String, args: Seq[Expression], i: Int,
+      what: String): Seq[Int] = {
+    val e = args(i)
+    e.dataType match {
+      case ArrayType(t @ (LongType | IntegerType | ShortType | ByteType), _)
+          if e.foldable =>
+        Option(e.eval()).map(_.asInstanceOf[ArrayData].toObjectArray(t)
+          .map(v => if (v == null) fail(fn, i, what, "an array of non-null integers")
+            else v.asInstanceOf[Number].intValue).toSeq)
+          .getOrElse(fail(fn, i, what, "a non-null array of integer literals"))
+      case _ => fail(fn, i, what, "an array of integer literals, e.g. array(1, 7, 14)")
+    }
+  }
+
   private def arity(fn: String, args: Seq[Expression], n: Int, sig: String): Unit =
     if (args.length != n) throw new IllegalArgumentException(
       s"$fn expects $n arguments: $fn($sig); got ${args.length}")
@@ -254,6 +268,14 @@ object EventAnalytics {
       gapfillDf(SparkSession.active.table(strArg(fn, args, 0, "table")),
         strArg(fn, args, 1, "user_col"), strArg(fn, args, 2, "ts_col"),
         strArg(fn, args, 3, "value_col"), strArg(fn, args, 4, "tiebreak_col"))
+    },
+    desc("graft_cohort_matrix") { args =>
+      val fn = "graft_cohort_matrix"
+      arity(fn, args, 6, "table, user_col, type_col, ts_col, cohort_event, day_offsets_array")
+      cohortMatrixDf(SparkSession.active.table(strArg(fn, args, 0, "table")),
+        strArg(fn, args, 1, "user_col"), strArg(fn, args, 2, "type_col"),
+        strArg(fn, args, 3, "ts_col"), strArg(fn, args, 4, "cohort_event"),
+        intSeqArg(fn, args, 5, "day_offsets_array"))
     })
 
   /** Runtime registration for conf-only sessions (extension-built

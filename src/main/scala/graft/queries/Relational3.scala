@@ -268,6 +268,43 @@ object Relational3 {
       |WHERE rn = 1
       |ORDER BY event_id""".stripMargin
 
+  // ---- #118 q_join_asof_tolerance ----------------------------------------
+  // #114 with a merge_asof-style bound: the next click counts only
+  // within 24 h of the purchase — the "did they come back QUICKLY"
+  // variant. Same binned plan; the tolerance nulls a pick farther
+  // than the bound (pick is the time-extreme, so pick-outside-bound
+  // ⟺ no candidate inside — the oracle can put the bound in the
+  // join predicate and stay equivalent).
+  val qJoinAsofTolerance: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("_t"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_event_id"), col("user_id").as("c_user_id"),
+        unix_micros(col("ts")).as("_rt"))
+    graft.api.AsofBinJoin.asofJoin(
+        p, leftIdCol = "event_id", leftTimeCol = "_t", keysLeft = Seq("user_id"),
+        right = c, rightTimeCol = "_rt", keysRight = Seq("c_user_id"),
+        tieBreakCols = Seq("c_event_id"), binWidth = 86400000000L,
+        direction = "forward", strict = true, toleranceUs = Some(86400000000L))
+      .select(col("event_id"), col("user_id"),
+        col("c_event_id").as("next_click_id"), col("_rt").as("next_click_us"))
+      .orderBy("event_id")
+  }
+
+  val qJoinAsofToleranceSql: String = EV +
+    """SELECT event_id, user_id, next_click_id, next_click_us FROM (
+      |  SELECT p.event_id, p.user_id, c.event_id AS next_click_id,
+      |         epoch_us(c.ts) AS next_click_us,
+      |         ROW_NUMBER() OVER (PARTITION BY p.event_id
+      |           ORDER BY c.ts ASC NULLS LAST, c.event_id ASC NULLS LAST) AS rn
+      |  FROM e p LEFT JOIN e c
+      |    ON p.user_id = c.user_id AND c.event_type = 'click' AND c.ts > p.ts
+      |       AND epoch_us(c.ts) - epoch_us(p.ts) <= 86400000000
+      |  WHERE p.event_type = 'purchase')
+      |WHERE rn = 1
+      |ORDER BY event_id""".stripMargin
+
   // ------------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "q_string_agg" -> qStringAgg,
@@ -278,6 +315,7 @@ object Relational3 {
     "q_join_range_binned" -> qJoinRangeBinned,
     "q_join_asof_binned" -> qJoinAsofBinned,
     "q_join_asof_forward" -> qJoinAsofForward,
+    "q_join_asof_tolerance" -> qJoinAsofTolerance,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -289,5 +327,6 @@ object Relational3 {
     "q_join_range_binned" -> qJoinRangeBinnedSql,
     "q_join_asof_binned" -> qJoinAsofBinnedSql,
     "q_join_asof_forward" -> qJoinAsofForwardSql,
+    "q_join_asof_tolerance" -> qJoinAsofToleranceSql,
   )
 }

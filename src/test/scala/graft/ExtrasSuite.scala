@@ -644,6 +644,31 @@ class ExtrasSuite extends GraftSuite {
     }
   }
 
+  test("AsofBinJoin tolerance: a pick beyond the bound nulls out, inside it survives — both directions") {
+    val sess = spark; import sess.implicits._
+    val l = Seq((1L, 10L, 1000L), (2L, 10L, 950L)).toDF("lid", "k", "t")
+    val r = Seq((10L, 900L, 1L, "c")).toDF("rk", "rt", "rtb", "v")
+    def run(dir: String, tol: Long) = graft.api.AsofBinJoin.asofJoin(
+        l, "lid", "t", Seq("k"), r, "rt", Seq("rk"), Seq("rtb"), binWidth = 100L,
+        direction = dir, toleranceUs = Some(tol))
+      .select("lid", "v").collect().map(x => x.getLong(0) -> Option(x.get(1))).toMap
+    // backward: rt=900; lid=1 is 100 away, lid=2 is 50 away
+    val b = run("backward", 60L)
+    assert(b(1L) == None, "pick 100 beyond a 60 tolerance must null out")
+    assert(b(2L) == Some("c"), "pick 50 inside a 60 tolerance survives")
+    // forward from t=500: rt=900 is 400 away
+    val f = graft.api.AsofBinJoin.asofJoin(
+        Seq((3L, 10L, 500L)).toDF("lid", "k", "t"), "lid", "t", Seq("k"),
+        r, "rt", Seq("rk"), Seq("rtb"), binWidth = 100L,
+        direction = "forward", toleranceUs = Some(300L))
+      .select("lid", "v").collect().map(x => x.getLong(0) -> Option(x.get(1))).toMap
+    assert(f(3L) == None, "forward pick 400 beyond a 300 tolerance must null out")
+    intercept[IllegalArgumentException] {
+      graft.api.AsofBinJoin.asofJoin(l, "lid", "t", Seq("k"), r, "rt", Seq("rk"),
+        Seq("rtb"), binWidth = 100L, toleranceUs = Some(0L))
+    }
+  }
+
   test("q_dedup_clusters (#103): a valid partition of the pair graph into min-labeled components") {
     val pairs = graft.queries.MinHashDf.qDedupMinhashDf(spark, sf0001)
       .select("doc_a", "doc_b").collect()

@@ -64,6 +64,21 @@ class SqlTvfSuite extends GraftSuite {
     }
   }
 
+  test("graft_cohort_matrix TVF == q_cohort_matrix") {
+    withEventsView("ev_tvf") {
+      def key(r: org.apache.spark.sql.Row) = (r.getDate(0).toString,
+        r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val got = spark.sql(
+        "SELECT * FROM graft_cohort_matrix('ev_tvf', 'user_id', 'event_type', " +
+          "'ts', 'purchase', array(1, 7, 14))")
+      assert(got.columns.toSeq ==
+        Seq("cohort_date", "n_users", "retained_d1", "retained_d7", "retained_d14"))
+      val want = queries.Analytics.qCohortMatrix(spark, sf0001).collect().map(key).toSeq
+      assert(got.collect().map(key).toSeq == want,
+        "TVF matrix rows must equal the oracled query")
+    }
+  }
+
   test("graft_gapfill TVF == q_gapfill") {
     withEventsView("ev_tvf") {
       def key(r: org.apache.spark.sql.Row) =
