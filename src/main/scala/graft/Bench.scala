@@ -36,11 +36,22 @@ object Bench {
     // run's cache residue and their times depend on map iteration
     // order (eviction churn, not plan cost).
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt)
+    // Per-query failures are first-class output, not silent -1s: a
+    // query that throws records its exception class+message, and the
+    // summary carries a nonzero "failed" count — a red bench must not
+    // parse as green (VERDICT r10: 31 crashed queries looked like a
+    // slow-but-valid run to a lazy reader).
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = hotSet.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
-                 catch { case _: Throwable => false }
+                 catch { case e: Throwable =>
+                   errors.getOrElseUpdate(name,
+                     (e.getClass.getSimpleName + ": " +
+                       String.valueOf(e.getMessage)).take(160))
+                   false
+                 }
         val t = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
         (t, ok)
@@ -86,8 +97,16 @@ object Bench {
     // the driver's bounded tail capture (raw Double.toString ~doubles it).
     val qs = mins.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    val total = if (mins.nonEmpty) mins.values.sum else 0.0
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"noise_ratio_median":${f3(pct(0.5))},"noise_ratio_p90":${f3(pct(0.9))},"spread_file":"$spreadPath","queries":$qs,"sf":"$sfDir"}""")
+    // total sums SUCCESSFUL mins only — summing -1 sentinels would
+    // make a crashing round look FASTER than a healthy one
+    val total = mins.values.filter(_ >= 0).sum
+    def jstr(s: String) = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => " "; case c => c.toString
+    } + "\""
+    val errJson = errors.map { case (k, m) => jstr(k) + ":" + jstr(m) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"failed":${errors.size},"errors":$errJson,"noise_ratio_median":${f3(pct(0.5))},"noise_ratio_p90":${f3(pct(0.9))},"spread_file":"$spreadPath","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

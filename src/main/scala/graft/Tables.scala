@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Central table readers for the driver-generated parquet fixtures
@@ -27,19 +27,50 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
 
-  /** `events.parquet` stores `ts` as parquet INT64 TIMESTAMP(NANOS)
-    * which Spark 4.1.2 refuses to read unless
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (SURVEY.md §2.5.3).
-    * With the conf set, `ts` arrives as LongType nanoseconds since
-    * epoch; we truncate (integer `div`) to microseconds — verified to
-    * match DuckDB's own ns→µs truncation exactly.
+  /** Read-session confs that make the events fixture loadable under
+    * EITHER historical schema of its `ts` column (SURVEY.md §2.5.3):
     *
-    * The driver's Verify/Bench sessions do NOT set the conf, so it is
-    * set here, before every read.
+    *  - parquet INT64 TIMESTAMP(NANOS) (fixtures ≤ r9): Spark 4.1.2
+    *    refuses the column outright unless
+    *    `spark.sql.legacy.parquet.nanosAsLong=true`, which surfaces it
+    *    as LongType raw nanoseconds.
+    *  - parquet INT64 TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    *    (fixtures ≥ r10 regen): with default
+    *    `spark.sql.parquet.inferTimestampNTZ.enabled=true` this infers
+    *    TIMESTAMP_NTZ, whose only path back to TimestampType is a
+    *    session-timezone-dependent cast. Disabling the inference makes
+    *    Spark surface the column directly as TimestampType carrying
+    *    the file's raw microseconds — bit-identical to what the ns
+    *    recipe produced, with no timezone in the loop.
+    *
+    * The driver's Verify/Bench sessions do NOT set these confs, so
+    * they are (re)set here before every read.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
+  def setEventsReadConfs(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(spark, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+  }
+
+  /** Adaptive `ts` normalization to TimestampType (µs since epoch),
+    * branching on the type the scan actually produced:
+    * LongType = raw ns (legacy fixture) → integer-div to µs, which
+    * matches DuckDB's own ns→µs truncation exactly; TimestampType
+    * (µs fixture under [[setEventsReadConfs]]) → already correct;
+    * TIMESTAMP_NTZ (µs fixture read WITHOUT the confs) → cast, which
+    * is exact when the session timezone is UTC. Works on batch and
+    * streaming DataFrames alike.
+    */
+  def normalizeEventsTs(df: DataFrame): Column = df.schema("ts").dataType match {
+    case org.apache.spark.sql.types.LongType =>
+      expr("timestamp_micros(ts div 1000)")
+    case org.apache.spark.sql.types.TimestampNTZType =>
+      col("ts").cast(org.apache.spark.sql.types.TimestampType)
+    case _ => col("ts")
+  }
+
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    setEventsReadConfs(spark)
+    val raw = read(spark, dir, "events")
+    raw.withColumn("ts", normalizeEventsTs(raw))
   }
 }

@@ -82,9 +82,19 @@ object EmbedBlocking {
       .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
-  /** Distinct candidate id pairs (ia < ib) sharing ≥ 1 band key. */
+  /** Distinct candidate id pairs (ia < ib) sharing ≥ 1 band key.
+    *
+    * The banded projection (64 sign-tests × 8 dims per row, then a
+    * 64-way explode) is materialized ONCE via eager localCheckpoint
+    * and read back by BOTH self-join sides — without it each side
+    * recomputes the full scan+explode (observed ~25% of the query's
+    * r9 bench time). Same planning-scale pattern as DedupClusters'
+    * per-round checkpoint: executor-local blocks, no lineage, and at
+    * cluster scale the blocks sit on the executors that produced
+    * them, so the only remaining movement is the (band, key) shuffle
+    * the join needs anyway. */
   def candidatePairs(e: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val k = bandKeys(e, idCol, vecCol)
+    val k = bandKeys(e, idCol, vecCol).localCheckpoint()
     val a = k.select(col(idCol).as("ia"), col("band"), col("key"))
     val b = k.select(col(idCol).as("ib"), col("band"), col("key"))
     a.join(b, Seq("band", "key"))

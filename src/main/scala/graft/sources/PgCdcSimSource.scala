@@ -128,7 +128,7 @@ object PgCdcSim {
     */
   def changelogStats(path: String, deletes: Boolean): (Long, Long) = {
     val spark = SparkSession.active
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.Tables.setEventsReadConfs(spark)
     val agg = spark.read.parquet(path).agg(
       max(col("event_id")).as("max_seq"),
       max(when(col("user_id") % DELETED_KEY_MOD === DELETED_KEY_REM,
@@ -148,10 +148,18 @@ object PgCdcSim {
     */
   def loadChangelog(path: String, deletes: Boolean = false): Array[CdcRow] = {
     val spark = SparkSession.active
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rows = spark.read.parquet(path)
+    graft.Tables.setEventsReadConfs(spark)
+    val raw = spark.read.parquet(path)
+    // schema-adaptive µs extraction (see Tables.normalizeEventsTs):
+    // legacy int64-ns fixture → integer div; µs fixture (TimestampType
+    // under the confs) → unix_micros is the raw stored value.
+    val tsUs = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _ => unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
+    val rows = raw
       .select(col("event_id"), col("user_id"),
-        expr("ts div 1000").as("ts_us"), col("event_type"), col("value"))
+        tsUs.as("ts_us"), col("event_type"), col("value"))
       .orderBy("event_id")
       .collect()
     val seen = scala.collection.mutable.HashSet.empty[Long]
@@ -246,7 +254,7 @@ class PgCdcSimMicroBatchStream(path: String, batchSize: Long,
     */
   private lazy val firstSeenDir: String = {
     val spark = SparkSession.active
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.Tables.setEventsReadConfs(spark)
     val dir = s"$checkpointLocation/sources_graft/first_seen_n$numPartitions"
     val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(new Path(s"$dir/_SUCCESS")))
@@ -423,6 +431,29 @@ class ChangelogReader(slice: ChangelogSlice, hadoopConf: Configuration)
     }
   }
 
+  /** ts → µs conversion derived from the footer's logical annotation,
+    * NOT hard-coded: the fixture's `ts` has been both TIMESTAMP(NANOS)
+    * (rounds ≤9) and TIMESTAMP(MICROS) (r10 regen). Getting this wrong
+    * on the raw-parquet path fails SILENTLY (timestamps off 1000×),
+    * unlike the Spark reader which at least throws — hence the
+    * SchemaGuardSuite pin. Unannotated int64 = legacy ns assumption.
+    */
+  private lazy val tsRawToMicros: Long => Long = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+    changelogSchema
+      .filter(_.containsField("ts"))
+      .flatMap(s => Option(
+        s.getType(s.getFieldIndex("ts")).getLogicalTypeAnnotation))
+      .collect { case t: TimestampLogicalTypeAnnotation => t.getUnit }
+      .map {
+        case LogicalTypeAnnotation.TimeUnit.NANOS  => (raw: Long) => raw / 1000L
+        case LogicalTypeAnnotation.TimeUnit.MILLIS => (raw: Long) => raw * 1000L
+        case _                                     => (raw: Long) => raw
+      }
+      .getOrElse((raw: Long) => raw / 1000L)
+  }
+
   /** One filtered, column-projected pass over the changelog. */
   private def scanPass(cols: Seq[String], pred: FilterPredicate)
       (f: Group => Unit): Unit =
@@ -496,7 +527,7 @@ class ChangelogReader(slice: ChangelogSlice, hadoopConf: Configuration)
           FilterApi.ltEq(seqCol, Long.box(slice.end)))) { g =>
       val key = g.getLong("user_id", 0)
       if (mineKey(key)) {
-        val tsUs = g.getLong("ts", 0) / 1000L // TIMESTAMP(NANOS) raw int64
+        val tsUs = tsRawToMicros(g.getLong("ts", 0))
         val et = if (g.getFieldRepetitionCount("event_type") == 0) null
                  else g.getString("event_type", 0)
         val v: java.lang.Double =
@@ -528,7 +559,7 @@ class ChangelogReader(slice: ChangelogSlice, hadoopConf: Configuration)
               FilterApi.ltEq(keyCol, Long.box(kHi)))) { g =>
           val key = g.getLong("user_id", 0)
           if (mineKey(key) && PgCdcSim.isDeletedKey(key)) {
-            val tsUs = g.getLong("ts", 0) / 1000L
+            val tsUs = tsRawToMicros(g.getLong("ts", 0))
             maxTsUs.updateWith(key)(p =>
               Some(math.max(p.getOrElse(Long.MinValue), tsUs)))
           }

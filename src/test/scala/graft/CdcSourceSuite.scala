@@ -65,7 +65,7 @@ class CdcSourceSuite extends GraftSuite {
   }
 
   test("file source ingestion (§2A from_textfile analog): streaming parquet == batch on same file") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.setEventsReadConfs(spark)
     // the file source watches a DIRECTORY (new files = new data)
     val watchDir = java.nio.file.Files.createTempDirectory("file_src").toString
     java.nio.file.Files.copy(

@@ -265,8 +265,18 @@ class PlanSuite extends GraftSuite {
     val p = plan(queries.PipelineExtras.qDedupEmbedBucketed(spark, sf0001))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"bucketed embedding dedup must never go all-pairs:\n$p")
-    // the band-key generation is a projection-side explode, not a shuffle
-    assert(p.contains("Generate explode"), s"expected the band-key explode:\n$p")
+    // r11: the banded projection is localCheckpoint-materialized ONCE
+    // and read by both self-join sides, so the visible plan shows the
+    // checkpointed (id, band, key) scan rather than the explode (which
+    // ran exactly once, inside the checkpoint job). Pin that BOTH
+    // sides read the checkpoint — two ExistingRDD scans of band/key.
+    assert("Scan ExistingRDD\\[[^\\]]*band".r.findAllIn(p).size == 2,
+      s"both candidate-join sides must reuse the one materialized band projection:\n$p")
+    // and the explode is still projection-side where it runs: pin on
+    // the un-checkpointed generator
+    val gen = plan(graft.api.EmbedBlocking.bandKeys(
+      Tables.embeddings(spark, sf0001), "vec_id", "embedding"))
+    assert(gen.contains("Generate explode"), s"expected the band-key explode:\n$gen")
   }
 
   test("q_text_bm25 (#102): top-10 via TakeOrderedAndProject; documents scanned once") {

@@ -44,14 +44,15 @@ class StreamingSuite extends GraftSuite {
   }
 
   test("q_stream_tumbling (#46) on REAL fixture data: file-source stream == declared batch query") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.setEventsReadConfs(spark)
     val watch = java.nio.file.Files.createTempDirectory("ev_stream").toString
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sf0001/events.parquet"),
       java.nio.file.Paths.get(s"$watch/events.parquet"))
     val sch = spark.read.parquet(s"$sf0001/events.parquet").schema
-    val streamed = spark.readStream.schema(sch).parquet(watch)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)")) // same recipe as Tables.events
+    val rawStream = spark.readStream.schema(sch).parquet(watch)
+    val streamed = rawStream
+      .withColumn("ts", Tables.normalizeEventsTs(rawStream)) // same recipe as Tables.events
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)")
@@ -68,14 +69,16 @@ class StreamingSuite extends GraftSuite {
   }
 
   test("q_stream_stream_join (#88): two watermarked file streams == declared batch join") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.setEventsReadConfs(spark)
     val watch = java.nio.file.Files.createTempDirectory("ev_ssj").toString
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sf0001/events.parquet"),
       java.nio.file.Paths.get(s"$watch/events.parquet"))
     val sch = spark.read.parquet(s"$sf0001/events.parquet").schema
-    def evStream = spark.readStream.schema(sch).parquet(watch)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    def evStream = {
+      val r = spark.readStream.schema(sch).parquet(watch)
+      r.withColumn("ts", Tables.normalizeEventsTs(r))
+    }
     val clicks = evStream.filter(col("event_type") === "click")
       .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
       .withWatermark("click_ts", "1 hour")
@@ -530,14 +533,16 @@ class StreamingSuite extends GraftSuite {
     try {
       // (a) INNER #88: file-stream replay == declared batch join,
       // byte-identical to the default-provider test above
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      Tables.setEventsReadConfs(spark)
       val watch = java.nio.file.Files.createTempDirectory("ev_ssj_rocks").toString
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$sf0001/events.parquet"),
         java.nio.file.Paths.get(s"$watch/events.parquet"))
       val sch = spark.read.parquet(s"$sf0001/events.parquet").schema
-      def evStream = spark.readStream.schema(sch).parquet(watch)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      def evStream = {
+        val r = spark.readStream.schema(sch).parquet(watch)
+        r.withColumn("ts", Tables.normalizeEventsTs(r))
+      }
       val clicks = evStream.filter(col("event_type") === "click")
         .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
         .withWatermark("click_ts", "1 hour")
