@@ -167,6 +167,34 @@ object EventAnalytics {
       .orderBy(userCol, "d")
   }
 
+  /** Gaps-and-islands sessionization: per `userCol`, events more than
+    * `gapUs` µs apart start a new session; output one row per session
+    * with start/end/count, session ids numbered 1..n per user in time
+    * order (ties broken by `tieBreakCol`). Both window passes (lag +
+    * running sum) share ONE (user) exchange, and the groupBy reuses
+    * the same keys — `q_sessionize_gap`'s rows at
+    * (user_id, ts_sec, event_id, 30 min). Output
+    * (<userCol>, session_id, session_start, session_end, n_events). */
+  def sessionizeDf(events: DataFrame, userCol: String, tsCol: String,
+      tieBreakCol: String, gapUs: Long): DataFrame = {
+    val w = Window.partitionBy(col("_u")).orderBy(col("_us"), col("_tie"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(col(userCol).as("_u"), col(tieBreakCol).as("_tie"),
+        col(tsCol).as("_ts"), unix_micros(col(tsCol)).as("_us"))
+      .withColumn("_prev", lag(col("_us"), 1).over(w))
+      .withColumn("_new",
+        (col("_prev").isNull || col("_us") - col("_prev") > gapUs).cast("int"))
+      .withColumn("session_id", sum(col("_new")).over(run))
+      .groupBy(col("_u"), col("session_id"))
+      .agg(min(col("_ts")).as("session_start"),
+        max(col("_ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .select(col("_u").as(userCol), col("session_id"),
+        col("session_start"), col("session_end"), col("n_events"))
+      .orderBy(userCol, "session_id")
+  }
+
   // --- SQL table-function surface ----------------------------------------
 
   type Desc = (FunctionIdentifier, ExpressionInfo,
@@ -276,6 +304,13 @@ object EventAnalytics {
         strArg(fn, args, 1, "user_col"), strArg(fn, args, 2, "type_col"),
         strArg(fn, args, 3, "ts_col"), strArg(fn, args, 4, "cohort_event"),
         intSeqArg(fn, args, 5, "day_offsets_array"))
+    },
+    desc("graft_sessionize") { args =>
+      val fn = "graft_sessionize"
+      arity(fn, args, 5, "table, user_col, ts_col, tiebreak_col, gap_us")
+      sessionizeDf(SparkSession.active.table(strArg(fn, args, 0, "table")),
+        strArg(fn, args, 1, "user_col"), strArg(fn, args, 2, "ts_col"),
+        strArg(fn, args, 3, "tiebreak_col"), longArg(fn, args, 4, "gap_us"))
     })
 
   /** Runtime registration for conf-only sessions (extension-built

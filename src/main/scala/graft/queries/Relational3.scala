@@ -83,23 +83,14 @@ object Relational3 {
   // sort/shuffle across both Window specs, so the whole query is one
   // exchange. Timestamps truncated to seconds and compared in exact
   // integer µs (unix_micros vs DuckDB epoch_us — §2.5.3).
-  val qSessionizeGap: Q = (s, dir) => {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_sec"), col("event_id"))
-    val run = Window.partitionBy(col("user_id")).orderBy(col("ts_sec"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(s, dir)
-      .withColumn("ts_sec", date_trunc("second", col("ts")))
-      .withColumn("prev_us", unix_micros(lag(col("ts_sec"), 1).over(w)))
-      .withColumn("new_sess",
-        (col("prev_us").isNull ||
-          unix_micros(col("ts_sec")) - col("prev_us") > 1800000000L).cast("int"))
-      .withColumn("session_id", sum(col("new_sess")).over(run))
-      .groupBy(col("user_id"), col("session_id"))
-      .agg(min(col("ts_sec")).as("session_start"),
-        max(col("ts_sec")).as("session_end"),
-        count(lit(1)).as("n_events"))
-      .orderBy("user_id", "session_id")
-  }
+  // delegates to the generalized api/EventAnalytics.sessionizeDf (also
+  // the graft_sessionize TVF) so the SQL surface and this oracled row
+  // can't drift — same single-exchange two-window plan (PlanSuite).
+  val qSessionizeGap: Q = (s, dir) =>
+    graft.api.EventAnalytics.sessionizeDf(
+      Tables.events(s, dir)
+        .withColumn("ts_sec", date_trunc("second", col("ts"))),
+      "user_id", "ts_sec", "event_id", gapUs = 1800000000L)
 
   val qSessionizeGapSql: String = EV +
     """, s AS (SELECT user_id, event_id, DATE_TRUNC('second', ts) AS ts_sec,

@@ -91,6 +91,34 @@ class SqlTvfSuite extends GraftSuite {
     }
   }
 
+  test("graft_sessionize TVF == q_sessionize_gap") {
+    // the oracled row truncates ts to the second before sessionizing;
+    // the TVF takes its ts column as-is, so hand it the truncated view
+    Tables.events(spark, sf0001)
+      .withColumn("ts_sec", date_trunc("second", col("ts")))
+      .createOrReplaceTempView("ev_tvf_sess")
+    try {
+      def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1),
+        r.getTimestamp(2).toString, r.getTimestamp(3).toString, r.getLong(4))
+      val got = spark.sql(
+        "SELECT * FROM graft_sessionize('ev_tvf_sess', 'user_id', 'ts_sec', " +
+          "'event_id', 1800000000)")
+      assert(got.columns.toSeq == Seq(
+        "user_id", "session_id", "session_start", "session_end", "n_events"))
+      val want = queries.Relational3.qSessionizeGap(spark, sf0001)
+        .collect().map(key).toSeq
+      assert(got.collect().map(key).toSeq == want,
+        "TVF sessionize rows must equal the oracled query")
+      // a different gap changes the segmentation: a huge gap collapses
+      // every user to one session
+      val one = spark.sql(
+        "SELECT * FROM graft_sessionize('ev_tvf_sess', 'user_id', 'ts_sec', " +
+          "'event_id', 9223372036854775807)")
+      assert(one.groupBy("user_id").count().filter(col("count") =!= 1).count() == 0,
+        "MaxValue gap must yield exactly one session per user")
+    } finally spark.catalog.dropTempView("ev_tvf_sess")
+  }
+
   test("runtime registration path (Engine.init-style) registers the same functions") {
     // simulate a conf-only session: re-register over the injected ones
     // through the sessionState bridge — must be an idempotent overwrite
