@@ -187,6 +187,45 @@ object Analytics {
         s"ROUND(AVG(CAST($c AS DOUBLE)), 6) AS avg_v FROM lineitem")
       .mkString("\nUNION ALL ") + "\nORDER BY column_name"
 
+  // ---- #119 q_profile_stats_fast -----------------------------------------
+  // The 100 TB ANALYZE path (#113's approx mode) as its OWN oracled
+  // row. Sketch ESTIMATES are engine-specific (Spark HLL++/KLL vs
+  // DuckDB's HLL/approx_quantile) so they can't be hash-compared —
+  // instead the output carries the exact one-pass statistics
+  // (n_nulls/min/max/avg: identical in both engines) plus sanity
+  // BOOLEANS that depend on the sketches (estimate within a generous
+  // cardinality bound; KLL quantiles inside [min, max] — KLL returns
+  // observed values, so in-range by construction). The booleans are
+  // deterministically TRUE in both engines, but computing them forces
+  // every sketch to stay LIVE in the plan — so the driver's hash
+  // check certifies the exact stats AND that the expand-free
+  // single-aggregate plan (no multi-distinct Expand; PlanSuite pins
+  // it) actually ran the sketches. Accuracy itself is suite-bound
+  // (ExtrasSuite: HLL ≤ 5%, KLL inside the exact p ± 3% bracket).
+  val qProfileStatsFast: Q = (s, dir) =>
+    graft.api.Profiling.profileStats(
+        Tables.lineitem(s, dir), PROFILE_STATS_COLS, exact = false)
+      .select(col("column_name"), col("n_nulls"),
+        col("min_v"), col("max_v"), col("avg_v"),
+        (col("n_distinct") >= 1L && col("n_distinct") <=
+          (lit(1.25) * (col("max_v") - col("min_v") + 1)).cast("bigint"))
+          .as("nd_sane"),
+        (col("p50") >= col("min_v") && col("p50") <= col("max_v")).as("p50_in_range"),
+        (col("p95") >= col("min_v") && col("p95") <= col("max_v")).as("p95_in_range"))
+      .orderBy("column_name")
+
+  val qProfileStatsFastSql: String =
+    PROFILE_STATS_COLS.map(c =>
+      s"SELECT '$c' AS column_name, COUNT(*) - COUNT($c) AS n_nulls, " +
+        s"CAST(MIN($c) AS DOUBLE) AS min_v, CAST(MAX($c) AS DOUBLE) AS max_v, " +
+        s"ROUND(AVG(CAST($c AS DOUBLE)), 6) AS avg_v, " +
+        s"(approx_count_distinct($c) BETWEEN 1 AND " +
+        s"CAST(1.25 * (MAX($c) - MIN($c) + 1) AS BIGINT)) AS nd_sane, " +
+        s"(approx_quantile($c, 0.5) BETWEEN MIN($c) AND MAX($c)) AS p50_in_range, " +
+        s"(approx_quantile($c, 0.95) BETWEEN MIN($c) AND MAX($c)) AS p95_in_range " +
+        s"FROM lineitem")
+      .mkString("\nUNION ALL ") + "\nORDER BY column_name"
+
   // ---- #108 q_twap -------------------------------------------------------
   // Time-weighted average of `value` per (user, day) — the
   // metrics/finance aggregate where each reading is weighted by how
@@ -301,6 +340,7 @@ object Analytics {
     "q_win_distinct_count" -> qWinDistinctCount,
     "q_profile_table" -> qProfileTable,
     "q_profile_stats" -> qProfileStats,
+    "q_profile_stats_fast" -> qProfileStatsFast,
     "q_twap" -> qTwap,
     "q_gapfill" -> qGapfill,
     "q_cohort_matrix" -> qCohortMatrix,
@@ -312,6 +352,7 @@ object Analytics {
     "q_win_distinct_count" -> qWinDistinctCountSql,
     "q_profile_table" -> qProfileTableSql,
     "q_profile_stats" -> qProfileStatsSql,
+    "q_profile_stats_fast" -> qProfileStatsFastSql,
     "q_twap" -> qTwapSql,
     "q_gapfill" -> qGapfillSql,
     "q_cohort_matrix" -> qCohortMatrixSql,

@@ -747,6 +747,33 @@ object PipelineExtras {
       |WHERE rk <= $STRATIFIED_N
       |ORDER BY lang, rk""".stripMargin
 
+  // ---- #120 q_train_split (added r11) ------------------------------------
+  // Deterministic train/val/test assignment — the LAST step of every
+  // training-data pipeline: split membership must be a pure function
+  // of the stable doc id (reproducible across runs, engines, and
+  // re-shards; no RNG state, no seed file). Bucket = first hex char
+  // of md5(doc_id) (same cross-engine-verified md5 idiom as #116):
+  // '0'..'c' → train (13/16 ≈ 81%), 'd' → val (~6%), 'e'/'f' → test
+  // (~13%). Pure projection — embarrassingly parallel, NO shuffle at
+  // any scale (the output ORDER BY is the driver-compare harness,
+  // not the operator).
+  val qTrainSplit: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1).as("_b"))
+      .select(col("doc_id"), col("lang"),
+        when(col("_b") <= "c", "train")
+          .when(col("_b") === "d", "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+
+  val qTrainSplitSql: String =
+    """SELECT doc_id, lang,
+      |       CASE WHEN SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'c' THEN 'train'
+      |            WHEN SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'd' THEN 'val'
+      |            ELSE 'test' END AS split
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ---- #86 q_text_repetition (added r6) ----------------------------------
   // Gopher-style repetition signal: the fraction of a doc's 2-gram
   // occurrences covered by its single most frequent 2-gram, plus the
@@ -903,6 +930,7 @@ object PipelineExtras {
     "q_decontaminate" -> qDecontaminate,
     "q_sample_mix" -> qSampleMix,
     "q_sample_stratified" -> qSampleStratified,
+    "q_train_split" -> qTrainSplit,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_ngram_jaccard" -> qDedupNgramJaccard,
     "q_dedup_containment" -> qDedupContainment,
@@ -922,6 +950,7 @@ object PipelineExtras {
     "q_decontaminate" -> qDecontaminateSql,
     "q_sample_mix" -> qSampleMixSql,
     "q_sample_stratified" -> qSampleStratifiedSql,
+    "q_train_split" -> qTrainSplitSql,
     "q_dedup_simhash" -> qDedupSimhashSql,
     "q_dedup_ngram_jaccard" -> qDedupNgramJaccardSql,
     "q_dedup_containment" -> qDedupContainmentSql,

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.api.DedupClusters
@@ -146,14 +147,66 @@ object SearchDedup {
        |SELECT node AS doc_id, MIN(label) AS cluster_id
        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
 
+  // ---- #121 q_dedup_canonical --------------------------------------------
+  // Cluster-representative selection — the step that MATERIALIZES the
+  // deduped corpus from #103's clusters: per near-dup cluster keep
+  // exactly one doc, the highest-quality one (n_chars as the quality
+  // proxy; doc_id tiebreak), drop the rest; docs in no cluster keep
+  // themselves. Scale shape: the ranking window runs over the
+  // CLUSTERED docs only (pairs-sized — near-dup membership is a tiny
+  // fraction of any real corpus), then one left join flags the full
+  // corpus; the full-corpus side is never window-partitioned or
+  // self-joined. Every engine keeps exactly one is_kept=1 row per
+  // cluster_id by construction — driver-checked transitively via the
+  // same recursive-CTE closure as #103.
+  val qDedupCanonical: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+    val rep = DedupClusters.assign(MinHashDf.qDedupMinhashDf(s, dir))
+      .join(docs, "doc_id")
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("cluster"))
+          .orderBy(col("n_chars").desc, col("doc_id"))))
+      .select(col("doc_id"), col("cluster").as("_c"), (col("_rn") === 1).as("_keep"))
+    docs.join(rep, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("_c"), col("doc_id")).as("cluster_id"),
+        coalesce(col("_keep"), lit(true)).cast("int").as("is_kept"))
+      .orderBy("doc_id")
+  }
+
+  val qDedupCanonicalSql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |${MinHashDf.qDedupMinhashDfSql}
+       |),
+       |sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |        UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS node FROM sym),
+       |reach AS (
+       |  SELECT node, node AS label FROM nodes
+       |  UNION
+       |  SELECT s.dst AS node, r.label FROM reach r JOIN sym s ON s.src = r.node),
+       |clusters AS (SELECT node AS doc_id, MIN(label) AS cluster_id
+       |             FROM reach GROUP BY node),
+       |rep AS (
+       |  SELECT c.doc_id, c.cluster_id,
+       |         ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+       |           ORDER BY d.n_chars DESC, c.doc_id) AS rn
+       |  FROM clusters c JOIN documents d USING (doc_id))
+       |SELECT d.doc_id, COALESCE(r.cluster_id, d.doc_id) AS cluster_id,
+       |       CAST(COALESCE(r.rn = 1, TRUE) AS INT) AS is_kept
+       |FROM documents d LEFT JOIN rep r USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   // ------------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "q_text_bm25" -> qTextBm25,
     "q_dedup_clusters" -> qDedupClusters,
+    "q_dedup_canonical" -> qDedupCanonical,
   )
 
   val oracleSql: Map[String, String] = Map(
     "q_text_bm25" -> qTextBm25Sql,
     "q_dedup_clusters" -> qDedupClustersSql,
+    "q_dedup_canonical" -> qDedupCanonicalSql,
   )
 }

@@ -692,6 +692,57 @@ class ExtrasSuite extends GraftSuite {
         "if not, the oracle's recursive closure is untested beyond pairs")
   }
 
+  test("q_dedup_canonical (#121): exactly one kept doc per cluster, and it's the quality max") {
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = graft.queries.SearchDedup.qDedupCanonical(spark, sf0001)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("cluster_id"), r.getAs[Int]("is_kept")))
+    // total: every doc appears exactly once
+    assert(rows.map(_._1).toSet == docs.keySet)
+    // exactly one kept representative per cluster
+    rows.groupBy(_._2).foreach { case (c, members) =>
+      val kept = members.filter(_._3 == 1)
+      assert(kept.length == 1, s"cluster $c keeps ${kept.length} docs")
+      // and it is the n_chars max (doc_id tiebreak)
+      val want = members.map(_._1).minBy(id => (-docs(id), id))
+      assert(kept.head._1 == want,
+        s"cluster $c kept ${kept.head._1}, expected quality-max $want")
+    }
+    // clustered docs must agree with #103's assignment; singletons
+    // keep themselves under their own id
+    val clusters = graft.queries.SearchDedup.qDedupClusters(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (id, c, keep) =>
+      assert(c == clusters.getOrElse(id, id))
+      if (!clusters.contains(id)) assert(keep == 1, s"singleton $id must be kept")
+    }
+    // the fixture genuinely drops something (dups exist by construction)
+    assert(rows.count(_._3 == 0) > 0, "no duplicates dropped — fixture drifted?")
+  }
+
+  test("q_train_split (#120): deterministic pure-projection split with sane ratios") {
+    val a = graft.queries.PipelineExtras.qTrainSplit(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+    val b = graft.queries.PipelineExtras.qTrainSplit(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+    assert(a.toSeq == b.toSeq, "split assignment must be run-deterministic")
+    val n = a.length.toDouble
+    val frac = a.groupBy(_._2).view.mapValues(_.length / n).toMap
+    // md5 buckets: train 13/16, val 1/16, test 2/16 — generous bands
+    // for a 500-doc fixture (binomial noise)
+    assert(frac("train") > 0.70 && frac("train") < 0.90, s"train frac ${frac("train")}")
+    assert(frac.getOrElse("val", 0.0) < 0.15 && frac.getOrElse("test", 0.0) < 0.25)
+    assert(frac.values.sum > 0.999)
+    // pure projection: no hash-partition exchange anywhere in the plan
+    // (the single range exchange is the harness ORDER BY)
+    val p = graft.queries.PipelineExtras.qTrainSplit(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("hashpartitioning"),
+      s"split assignment must not shuffle:\n$p")
+  }
+
   test("KLL quantile sketch: rank error within bound vs exact sort; grouped partials union to the same answer") {
     graft.functions.KllQuantile.register(spark)
     graft.Engine.init(spark, sf0001)

@@ -279,6 +279,24 @@ class PlanSuite extends GraftSuite {
     assert(gen.contains("Generate explode"), s"expected the band-key explode:\n$gen")
   }
 
+  test("q_profile_stats_fast (#119): expand-free single pass — sketches live, no multi-distinct Expand") {
+    // the 30-agg list overflows the default plan-string truncation and
+    // hides the sketch functions from the assertion
+    val prev = spark.conf.get("spark.sql.debug.maxToStringFields", "25")
+    spark.conf.set("spark.sql.debug.maxToStringFields", "5000")
+    val p = try plan(queries.Analytics.qProfileStatsFast(spark, sf0001))
+            finally spark.conf.set("spark.sql.debug.maxToStringFields", prev)
+    assert(!p.contains("Expand"),
+      s"the approx ANALYZE must not pay the multi-distinct expand:\n$p")
+    // the sanity booleans must keep the sketches in the plan — if
+    // Catalyst pruned them the row would demonstrate nothing
+    assert(p.contains("kll_sketch_agg"), s"KLL sketches must stay live:\n$p")
+    assert(p.contains("approx_count_distinct"), s"HLL must stay live:\n$p")
+    // exactly one pass over lineitem
+    assert("FileScan parquet".r.findAllIn(p).size == 1,
+      s"one aggregate pass means one scan:\n$p")
+  }
+
   test("q_text_bm25 (#102): top-10 via TakeOrderedAndProject; documents scanned once") {
     // the public surface materializes+unpersists (r9 leak fix), so pin
     // the plan on the lazy frames behind it
