@@ -774,6 +774,42 @@ object PipelineExtras {
       |            ELSE 'test' END AS split
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- #122 q_text_pii_scrub (added r11) ---------------------------------
+  // PII redaction (api/PiiScrub): mask emails and long digit runs
+  // with typed placeholders, count what was masked per doc. The
+  // fixture corpus is PII-free by construction, so the oracled row
+  // first augments each doc with a DETERMINISTIC synthetic
+  // contact+id suffix (a pure function of doc_id — both engines
+  // derive the identical string, so the masking mechanics are fully
+  // hash-checked end-to-end: counts AND the scrubbed text itself).
+  // Patterns live in the Java∩RE2 regex intersection (§2.5: char
+  // classes + bounded quantifiers only), so span semantics match
+  // cross-engine. Pure projection — no shuffle at any scale.
+  val qTextPiiScrub: Q = (s, dir) => {
+    val aug = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        concat(col("text"), lit(" contact u"), col("doc_id").cast("string"),
+          lit("@ex.com ref "),
+          (col("doc_id") * 1000000007L).cast("string")).as("text"))
+    graft.api.PiiScrub.scrub(aug, "text")
+      .select(col("doc_id"), col("lang"), col("nemail"), col("nid"), col("text"))
+      .orderBy("doc_id")
+  }
+
+  val qTextPiiScrubSql: String =
+    """WITH aug AS (
+      |  SELECT doc_id, lang,
+      |         text || ' contact u' || CAST(doc_id AS VARCHAR) || '@ex.com ref '
+      |              || CAST(doc_id * 1000000007 AS VARCHAR) AS text
+      |  FROM documents)
+      |SELECT doc_id, lang,
+      |       CAST(LEN(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS nemail,
+      |       CAST(LEN(regexp_extract_all(text, '[0-9]{9,}')) AS BIGINT) AS nid,
+      |       regexp_replace(
+      |         regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+      |         '[0-9]{9,}', '<ID>', 'g') AS text
+      |FROM aug ORDER BY doc_id""".stripMargin
+
   // ---- #86 q_text_repetition (added r6) ----------------------------------
   // Gopher-style repetition signal: the fraction of a doc's 2-gram
   // occurrences covered by its single most frequent 2-gram, plus the
@@ -931,6 +967,7 @@ object PipelineExtras {
     "q_sample_mix" -> qSampleMix,
     "q_sample_stratified" -> qSampleStratified,
     "q_train_split" -> qTrainSplit,
+    "q_text_pii_scrub" -> qTextPiiScrub,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_ngram_jaccard" -> qDedupNgramJaccard,
     "q_dedup_containment" -> qDedupContainment,
@@ -951,6 +988,7 @@ object PipelineExtras {
     "q_sample_mix" -> qSampleMixSql,
     "q_sample_stratified" -> qSampleStratifiedSql,
     "q_train_split" -> qTrainSplitSql,
+    "q_text_pii_scrub" -> qTextPiiScrubSql,
     "q_dedup_simhash" -> qDedupSimhashSql,
     "q_dedup_ngram_jaccard" -> qDedupNgramJaccardSql,
     "q_dedup_containment" -> qDedupContainmentSql,

@@ -722,6 +722,27 @@ class ExtrasSuite extends GraftSuite {
     assert(rows.count(_._3 == 0) > 0, "no duplicates dropped — fixture drifted?")
   }
 
+  test("PiiScrub (#122): planted spans masked, counts audit the original, boundaries respected") {
+    val sess = spark; import sess.implicits._
+    val df = Seq(
+      (1L, "write to bob.smith+x@corp.example.org today"),
+      (2L, "acct 123456789 and card 9876543210 ok"),       // two ≥9-digit runs
+      (3L, "short 12345678 stays"),                        // 8 digits — below threshold
+      (4L, "dual a1@b.co plus id 555000111222"),
+      (5L, "clean text no pii")
+    ).toDF("doc_id", "text")
+    val out = graft.api.PiiScrub.scrub(df, "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("nemail"),
+        r.getAs[Long]("nid"), r.getAs[String]("text")))
+    assert(out(0) == ((1L, 1L, 0L, "write to <EMAIL> today")))
+    assert(out(1) == ((2L, 0L, 2L, "acct <ID> and card <ID> ok")))
+    assert(out(2) == ((3L, 0L, 0L, "short 12345678 stays")))
+    // email is consumed FIRST, so its digits never count as an id
+    assert(out(3) == ((4L, 1L, 1L, "dual <EMAIL> plus id <ID>")))
+    assert(out(4) == ((5L, 0L, 0L, "clean text no pii")))
+  }
+
   test("q_train_split (#120): deterministic pure-projection split with sane ratios") {
     val a = graft.queries.PipelineExtras.qTrainSplit(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getString(2)))
