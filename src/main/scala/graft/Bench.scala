@@ -12,6 +12,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // uniform timestamp flavor for the whole session (see Verify)
+    graft.Tables.setEventsReadConfs(spark)
     // Warm up: touch every table once so footer/page-cache and JVM
     // warmup cost isn't attributed to whichever query runs first.
     Seq("region", "nation", "customer", "supplier", "part", "orders",

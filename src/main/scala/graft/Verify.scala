@@ -14,6 +14,11 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // uniform timestamp flavor for the WHOLE session: the events
+    // read confs are sticky, so without this the flavor of orders/
+    // lineitem timestamp columns would depend on whether an
+    // events-touching query happened to run first (map order)
+    Tables.setEventsReadConfs(spark)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

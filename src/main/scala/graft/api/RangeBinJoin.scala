@@ -82,4 +82,52 @@ object RangeBinJoin {
       .filter(col(v) > col(lo) && col(v) <= col(hi))
       .drop("_bin")
   }
+
+  /** Interval × interval OVERLAP join: `left` × `right` on
+    * `[aLo, aHi] ∩ [bLo, bHi] ≠ ∅` (closed intervals: touching
+    * endpoints overlap) without a nested-loop plan — the second
+    * range-join shape (point-in-interval is [[intervalJoin]]).
+    *
+    * Same binned rewrite, with one extra wrinkle: BOTH sides explode
+    * into their covered bins, so an overlapping pair co-occurs in
+    * every bin their intervals share — a naive residual filter would
+    * emit duplicates and need a pairs-sized `distinct()` shuffle.
+    * Instead each qualifying pair is emitted in exactly ONE canonical
+    * bin: the bin holding the overlap START, `max(aLo, bLo)`. Both
+    * intervals cover that instant by definition, so the pair is seen
+    * there, and only there does the `max(aLo,bLo) div W = bin`
+    * residual hold — dedup by construction, zero extra shuffles.
+    *
+    * Cost: blowup ≈ interval width / W + 1 per row per side (pick
+    * `binWidth` ≈ the typical interval); candidates per bin are
+    * density-bounded like [[intervalJoin]]. Everything downstream of
+    * the explodes is one shuffled equi-join + a codegen'd filter —
+    * AQE broadcast/skew handling applies unchanged.
+    */
+  def overlapJoin(left: DataFrame, aLoCol: String, aHiCol: String,
+                  right: DataFrame, bLoCol: String, bHiCol: String,
+                  binWidth: Long, maxBins: Long = 4096L): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    require(maxBins > 0, s"maxBins must be positive, got $maxBins")
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty, s"column collision between sides: $overlap")
+    require(!left.columns.contains("_bin") && !right.columns.contains("_bin"),
+      "inputs must not already have a _bin column (it is the join's working name)")
+    def q(name: String) = "`" + name.replace("`", "``") + "`"
+    def binsOf(lo: String, hi: String): String =
+      s"CASE WHEN ($lo div ${binWidth}L) > ($hi div ${binWidth}L) " +
+        s"THEN CAST(ARRAY() AS ARRAY<BIGINT>) " +
+        s"WHEN ($hi div ${binWidth}L) - ($lo div ${binWidth}L) > ${maxBins}L " +
+        s"THEN CAST(raise_error(CONCAT('RangeBinJoin: interval spans more than " +
+        s"$maxBins bins of width $binWidth at row value ', $lo, '..', $hi, " +
+        s"' — widen binWidth or raise maxBins')) AS ARRAY<BIGINT>) " +
+        s"ELSE sequence($lo div ${binWidth}L, $hi div ${binWidth}L, 1L) END"
+    val (alo, ahi, blo, bhi) = (q(aLoCol), q(aHiCol), q(bLoCol), q(bHiCol))
+    val lb = left.withColumn("_bin", explode(expr(binsOf(alo, ahi))))
+    val rb = right.withColumn("_bin", explode(expr(binsOf(blo, bhi))))
+    lb.join(rb, Seq("_bin"))
+      .filter(col(aLoCol) <= col(bHiCol) && col(bLoCol) <= col(aHiCol) &&
+        expr(s"greatest($alo, $blo) div ${binWidth}L") === col("_bin"))
+      .drop("_bin")
+  }
 }

@@ -192,6 +192,47 @@ object Relational3 {
       |GROUP BY p.event_id
       |ORDER BY p.event_id""".stripMargin
 
+  // ---- #123 q_join_interval_overlap (added r11) --------------------------
+  // The SECOND pure range-join shape: interval × interval OVERLAP
+  // (point-in-interval is #101). Per purchase "attention window"
+  // [ts, ts+30 min], every click "activity window" [ts, ts+15 min]
+  // that overlaps it, with the exact overlap length. No equi key —
+  // naive Spark plans this as a BNLJ; `RangeBinJoin.overlapJoin` bins
+  // BOTH interval sets and emits each pair exactly once in the bin
+  // holding the overlap start (max of the los) — dedup by
+  // construction, no distinct() shuffle (ExtrasSuite pins rows ==
+  // the naive range-only join; PlanSuite pins no-BNLJ). All-integer
+  // µs arithmetic — bit-exact; the oracle states the overlap join
+  // directly.
+  val qJoinIntervalOverlap: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("us").as("p_lo"), (col("us") + 1800000000L).as("p_hi"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"),
+        col("us").as("c_lo"), (col("us") + 900000000L).as("c_hi"))
+    graft.api.RangeBinJoin.overlapJoin(
+        p, "p_lo", "p_hi", c, "c_lo", "c_hi", binWidth = 1800000000L)
+      .select(col("purchase_id"), col("click_id"),
+        (least(col("p_hi"), col("c_hi")) - greatest(col("p_lo"), col("c_lo")))
+          .as("overlap_us"))
+      .orderBy("purchase_id", "click_id")
+  }
+
+  val qJoinIntervalOverlapSql: String = EV +
+    """, p AS (SELECT event_id AS purchase_id, epoch_us(ts) AS p_lo,
+      |               epoch_us(ts) + 1800000000 AS p_hi
+      |        FROM e WHERE event_type = 'purchase'),
+      |c AS (SELECT event_id AS click_id, epoch_us(ts) AS c_lo,
+      |             epoch_us(ts) + 900000000 AS c_hi
+      |      FROM e WHERE event_type = 'click')
+      |SELECT purchase_id, click_id,
+      |       LEAST(p_hi, c_hi) - GREATEST(p_lo, c_lo) AS overlap_us
+      |FROM p JOIN c ON p_lo <= c_hi AND c_lo <= p_hi
+      |ORDER BY purchase_id, click_id""".stripMargin
+
   // ---- #112 q_join_asof_binned -------------------------------------------
   // The as-of join (#13's semantics, result-identical) on the bin
   // machinery instead of the join-all-history + row_number trick:
@@ -304,6 +345,7 @@ object Relational3 {
     "q_histogram" -> qHistogram,
     "q_anomaly_zscore" -> qAnomalyZscore,
     "q_join_range_binned" -> qJoinRangeBinned,
+    "q_join_interval_overlap" -> qJoinIntervalOverlap,
     "q_join_asof_binned" -> qJoinAsofBinned,
     "q_join_asof_forward" -> qJoinAsofForward,
     "q_join_asof_tolerance" -> qJoinAsofTolerance,
@@ -316,6 +358,7 @@ object Relational3 {
     "q_histogram" -> qHistogramSql,
     "q_anomaly_zscore" -> qAnomalyZscoreSql,
     "q_join_range_binned" -> qJoinRangeBinnedSql,
+    "q_join_interval_overlap" -> qJoinIntervalOverlapSql,
     "q_join_asof_binned" -> qJoinAsofBinnedSql,
     "q_join_asof_forward" -> qJoinAsofForwardSql,
     "q_join_asof_tolerance" -> qJoinAsofToleranceSql,

@@ -722,6 +722,32 @@ class ExtrasSuite extends GraftSuite {
     assert(rows.count(_._3 == 0) > 0, "no duplicates dropped — fixture drifted?")
   }
 
+  test("overlapJoin (#123): rows == naive range-only join; each pair emitted exactly once") {
+    val sess = spark; import sess.implicits._
+    // planted geometry: touching endpoints, containment, multi-bin
+    // spans, and disjoint pairs — with a binWidth (10) far smaller
+    // than some intervals so pairs co-occur in MANY shared bins and
+    // the canonical-bin dedup is genuinely exercised
+    val a = Seq((1L, 0L, 35L), (2L, 40L, 41L), (3L, 100L, 160L))
+      .toDF("aid", "a_lo", "a_hi")
+    val b = Seq((10L, 35L, 36L),  // touches a1's end exactly
+                (11L, 5L, 125L),  // overlaps a1, a2 AND a3, spans 13 bins
+                (12L, 42L, 45L),  // near-miss: starts 1 after a2 ends
+                (13L, 200L, 210L) // disjoint from all
+      ).toDF("bid", "b_lo", "b_hi")
+    val got = graft.api.RangeBinJoin.overlapJoin(a, "a_lo", "a_hi", b, "b_lo", "b_hi",
+        binWidth = 10L)
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val naive = a.join(b, $"a_lo" <= $"b_hi" && $"b_lo" <= $"a_hi")
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.sorted == naive.sorted,
+      s"binned overlap must equal the naive range join; got $got want $naive")
+    // EXACTLY once — the canonical-bin trick must not duplicate the
+    // wide pair (1,11) that shares 4 bins or (3,11) sharing 3
+    assert(got.size == got.distinct.size, s"duplicated pairs in $got")
+    assert(got.toSet == Set((1L, 10L), (1L, 11L), (2L, 11L), (3L, 11L)))
+  }
+
   test("PiiScrub (#122): planted spans masked, counts audit the original, boundaries respected") {
     val sess = spark; import sess.implicits._
     val df = Seq(

@@ -279,6 +279,16 @@ class PlanSuite extends GraftSuite {
     assert(gen.contains("Generate explode"), s"expected the band-key explode:\n$gen")
   }
 
+  test("q_join_interval_overlap (#123): no cartesian/BNLJ — overlap via binned equi-join") {
+    val p = plan(queries.Relational3.qJoinIntervalOverlap(spark, sf0001))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"interval-overlap must not be a nested loop:\n$p")
+    // and no distinct/aggregate for dedup — pairs are unique by the
+    // canonical-bin construction
+    assert(!p.contains("HashAggregate"),
+      s"overlap join must not need a dedup aggregate:\n$p")
+  }
+
   test("q_profile_stats_fast (#119): expand-free single pass — sketches live, no multi-distinct Expand") {
     // the 30-agg list overflows the default plan-string truncation and
     // hides the sketch functions from the assertion

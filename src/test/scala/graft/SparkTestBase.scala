@@ -20,6 +20,9 @@ object SparkTestBase {
         java.nio.file.Files.createTempDirectory("graft_wh").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // uniform timestamp flavor regardless of suite execution order
+    // (the events read confs are session-sticky; see Verify)
+    Tables.setEventsReadConfs(s)
     s
   }
   val sf0001 = "/root/testdata/sf0.001"
