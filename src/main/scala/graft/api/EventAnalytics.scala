@@ -311,6 +311,12 @@ object EventAnalytics {
       sessionizeDf(SparkSession.active.table(strArg(fn, args, 0, "table")),
         strArg(fn, args, 1, "user_col"), strArg(fn, args, 2, "ts_col"),
         strArg(fn, args, 3, "tiebreak_col"), longArg(fn, args, 4, "gap_us"))
+    },
+    desc("graft_pii_scrub") { args =>
+      val fn = "graft_pii_scrub"
+      arity(fn, args, 2, "table, text_col")
+      PiiScrub.scrub(SparkSession.active.table(strArg(fn, args, 0, "table")),
+        strArg(fn, args, 1, "text_col"))
     })
 
   /** Runtime registration for conf-only sessions (extension-built

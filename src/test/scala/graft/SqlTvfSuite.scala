@@ -119,6 +119,24 @@ class SqlTvfSuite extends GraftSuite {
     } finally spark.catalog.dropTempView("ev_tvf_sess")
   }
 
+  test("graft_pii_scrub TVF == api/PiiScrub.scrub") {
+    Tables.documents(spark, sf0001).createOrReplaceTempView("docs_tvf")
+    try {
+      val got = spark.sql(
+        "SELECT doc_id, nemail, nid, text FROM graft_pii_scrub('docs_tvf', 'text')")
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+      val want = graft.api.PiiScrub
+        .scrub(Tables.documents(spark, sf0001), "text")
+        .select("doc_id", "nemail", "nid", "text")
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+      assert(got == want, "TVF scrub rows must equal the api builder")
+      // fixture corpus is PII-free: zero masks, text unchanged
+      assert(got.forall(r => r._2 == 0L && r._3 == 0L))
+    } finally spark.catalog.dropTempView("docs_tvf")
+  }
+
   test("runtime registration path (Engine.init-style) registers the same functions") {
     // simulate a conf-only session: re-register over the injected ones
     // through the sessionState bridge — must be an idempotent overwrite
