@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, ByteType, IntegerType, LongType, ShortType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, ByteType, IntegerType, LongType, ShortType, StringType}
 
 /** The product-analytics wave (§2B #104/#105/#108) as REUSABLE
   * DataFrame builders and as SQL TABLE functions — so a warehouse
@@ -317,6 +317,20 @@ object EventAnalytics {
       arity(fn, args, 2, "table, text_col")
       PiiScrub.scrub(SparkSession.active.table(strArg(fn, args, 0, "table")),
         strArg(fn, args, 1, "text_col"))
+    },
+    desc("graft_profile") { args =>
+      val fn = "graft_profile"
+      if (args.isEmpty || args.length > 2) throw new IllegalArgumentException(
+        s"$fn expects $fn(table[, exact_boolean]); got ${args.length} arguments")
+      val exact = if (args.length < 2) true else args(1) match {
+        case e if e.foldable && e.dataType == BooleanType =>
+          Option(e.eval()).map(_.asInstanceOf[Boolean])
+            .getOrElse(fail(fn, 1, "exact", "a non-null boolean literal"))
+        case _ => fail(fn, 1, "exact",
+          "a boolean literal (true = exact distincts, false = HLL approx)")
+      }
+      Profiling.profile(SparkSession.active.table(strArg(fn, args, 0, "table")),
+        exact = exact)
     })
 
   /** Runtime registration for conf-only sessions (extension-built

@@ -137,6 +137,28 @@ class SqlTvfSuite extends GraftSuite {
     } finally spark.catalog.dropTempView("docs_tvf")
   }
 
+  test("graft_profile TVF == api/Profiling.profile; approx mode within HLL bounds") {
+    Tables.orders(spark, sf0001).createOrReplaceTempView("orders_tvf")
+    try {
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getString(0), r.getLong(1), r.getLong(2))
+      val got = spark.sql("SELECT * FROM graft_profile('orders_tvf')")
+        .collect().map(key).toSeq
+      val want = graft.api.Profiling.profile(Tables.orders(spark, sf0001))
+        .collect().map(key).toSeq
+      assert(got == want, "TVF profile rows must equal the api builder")
+      // approx mode: null counts stay exact, HLL distincts within 5%
+      val exactBy = want.map(t => t._1 -> (t._2, t._3)).toMap
+      spark.sql("SELECT * FROM graft_profile('orders_tvf', false)")
+        .collect().map(key).foreach { case (c, nn, nd) =>
+          val (wantNn, wantNd) = exactBy(c)
+          assert(nn == wantNn, s"$c: approx mode must keep exact null counts")
+          assert(math.abs(nd - wantNd).toDouble <= math.max(1.0, 0.05 * wantNd),
+            s"$c: HLL distinct $nd vs exact $wantNd exceeds 5%")
+        }
+    } finally spark.catalog.dropTempView("orders_tvf")
+  }
+
   test("runtime registration path (Engine.init-style) registers the same functions") {
     // simulate a conf-only session: re-register over the injected ones
     // through the sessionState bridge — must be an idempotent overwrite
