@@ -1,0 +1,149 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues}
+import graft.queries.MinHashDf
+
+/** STREAMING near-duplicate detection — the continuous-ingestion
+  * counterpart of the batch MinHash row (#71): each arriving document
+  * is matched against EVERY previously-seen document, in bounded
+  * per-key state, emitting (doc, matched earlier doc, estimated
+  * similarity). This is the operator a always-on data-ingest pipeline
+  * needs: batch dedup re-scans the corpus; this holds only MinHash
+  * signatures (96 bytes/doc/band) and answers per micro-batch.
+  *
+  * Mechanics, all shared arithmetic with #71 (`MinHashDf.A/B/P`):
+  *
+  *  1. signatures: 12 universal-hash minima over md5-derived 28-bit
+  *     shingle hashes — computed as a PURE higher-order-function
+  *     projection (`transform`/`array_min`/`aggregate`), no
+  *     groupBy, so the same code runs stateless on a stream and
+  *     (provably identical) in the batch dual.
+  *  2. banding: 6 bands × r=2 → a string band key; the stream is
+  *     keyed by band key, so state shards across executors exactly
+  *     like the batch band join shuffles — linear, never all-pairs.
+  *  3. per-key `transformWithState` ListState holds (id, signature)
+  *     of every doc seen in that bucket; a new doc compares against
+  *     the bucket's history (est. similarity = matching signature
+  *     fraction — the standard unbiased Jaccard estimator) and is
+  *     appended. Bucket population is governed by band collision
+  *     probability, the same quantity that bounds the batch join.
+  *
+  * Output is per (pair, band): a pair sharing k bands emits k times
+  * (a per-band-key handler cannot see other buckets). Consumers
+  * dedup with `dropDuplicates("doc_id","matched_id")` or any
+  * aggregation; the suite's batch-equivalence check does exactly
+  * that. Within a micro-batch, rows are processed in id order, so
+  * same-batch pairs match exactly once (larger id sees smaller).
+  *
+  * The BATCH DUAL ([[nearDupBatch]]) — same signatures, band
+  * self-join, same estimator — is §2B row 124's oracled query: every
+  * hash is deterministic integer arithmetic, so DuckDB reproduces
+  * the identical matches (same reason #71 is oracle-able).
+  */
+object NearDupStream {
+
+  val NUM_HASHES: Int = MinHashDf.A.length // 12
+
+  /** (id, sigs: array<bigint>[12]) via HOFs only — stateless, no
+    * shuffle, streaming-safe. Docs with < 3 words have no 3-shingles
+    * and are dropped (same contract as #71). */
+  def signatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sigArray = MinHashDf.A.zip(MinHashDf.B).map { case (a, b) =>
+      s"array_min(transform(hs, h -> (${a}L * h + ${b}L) % ${MinHashDf.P}L))"
+    }.mkString("array(", ", ", ")")
+    df.select(col(idCol).cast("long").as("id"),
+        split(col(textCol), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("id"), expr(
+        "transform(array_distinct(transform(sequence(0, size(ws) - 3), " +
+          "i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))), " +
+          "s -> CAST(conv(substring(md5(s), 1, 7), 16, 10) AS BIGINT))").as("hs"))
+      .select(col("id"), expr(sigArray).as("sigs"))
+  }
+
+  /** (key: "band:v1:v2", id, sigs) — one row per doc per band. */
+  private def bandRows(sigs: DataFrame): DataFrame = {
+    val keys = (0 until MinHashDf.NUM_BANDS).map(bi =>
+      s"concat('$bi', ':', sigs[${2 * bi}], ':', sigs[${2 * bi + 1}])")
+    sigs.select(col("id"), col("sigs"),
+      explode(expr(keys.mkString("array(", ", ", ")"))).as("key"))
+  }
+
+  // not private: Catalyst's generated (de)serializers must access them
+  case class BandDoc(key: String, id: Long, sigs: Seq[Long])
+  case class NearDupMatch(doc_id: Long, matched_id: Long, band: Int, est_sim: Double)
+
+  /** Per-band-bucket matcher: ListState of every (id, sigs) seen in
+    * the bucket; new rows (id-ordered within the batch) match against
+    * history then append. */
+  class NearDupProcessor(minSim: Double)
+      extends StatefulProcessor[String, BandDoc, NearDupMatch] {
+    @transient private var seen:
+      org.apache.spark.sql.streaming.ListState[(Long, Seq[Long])] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getListState[(Long, Seq[Long])]("seen",
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Seq[Long])](),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[BandDoc],
+        tv: TimerValues): Iterator[NearDupMatch] = {
+      val band = key.takeWhile(_ != ':').toInt
+      val history = scala.collection.mutable.ArrayBuffer.from(seen.get())
+      val out = scala.collection.mutable.ArrayBuffer.empty[NearDupMatch]
+      rows.toSeq.sortBy(_.id).foreach { d =>
+        history.foreach { case (pid, psigs) =>
+          if (pid != d.id) {
+            val eq = psigs.iterator.zip(d.sigs.iterator).count { case (x, y) => x == y }
+            val est = eq.toDouble / NUM_HASHES
+            if (est >= minSim)
+              out += NearDupMatch(d.id, pid,
+                band, math.rint(est * 1e6) / 1e6)
+          }
+        }
+        history += ((d.id, d.sigs))
+        seen.appendValue((d.id, d.sigs))
+      }
+      out.iterator
+    }
+  }
+
+  /** The streaming operator: `df` is a STREAMING DataFrame of docs;
+    * returns (doc_id, matched_id, band, est_sim) per band-bucket
+    * match against all previously-seen docs (Update mode; one row
+    * per pair per shared band — see the dedup note above). Assumes
+    * ids arrive in increasing order across batches (ingestion order);
+    * within a batch, order is handled internally. */
+  def nearDupStream(df: DataFrame, idCol: String, textCol: String,
+      minSim: Double = 0.5): DataFrame = {
+    implicit val inEnc = Encoders.product[BandDoc]
+    implicit val outEnc = Encoders.product[NearDupMatch]
+    implicit val keyEnc = Encoders.STRING
+    val typed: Dataset[BandDoc] =
+      bandRows(signatures(df, idCol, textCol)).select(
+        col("key"), col("id"), col("sigs")).as[BandDoc]
+    typed.groupByKey(_.key)
+      .transformWithState(new NearDupProcessor(minSim),
+        TimeMode.None(), OutputMode.Update())
+      .toDF("doc_id", "matched_id", "band", "est_sim")
+  }
+
+  /** The batch dual (§2B #124's oracled query): identical signatures,
+    * band self-join (newer id vs every older id), identical
+    * estimator; DISTINCT pairs with the estimate. The stream's
+    * deduped output on the same corpus equals this exactly
+    * (StreamingSuite). */
+  def nearDupBatch(df: DataFrame, idCol: String, textCol: String,
+      minSim: Double = 0.5): DataFrame = {
+    val b = bandRows(signatures(df, idCol, textCol))
+    b.as("x").join(b.as("y"),
+        col("x.key") === col("y.key") && col("x.id") > col("y.id"))
+      .select(col("x.id").as("doc_id"), col("y.id").as("matched_id"),
+        round(expr(
+          s"size(filter(zip_with(x.sigs, y.sigs, (a, b) -> a = b), v -> v)) " +
+            s"/ CAST($NUM_HASHES AS DOUBLE)"), 6).as("est_sim"))
+      .filter(col("est_sim") >= minSim)
+      .distinct()
+      .orderBy("doc_id", "matched_id")
+  }
+}

@@ -26,14 +26,16 @@ import graft.Tables
 object MinHashDf {
   type Q = (SparkSession, String) => DataFrame
 
-  private val P = 2147483659L // prime > 2^31
-  private val A = Seq(1103515245L, 1665525893L, 1234567891L, 1853977123L,
+  // shared with api/NearDupStream (the streaming near-dup path must
+  // hash identically or its matches diverge from this oracled row)
+  private[graft] val P = 2147483659L // prime > 2^31
+  private[graft] val A = Seq(1103515245L, 1665525893L, 1234567891L, 1853977123L,
     998244353L, 1500000001L, 1676943757L, 1431655751L,
     1288490189L, 2027100467L, 1073807359L, 1990000033L)
-  private val B = Seq(12345L, 987654321L, 555555555L, 111111111L,
+  private[graft] val B = Seq(12345L, 987654321L, 555555555L, 111111111L,
     222222223L, 777777777L, 333333331L, 444444443L,
     666666667L, 888888881L, 142857143L, 314159265L)
-  private val NUM_BANDS = 6 // r = 2 rows per band
+  private[graft] val NUM_BANDS = 6 // r = 2 rows per band
 
   // ---- #71 q_dedup_minhash_df --------------------------------------------
   val qDedupMinhashDf: Q = (s, dir) => {

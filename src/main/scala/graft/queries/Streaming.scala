@@ -285,8 +285,60 @@ object Streaming {
       | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 24 HOUR
       |ORDER BY 1, 2, 3 NULLS FIRST""".stripMargin
 
+  // ---- #124 q_stream_neardup (added r11) ---------------------------------
+  // Streaming near-dup detection's BATCH DUAL (api/NearDupStream):
+  // per doc, every EARLIER doc sharing a MinHash band (#71's exact
+  // hash arithmetic), with the signature-estimated Jaccard ≥ 0.5.
+  // The streaming path (transformWithState ListState per band
+  // bucket) is pinned equal to this row in StreamingSuite — same
+  // signatures (HOF-only projection, shared code), same estimator.
+  // Deterministic integer hashes ⇒ DuckDB reproduces identical
+  // matches, like #71.
+  val qStreamNeardup: Q = (s, dir) =>
+    graft.api.NearDupStream.nearDupBatch(
+      Tables.documents(s, dir), "doc_id", "text", minSim = 0.5)
+
+  val qStreamNeardupSql: String = {
+    import MinHashDf.{A, B, P, NUM_BANDS}
+    val sigExprs = A.indices.map(i =>
+      s"MIN((${A(i)} * h + ${B(i)}) % $P) AS sig$i").mkString(",\n         ")
+    val bandSelects = (0 until NUM_BANDS).map(bi =>
+      s"SELECT doc_id, $bi AS band, sig${2 * bi} AS v1, sig${2 * bi + 1} AS v2 FROM sigs")
+      .mkString("\n  UNION ALL ")
+    val eqSum = A.indices.map(i =>
+      s"CASE WHEN a.sig$i = b.sig$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+       |           WHERE LEN(string_split(text, ' ')) >= 3),
+       |sh AS (SELECT DISTINCT doc_id, sh FROM (
+       |  SELECT doc_id, UNNEST(list_transform(generate_series(1, LEN(ws) - 2),
+       |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh FROM d)),
+       |shh AS (SELECT doc_id, sh,
+       |  CAST(list_sum(list_transform(generate_series(1, 7),
+       |    i -> (CAST(strpos('0123456789abcdef', substring(md5(sh), i, 1)) AS BIGINT) - 1)
+       |         << (4 * (7 - i)))) AS BIGINT) AS h
+       |  FROM sh),
+       |sigs AS (SELECT doc_id,
+       |         $sigExprs
+       |      FROM shh GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS matched_id
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.v1 = y.v1 AND x.v2 = y.v2
+       |   AND x.doc_id > y.doc_id)
+       |SELECT c.doc_id, c.matched_id,
+       |       ROUND(($eqSum) / ${A.length}.0, 6) AS est_sim
+       |FROM cand c
+       |JOIN sigs a ON a.doc_id = c.doc_id
+       |JOIN sigs b ON b.doc_id = c.matched_id
+       |WHERE ROUND(($eqSum) / ${A.length}.0, 6) >= 0.5
+       |ORDER BY c.doc_id, c.matched_id""".stripMargin
+  }
+
   // ------------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
+    "q_stream_neardup" -> qStreamNeardup,
     "q_stream_stream_join" -> qStreamStreamJoin,
     "q_stream_stream_join_left" -> qStreamStreamJoinLeft,
     "q_stream_tumbling" -> qStreamTumbling,
@@ -300,6 +352,7 @@ object Streaming {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_stream_neardup" -> qStreamNeardupSql,
     "q_stream_stream_join" -> qStreamStreamJoinSql,
     "q_stream_stream_join_left" -> qStreamStreamJoinLeftSql,
     "q_stream_tumbling" -> qStreamTumblingSql,

@@ -631,6 +631,43 @@ class StreamingSuite extends GraftSuite {
     }
   }
 
+  test("q_stream_neardup (#124): band-bucket ListState matcher == declared batch dual, across batches") {
+    withRocksDb {
+      val sess = spark
+      import sess.implicits._
+      implicit val sqlCtx = sess.sqlContext
+      val docs = Tables.documents(spark, sf0001)
+        .select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      // two id-ordered batches: later docs must match EARLIER-BATCH
+      // docs from state, not just their own batch
+      val (chunk1, chunk2) = docs.partition(_._1 < 250L)
+      val ms = MemoryStream[(Long, String)]
+      val q = graft.api.NearDupStream
+        .nearDupStream(ms.toDF().toDF("doc_id", "text"), "doc_id", "text", minSim = 0.5)
+        .writeStream.format("memory").queryName("neardup_stream")
+        .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
+      ms.addData(chunk1.toSeq: _*)
+      q.processAllAvailable()
+      ms.addData(chunk2.toSeq: _*)
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("neardup_stream")
+        .select("doc_id", "matched_id", "est_sim").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val want = queries.Streaming.qStreamNeardup(spark, sf0001)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(want.nonEmpty, "fixture must contain near-dups")
+      assert(got == want,
+        s"stream matches must equal the batch dual; missing=${(want diff got).take(5)} " +
+          s"extra=${(got diff want).take(5)}")
+      // and the cross-batch path genuinely fired: at least one pair
+      // spans the two chunks
+      assert(got.exists(p => p._1 >= 250L && p._2 < 250L),
+        "expected at least one match across the batch boundary")
+    }
+  }
+
   test("topKStreamTws: MapState-slot MG top-k == batch q_text_topk_words, across a mid-stream restart") {
     withRocksDb {
       val sess = spark
