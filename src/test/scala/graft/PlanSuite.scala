@@ -289,6 +289,13 @@ class PlanSuite extends GraftSuite {
       s"overlap join must not need a dedup aggregate:\n$p")
   }
 
+  test("q_stream_neardup (#124) batch dual: band equi-join, no cartesian") {
+    val p = plan(graft.api.NearDupStream.nearDupBatch(
+      Tables.documents(spark, sf0001), "doc_id", "text"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"near-dup candidates must come from the band equi-join:\n$p")
+  }
+
   test("q_profile_stats_fast (#119): expand-free single pass — sketches live, no multi-distinct Expand") {
     // the 30-agg list overflows the default plan-string truncation and
     // hides the sketch functions from the assertion

@@ -668,6 +668,46 @@ class StreamingSuite extends GraftSuite {
     }
   }
 
+  test("q_stream_neardup (#124): bucket state survives a checkpoint restart — matches still equal the batch dual") {
+    withRocksDb {
+      val sess = spark
+      import sess.implicits._
+      implicit val sqlCtx = sess.sqlContext
+      val docs = Tables.documents(spark, sf0001)
+        .select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      val (chunk1, chunk2) = docs.partition(_._1 < 250L)
+      val cp = java.nio.file.Files.createTempDirectory("neardup_cp").toString
+      val acc = scala.collection.concurrent.TrieMap.empty[(Long, Long, Double), Unit]
+      val ms = MemoryStream[(Long, String)]
+      def start() = graft.api.NearDupStream
+        .nearDupStream(ms.toDF().toDF("doc_id", "text"), "doc_id", "text", minSim = 0.5)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.ProcessingTime(0))
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.collect().foreach(r =>
+            acc.put((r.getLong(0), r.getLong(1), r.getDouble(3)), ()))
+          ()
+        }.start()
+      val q1 = start()
+      ms.addData(chunk1.toSeq: _*)
+      q1.processAllAvailable()
+      q1.stop() // chunk1's bucket lists survive only via RocksDB + checkpoint
+      val q2 = start()
+      ms.addData(chunk2.toSeq: _*)
+      q2.processAllAvailable()
+      q2.stop()
+      val want = queries.Streaming.qStreamNeardup(spark, sf0001)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(acc.keySet == want,
+        s"post-restart matches must equal the batch dual; " +
+          s"missing=${(want diff acc.keySet).take(5)} extra=${(acc.keySet diff want).take(5)}")
+      assert(acc.keySet.exists(p => p._1 >= 250L && p._2 < 250L),
+        "a post-restart doc must match a pre-restart doc from recovered state")
+    }
+  }
+
   test("topKStreamTws: MapState-slot MG top-k == batch q_text_topk_words, across a mid-stream restart") {
     withRocksDb {
       val sess = spark
