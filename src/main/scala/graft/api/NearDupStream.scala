@@ -75,24 +75,47 @@ object NearDupStream {
   case class BandDoc(key: String, id: Long, sigs: Seq[Long])
   case class NearDupMatch(doc_id: Long, matched_id: Long, band: Int, est_sim: Double)
 
-  /** Per-band-bucket matcher: ListState of every (id, sigs) seen in
-    * the bucket; new rows (id-ordered within the batch) match against
-    * history then append. */
-  class NearDupProcessor(minSim: Double)
+  /** Per-band-bucket matcher: ListState of every (id, sigs, ingest
+    * time) seen in the bucket; new rows (id-ordered within the batch)
+    * match against history then append. `ttlMs > 0` bounds state on
+    * an UNBOUNDED corpus: entries older than `ttlMs` (by the
+    * processor's own processing-time stamp — handler-managed, not
+    * Spark's TTLConfig, which requires the ProcessingTime time mode
+    * end-to-end) are dropped the next time their bucket is touched,
+    * so docs dedup only against the trailing window — the standard
+    * production trade (an old enough duplicate re-enters the corpus)
+    * that keeps total state proportional to ingest rate × window
+    * instead of corpus size. Cold buckets hold ≤ their historical
+    * population either way; the band-key space itself is bounded by
+    * observed signatures. */
+  class NearDupProcessor(minSim: Double, ttlMs: Long = 0L)
       extends StatefulProcessor[String, BandDoc, NearDupMatch] {
     @transient private var seen:
-      org.apache.spark.sql.streaming.ListState[(Long, Seq[Long])] = _
+      org.apache.spark.sql.streaming.ListState[(Long, Seq[Long], Long)] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      seen = getHandle.getListState[(Long, Seq[Long])]("seen",
-        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Seq[Long])](),
+      seen = getHandle.getListState[(Long, Seq[Long], Long)]("seen",
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Seq[Long], Long)](),
         org.apache.spark.sql.streaming.TTLConfig.NONE)
     override def handleInputRows(key: String, rows: Iterator[BandDoc],
         tv: TimerValues): Iterator[NearDupMatch] = {
       val band = key.takeWhile(_ != ':').toInt
-      val history = scala.collection.mutable.ArrayBuffer.from(seen.get())
+      // wall clock, not TimerValues: under TimeMode.None the batch
+      // timestamp is not populated, and TTL is processing-time anyway
+      val now = System.currentTimeMillis()
+      val all = scala.collection.mutable.ArrayBuffer.from(seen.get())
+      val history =
+        if (ttlMs <= 0) all
+        else {
+          val live = all.filter { case (_, _, t) => now - t <= ttlMs }
+          if (live.length != all.length) { // compact the bucket
+            seen.clear()
+            live.foreach(seen.appendValue)
+          }
+          live
+        }
       val out = scala.collection.mutable.ArrayBuffer.empty[NearDupMatch]
       rows.toSeq.sortBy(_.id).foreach { d =>
-        history.foreach { case (pid, psigs) =>
+        history.foreach { case (pid, psigs, _) =>
           if (pid != d.id) {
             val eq = psigs.iterator.zip(d.sigs.iterator).count { case (x, y) => x == y }
             val est = eq.toDouble / NUM_HASHES
@@ -101,8 +124,8 @@ object NearDupStream {
                 band, math.rint(est * 1e6) / 1e6)
           }
         }
-        history += ((d.id, d.sigs))
-        seen.appendValue((d.id, d.sigs))
+        history += ((d.id, d.sigs, now))
+        seen.appendValue((d.id, d.sigs, now))
       }
       out.iterator
     }
@@ -113,9 +136,12 @@ object NearDupStream {
     * match against all previously-seen docs (Update mode; one row
     * per pair per shared band — see the dedup note above). Assumes
     * ids arrive in increasing order across batches (ingestion order);
-    * within a batch, order is handled internally. */
+    * within a batch, order is handled internally. `ttlMs > 0` caps
+    * state at the trailing window (see [[NearDupProcessor]]) — the
+    * required setting for a genuinely unbounded stream; 0 (default)
+    * keeps every doc, matching the batch dual exactly. */
   def nearDupStream(df: DataFrame, idCol: String, textCol: String,
-      minSim: Double = 0.5): DataFrame = {
+      minSim: Double = 0.5, ttlMs: Long = 0L): DataFrame = {
     implicit val inEnc = Encoders.product[BandDoc]
     implicit val outEnc = Encoders.product[NearDupMatch]
     implicit val keyEnc = Encoders.STRING
@@ -123,7 +149,7 @@ object NearDupStream {
       bandRows(signatures(df, idCol, textCol)).select(
         col("key"), col("id"), col("sigs")).as[BandDoc]
     typed.groupByKey(_.key)
-      .transformWithState(new NearDupProcessor(minSim),
+      .transformWithState(new NearDupProcessor(minSim, ttlMs),
         TimeMode.None(), OutputMode.Update())
       .toDF("doc_id", "matched_id", "band", "est_sim")
   }

@@ -668,6 +668,38 @@ class StreamingSuite extends GraftSuite {
     }
   }
 
+  test("q_stream_neardup (#124): TTL-bounded state — a long TTL still equals the batch dual") {
+    // pins the TTLConfig + ProcessingTime-mode wiring: with a TTL far
+    // beyond the test's runtime nothing expires, so output must equal
+    // the unbounded variant (TTL *expiry* is processing-time-
+    // dependent and deliberately not asserted here)
+    withRocksDb {
+      val sess = spark
+      import sess.implicits._
+      implicit val sqlCtx = sess.sqlContext
+      val docs = Tables.documents(spark, sf0001)
+        .select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      val ms = MemoryStream[(Long, String)]
+      val q = graft.api.NearDupStream
+        .nearDupStream(ms.toDF().toDF("doc_id", "text"), "doc_id", "text",
+          minSim = 0.5, ttlMs = 24L * 3600 * 1000)
+        .writeStream.format("memory").queryName("neardup_ttl")
+        .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
+      ms.addData(docs.toSeq: _*)
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("neardup_ttl")
+        .select("doc_id", "matched_id", "est_sim").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val want = queries.Streaming.qStreamNeardup(spark, sf0001)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == want,
+        s"un-expired TTL state must behave like unbounded state; " +
+          s"missing=${(want diff got).take(5)} extra=${(got diff want).take(5)}")
+    }
+  }
+
   test("q_stream_neardup (#124): bucket state survives a checkpoint restart — matches still equal the batch dual") {
     withRocksDb {
       val sess = spark
