@@ -36,6 +36,10 @@ object Engine {
     // (fires only when spark.graft.rangeBin.width is set — see
     // plans/RangeBinJoinRule)
     graft.plans.RangeBinJoinRule.install(spark)
+    // hint-gated pre-shuffle skew salting (the optimizer form of
+    // api/SkewUtils.saltedJoin; the hint marker itself still needs an
+    // extension-built session — see plans/SkewSaltRule)
+    graft.plans.SkewSaltJoinRule.install(spark)
     // Misra–Gries frequent-items sketch as a SQL aggregate; capacity
     // fixed at registration (SQL aggregates can't take constructor
     // params per call) — register another name for other capacities.

@@ -22,6 +22,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectResolutionRule(_ => plans.ResolveRangeBinHint)
     ext.injectOptimizerRule(_ => plans.RangeBinJoinRule)
+    // same marker pattern for pre-shuffle skew salting:
+    // df.hint("skew_salt", n) on the skewed side of an inner join
+    ext.injectResolutionRule(_ => plans.ResolveSkewSaltHint)
+    ext.injectOptimizerRule(_ => plans.SkewSaltJoinRule)
     // SQL table functions for the analytics wave: graft_funnel /
     // graft_cohort_retention / graft_twap (Engine.init registers the
     // same ones at runtime for conf-only sessions)

@@ -88,13 +88,20 @@ object EmbedBlocking {
     * 64-way explode) is materialized ONCE via eager localCheckpoint
     * and read back by BOTH self-join sides — without it each side
     * recomputes the full scan+explode (observed ~25% of the query's
-    * r9 bench time). Same planning-scale pattern as DedupClusters'
-    * per-round checkpoint: executor-local blocks, no lineage, and at
-    * cluster scale the blocks sit on the executors that produced
-    * them, so the only remaining movement is the (band, key) shuffle
-    * the join needs anyway. */
+    * r9 bench time). LAZY (eager = false): materialization happens on
+    * the first ACTION, so merely constructing the frame (schema
+    * inspection, .explain, plan-only tests) stays plan-only and
+    * launches no job; the sharing benefit is identical because both
+    * join sides read the same checkpointed RDD once it exists. Same
+    * planning-scale pattern as DedupClusters' per-round checkpoint:
+    * executor-local blocks, no lineage, and at cluster scale the
+    * blocks sit on the executors that produced them, so the only
+    * remaining movement is the (band, key) shuffle the join needs
+    * anyway. (Checkpoint blocks are freed by GC of the RDD, not by
+    * spark.catalog.clearCache() — long-lived drivers re-running this
+    * should not hold references to returned frames.) */
   def candidatePairs(e: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val k = bandKeys(e, idCol, vecCol).localCheckpoint()
+    val k = bandKeys(e, idCol, vecCol).localCheckpoint(eager = false)
     val a = k.select(col(idCol).as("ia"), col("band"), col("key"))
     val b = k.select(col(idCol).as("ib"), col("band"), col("key"))
     a.join(b, Seq("band", "key"))

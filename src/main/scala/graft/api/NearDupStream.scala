@@ -72,16 +72,23 @@ object NearDupStream {
   }
 
   // not private: Catalyst's generated (de)serializers must access them
-  case class BandDoc(key: String, id: Long, sigs: Seq[Long])
+  case class BandDoc(key: String, id: Long, sigs: Seq[Long], bt: Long)
   case class NearDupMatch(doc_id: Long, matched_id: Long, band: Int, est_sim: Double)
 
   /** Per-band-bucket matcher: ListState of every (id, sigs, ingest
     * time) seen in the bucket; new rows (id-ordered within the batch)
     * match against history then append. `ttlMs > 0` bounds state on
-    * an UNBOUNDED corpus: entries older than `ttlMs` (by the
-    * processor's own processing-time stamp — handler-managed, not
-    * Spark's TTLConfig, which requires the ProcessingTime time mode
-    * end-to-end) are dropped the next time their bucket is touched,
+    * an UNBOUNDED corpus: entries older than `ttlMs` — by the BATCH
+    * timestamp each row carries (`current_timestamp()` is pinned to
+    * the micro-batch's own timestamp by streaming execution and
+    * persisted in the offset log, so a batch REPLAYED after a failure
+    * sees the same clock and expires the same entries —
+    * replay-deterministic, unlike executor wall clock, and without
+    * the ProcessingTime time mode whose empty timer batches never let
+    * `processAllAvailable` settle). Expiry itself is handler-managed
+    * rather than via TTLConfig because the match must consult the
+    * live subset at read time anyway — entries are dropped and the
+    * bucket compacted the next time it is touched,
     * so docs dedup only against the trailing window — the standard
     * production trade (an old enough duplicate re-enters the corpus)
     * that keeps total state proportional to ingest rate × window
@@ -99,9 +106,10 @@ object NearDupStream {
     override def handleInputRows(key: String, rows: Iterator[BandDoc],
         tv: TimerValues): Iterator[NearDupMatch] = {
       val band = key.takeWhile(_ != ':').toInt
-      // wall clock, not TimerValues: under TimeMode.None the batch
-      // timestamp is not populated, and TTL is processing-time anyway
-      val now = System.currentTimeMillis()
+      val buffered = rows.toSeq
+      // batch timestamp (identical on every row of a batch), not wall
+      // clock: stable across micro-batch replays
+      val now = if (buffered.isEmpty) 0L else buffered.head.bt
       val all = scala.collection.mutable.ArrayBuffer.from(seen.get())
       val history =
         if (ttlMs <= 0) all
@@ -114,7 +122,7 @@ object NearDupStream {
           live
         }
       val out = scala.collection.mutable.ArrayBuffer.empty[NearDupMatch]
-      rows.toSeq.sortBy(_.id).foreach { d =>
+      buffered.sortBy(_.id).foreach { d =>
         history.foreach { case (pid, psigs, _) =>
           if (pid != d.id) {
             val eq = psigs.iterator.zip(d.sigs.iterator).count { case (x, y) => x == y }
@@ -145,9 +153,13 @@ object NearDupStream {
     implicit val inEnc = Encoders.product[BandDoc]
     implicit val outEnc = Encoders.product[NearDupMatch]
     implicit val keyEnc = Encoders.STRING
+    // bt = the batch timestamp: streaming execution pins
+    // current_timestamp() per micro-batch and records it in the
+    // offset log, so the TTL clock replays identically
     val typed: Dataset[BandDoc] =
       bandRows(signatures(df, idCol, textCol)).select(
-        col("key"), col("id"), col("sigs")).as[BandDoc]
+        col("key"), col("id"), col("sigs"),
+        unix_millis(current_timestamp()).as("bt")).as[BandDoc]
     typed.groupByKey(_.key)
       .transformWithState(new NearDupProcessor(minSim, ttlMs),
         TimeMode.None(), OutputMode.Update())

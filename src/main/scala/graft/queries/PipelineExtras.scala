@@ -774,41 +774,98 @@ object PipelineExtras {
       |            ELSE 'test' END AS split
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  // ---- #122 q_text_pii_scrub (added r11) ---------------------------------
-  // PII redaction (api/PiiScrub): mask emails and long digit runs
-  // with typed placeholders, count what was masked per doc. The
-  // fixture corpus is PII-free by construction, so the oracled row
-  // first augments each doc with a DETERMINISTIC synthetic
-  // contact+id suffix (a pure function of doc_id — both engines
-  // derive the identical string, so the masking mechanics are fully
-  // hash-checked end-to-end: counts AND the scrubbed text itself).
-  // Patterns live in the Java∩RE2 regex intersection (§2.5: char
-  // classes + bounded quantifiers only), so span semantics match
-  // cross-engine. Pure projection — no shuffle at any scale.
+  // ---- #122 q_text_pii_scrub (added r11; widened r12) --------------------
+  // PII redaction (api/PiiScrub): mask emails, IPv6/IPv4 addresses,
+  // Luhn-gated card numbers, phones (E.164 + separated), and long
+  // digit runs with typed placeholders; count what each rule masked
+  // per doc. The fixture corpus is PII-free by construction, so the
+  // oracled row first augments each doc with a DETERMINISTIC
+  // synthetic suffix carrying one instance of EVERY pattern class
+  // (a pure function of doc_id — both engines derive the identical
+  // string, so the masking mechanics are fully hash-checked
+  // end-to-end: counts AND the scrubbed text itself). The card is
+  // Luhn-VALID for even doc_ids and Luhn-INVALID for odd ones, so
+  // the checksum gate is exercised in both directions on every other
+  // row. Patterns live in the Java∩RE2 regex intersection (§2.5) and
+  // the Luhn arithmetic is the same HOF formula in both engines.
+  // Pure projection — no shuffle at any scale.
   val qTextPiiScrub: Q = (s, dir) => {
     val aug = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"),
-        concat(col("text"), lit(" contact u"), col("doc_id").cast("string"),
-          lit("@ex.com ref "),
-          (col("doc_id") * 1000000007L).cast("string")).as("text"))
+        concat(col("text"),
+          lit(" contact u"), col("doc_id").cast("string"), lit("@ex.com"),
+          lit(" ref "), (col("doc_id") * 1000000007L).cast("string"),
+          lit(" ip 10."), pmod(col("doc_id"), lit(256L)).cast("string"),
+          lit(".0."), pmod(col("doc_id") * 7, lit(256L)).cast("string"),
+          lit(" v6 2001:0db8:0000:0000:0000:0000:0000:"),
+          lpad(lower(hex(pmod(col("doc_id"), lit(65536L)))), 4, "0"),
+          lit(" card "),
+          when(pmod(col("doc_id"), lit(2L)) === 0, "4111-1111-1111-1111")
+            .otherwise("4111-1111-1111-1112"),
+          lit(" call +1415"),
+          lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0"),
+          lit(" tel 415-555-"),
+          lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0")).as("text"))
     graft.api.PiiScrub.scrub(aug, "text")
-      .select(col("doc_id"), col("lang"), col("nemail"), col("nid"), col("text"))
+      .select(col("doc_id"), col("lang"), col("nemail"), col("nipv6"),
+        col("nipv4"), col("ncard"), col("nphone"), col("nphonesep"),
+        col("nid"), col("text"))
       .orderBy("doc_id")
   }
 
-  val qTextPiiScrubSql: String =
-    """WITH aug AS (
-      |  SELECT doc_id, lang,
-      |         text || ' contact u' || CAST(doc_id AS VARCHAR) || '@ex.com ref '
-      |              || CAST(doc_id * 1000000007 AS VARCHAR) AS text
-      |  FROM documents)
-      |SELECT doc_id, lang,
-      |       CAST(LEN(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS nemail,
-      |       CAST(LEN(regexp_extract_all(text, '[0-9]{9,}')) AS BIGINT) AS nid,
-      |       regexp_replace(
-      |         regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
-      |         '[0-9]{9,}', '<ID>', 'g') AS text
-      |FROM aug ORDER BY doc_id""".stripMargin
+  // DuckDB mirror: the same rule ladder as PiiScrub.DEFAULT_RULES,
+  // one CTE per rule so each count sees the text AFTER earlier
+  // replacements (the audit-what-was-replaced semantics). The Luhn
+  // gate is list_filter + the identical mod-10 HOF formula;
+  // list_reduce(list_prepend(t, valid), replace) is DuckDB's
+  // spelling of Spark's aggregate(valid, t, replace).
+  private def duckLuhn(x: String): String = {
+    val clean = s"regexp_replace($x, '[ -]', '', 'g')"
+    val dig = s"(ascii(substr(reverse($clean), i, 1)) - 48)"
+    s"list_sum(list_transform(generate_series(1, length($clean)), i -> " +
+      s"CASE WHEN i % 2 = 0 THEN CASE WHEN $dig * 2 > 9 THEN $dig * 2 - 9 " +
+      s"ELSE $dig * 2 END ELSE $dig END)) % 10 = 0"
+  }
+
+  val qTextPiiScrubSql: String = {
+    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val ipv6 = "[0-9a-f]{1,4}(:[0-9a-f]{1,4}){7}"
+    val ipv4 = "[0-9]{1,3}(\\.[0-9]{1,3}){3}"
+    val card = "[0-9]{4}([ -]?[0-9]{4}){3}"
+    val phone = "\\+[0-9]{7,15}"
+    val phonesep = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    val id = "[0-9]{9,}"
+    def stage(prev: String, cur: String, carried: Seq[String], cnt: String,
+        pat: String, repl: String): String =
+      s"$cur AS (SELECT doc_id, lang${carried.map(", " + _).mkString}, " +
+        s"CAST(LEN(regexp_extract_all(t, '$pat', 0)) AS BIGINT) AS $cnt, " +
+        s"regexp_replace(t, '$pat', '$repl', 'g') AS t FROM $prev)"
+    s"""WITH aug AS (
+       |  SELECT doc_id, lang,
+       |         text || ' contact u' || CAST(doc_id AS VARCHAR) || '@ex.com ref '
+       |              || CAST(doc_id * 1000000007 AS VARCHAR)
+       |              || ' ip 10.' || CAST(doc_id % 256 AS VARCHAR)
+       |              || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+       |              || ' v6 2001:0db8:0000:0000:0000:0000:0000:' || printf('%04x', doc_id % 65536)
+       |              || ' card ' || CASE WHEN doc_id % 2 = 0 THEN '4111-1111-1111-1111'
+       |                                  ELSE '4111-1111-1111-1112' END
+       |              || ' call +1415' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |              || ' tel 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+       |  FROM documents),
+       |${stage("aug", "s1", Nil, "nemail", email, "<EMAIL>")},
+       |${stage("s1", "s2", Seq("nemail"), "nipv6", ipv6, "<IPV6>")},
+       |${stage("s2", "s3", Seq("nemail", "nipv6"), "nipv4", ipv4, "<IPV4>")},
+       |s3c AS (SELECT doc_id, lang, nemail, nipv6, nipv4,
+       |  list_filter(regexp_extract_all(t, '$card', 0), x -> ${duckLuhn("x")}) AS valid, t FROM s3),
+       |s4 AS (SELECT doc_id, lang, nemail, nipv6, nipv4,
+       |  CAST(LEN(valid) AS BIGINT) AS ncard,
+       |  list_reduce(list_prepend(t, valid), (acc, x) -> replace(acc, x, '<CARD>')) AS t FROM s3c),
+       |${stage("s4", "s5", Seq("nemail", "nipv6", "nipv4", "ncard"), "nphone", phone, "<PHONE>")},
+       |${stage("s5", "s6", Seq("nemail", "nipv6", "nipv4", "ncard", "nphone"), "nphonesep", phonesep, "<PHONE>")},
+       |${stage("s6", "s7", Seq("nemail", "nipv6", "nipv4", "ncard", "nphone", "nphonesep"), "nid", id, "<ID>")}
+       |SELECT doc_id, lang, nemail, nipv6, nipv4, ncard, nphone, nphonesep, nid, t AS text
+       |FROM s7 ORDER BY doc_id""".stripMargin
+  }
 
   // ---- #86 q_text_repetition (added r6) ----------------------------------
   // Gopher-style repetition signal: the fraction of a doc's 2-gram

@@ -139,28 +139,80 @@ object Scalars2 {
   // per-flag partials via kll_union_agg — the sketch-persistence move
   // that makes 100 TB percentiles one linear pass + a KB-sized merge
   // instead of a full-domain sort (#89 stays the exact oracled row).
-  // Engine-specific (sketch bytes / estimates differ across engines) —
-  // declared no_oracle like #21b; ExtrasSuite pins the ≤3% rank-error
-  // bound and partial-vs-direct merge equivalence.
+  // ORACLED since r12 (was no_oracle) via the tolerance-encoding
+  // trick #119 established: raw sketch estimates are engine-specific,
+  // so the row emits (a) EXACT hash-checked fields — group key, row
+  // count, rounded min/max (pure data values, no interpolation, so
+  // bit-identical cross-engine; interpolated quantiles are NOT
+  // emitted — the two engines' linear interpolation differs in the
+  // last ulp, which flips a 2 dp rounding at the .005 boundary) — and
+  // (b) booleans asserting the SKETCH estimate lies inside the exact
+  // value bracket of its ±3%-RANK guarantee (p50 ∈ [q47, q53],
+  // p95 ∈ [q92, q98], p99 ∈ [q96, max]; brackets computed per-engine
+  // and kept internal). DuckDB mirrors with its own approx_quantile
+  // inside the same brackets — both engines' sketches meet the band,
+  // so every column hash-matches while the KLL estimate (and the
+  // union-merge path, via the ALL row) stays genuinely live.
+  // ExtrasSuite still pins the tighter ≤3% rank-error bound directly.
   val qAggQuantileSketch: Q = (s, dir) => {
     graft.functions.KllQuantile.register(s)
     Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
     s.sql(
-      """WITH parts AS (
+      """WITH g AS (
         |  SELECT l_returnflag,
-        |         kll_sketch_agg(CAST(l_extendedprice AS DOUBLE)) AS sk
-        |  FROM lineitem GROUP BY l_returnflag)
-        |SELECT l_returnflag,
-        |       round(qs[0], 2) AS p50, round(qs[1], 2) AS p95, round(qs[2], 2) AS p99
-        |FROM (SELECT l_returnflag, kll_quantiles(sk, array(0.5, 0.95, 0.99)) AS qs
-        |      FROM parts)
-        |UNION ALL
-        |SELECT 'ALL' AS l_returnflag,
-        |       round(qs[0], 2) AS p50, round(qs[1], 2) AS p95, round(qs[2], 2) AS p99
-        |FROM (SELECT kll_quantiles(kll_union_agg(sk), array(0.5, 0.95, 0.99)) AS qs
-        |      FROM parts)
+        |         kll_sketch_agg(CAST(l_extendedprice AS DOUBLE)) AS sk,
+        |         COUNT(*) AS n_items,
+        |         MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx,
+        |         percentile(l_extendedprice,
+        |           array(0.47D, 0.5D, 0.53D, 0.92D, 0.95D, 0.98D, 0.96D, 0.99D, 1.0D)) AS ex
+        |  FROM lineitem GROUP BY l_returnflag),
+        |a AS (
+        |  SELECT COUNT(*) AS n_items,
+        |         MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx,
+        |         percentile(l_extendedprice,
+        |           array(0.47D, 0.5D, 0.53D, 0.92D, 0.95D, 0.98D, 0.96D, 0.99D, 1.0D)) AS ex
+        |  FROM lineitem),
+        |rows_ AS (
+        |  SELECT l_returnflag, n_items, mn, mx, ex,
+        |         kll_quantiles(sk, array(0.5D, 0.95D, 0.99D)) AS kq FROM g
+        |  UNION ALL
+        |  SELECT 'ALL' AS l_returnflag, a.n_items, a.mn, a.mx, a.ex,
+        |         kll_quantiles(u.sk, array(0.5D, 0.95D, 0.99D)) AS kq
+        |  FROM (SELECT kll_union_agg(sk) AS sk FROM g) u CROSS JOIN a)
+        |SELECT l_returnflag, n_items,
+        |       round(mn, 2) AS min_v, round(mx, 2) AS max_v,
+        |       (kq[0] >= ex[0] AND kq[0] <= ex[2]) AS p50_ok,
+        |       (kq[1] >= ex[3] AND kq[1] <= ex[5]) AS p95_ok,
+        |       (kq[2] >= ex[6] AND kq[2] <= ex[8]) AS p99_ok
+        |FROM rows_
         |ORDER BY l_returnflag""".stripMargin)
   }
+
+  // DuckDB lists are 1-based; quantile_cont brackets are internal
+  // (never emitted), approx_quantile (t-digest) plays the sketch's
+  // role inside the identical brackets.
+  val qAggQuantileSketchSql: String =
+    """WITH g AS (
+      |  SELECT l_returnflag, COUNT(*) AS n_items,
+      |         MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx,
+      |         quantile_cont(l_extendedprice,
+      |           [0.47, 0.5, 0.53, 0.92, 0.95, 0.98, 0.96, 0.99, 1.0]) AS ex,
+      |         approx_quantile(l_extendedprice, [0.5, 0.95, 0.99]) AS kq
+      |  FROM lineitem GROUP BY l_returnflag
+      |  UNION ALL
+      |  SELECT 'ALL', COUNT(*),
+      |         MIN(l_extendedprice), MAX(l_extendedprice),
+      |         quantile_cont(l_extendedprice,
+      |           [0.47, 0.5, 0.53, 0.92, 0.95, 0.98, 0.96, 0.99, 1.0]),
+      |         approx_quantile(l_extendedprice, [0.5, 0.95, 0.99])
+      |  FROM lineitem)
+      |SELECT l_returnflag, n_items,
+      |       ROUND(mn, 2) AS min_v, ROUND(mx, 2) AS max_v,
+      |       (kq[1] >= ex[1] AND kq[1] <= ex[3]) AS p50_ok,
+      |       (kq[2] >= ex[4] AND kq[2] <= ex[6]) AS p95_ok,
+      |       (kq[3] >= ex[7] AND kq[3] <= ex[9]) AS p99_ok
+      |FROM g
+      |ORDER BY l_returnflag""".stripMargin
 
   // ------------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
@@ -178,5 +230,6 @@ object Scalars2 {
     "q_str_funcs2" -> qStrFuncs2Sql,
     "q_cond_funcs" -> qCondFuncsSql,
     "q_bitwise" -> qBitwiseSql,
+    "q_agg_quantile_sketch" -> qAggQuantileSketchSql,
   )
 }

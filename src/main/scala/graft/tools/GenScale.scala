@@ -1,0 +1,202 @@
+package graft.tools
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-factor amplifier: synthesize an sf-N× dataset from a driver
+  * fixture directory by STRUCTURE-PRESERVING replication, so the
+  * heavy queries can be measured at 10× and their scaling curves
+  * published (VERDICT r11 "what's missing #1" — the builder may
+  * generate under /tmp; driver fixtures stop at sf0.1 and are
+  * read-only).
+  *
+  * Why replication and not a fresh generator: the point of the
+  * scaling bench is that per-query cost should grow ~linearly in
+  * rows WITH the fixture's own distributions (duplicate rates, key
+  * skew, value ranges). Replicating each table F times with disjoint
+  * key spaces preserves every distribution exactly while multiplying
+  * cardinality — and it is what a real 10× corpus looks like to
+  * every banded/blocked operator: F independent shards of the same
+  * statistical shape.
+  *
+  * Per-table recipe (replica i ∈ [0, F)):
+  *  - `region`/`nation`: copied (fixed dimensions at every SF).
+  *  - `customer`/`supplier`/`part`/`orders`/`lineitem`: every key
+  *    column shifts by i × (max(key)+1) — FK joins stay consistent
+  *    WITHIN a replica, key spaces are disjoint ACROSS replicas.
+  *  - `events`: event_id/user_id shift; ts is kept — 10× events in
+  *    the same time span models traffic growth (sessionization and
+  *    window queries keep non-degenerate groupings).
+  *  - `documents`: doc_id shifts; replica i > 0 rewrites text under a
+  *    PER-REPLICA VOCABULARY PERMUTATION (a seeded bijection of the
+  *    corpus vocabulary). A bijective word relabeling preserves every
+  *    shingle/MinHash/SimHash relationship within the replica
+  *    EXACTLY — the planted duplicate/near-duplicate structure
+  *    replicates at exactly 10× — while cross-replica texts share no
+  *    more n-grams than random corpus docs already do (no artificial
+  *    mega-clusters, which naive text copying would create and which
+  *    would make dedup look super-linear for a fake reason). n_chars
+  *    is recomputed from the rewritten text.
+  *  - `embeddings`: vec_id shifts; replica i > 0 applies a seeded
+  *    SIGNED PERMUTATION of the 64 dims — an orthogonal transform,
+  *    so every within-replica dot product (and unit norm) is
+  *    preserved bit-for-bit in structure while cross-replica cosines
+  *    are random-like. ANN/dedup recall structure replicates at 10×.
+  *
+  * Everything is deterministic (fixed seeds); the whole job is
+  * projection + crossJoin with a tiny replica range — no shuffles
+  * except the output write.
+  *
+  * Usage: `runMain graft.tools.GenScale [srcDir] [dstDir] [factor]`
+  * (defaults: /root/testdata/sf0.1 → /tmp/graft_sf1 × 10).
+  */
+object GenScale {
+
+  val DIM = 64
+
+  private def reps(spark: SparkSession, f: Int): DataFrame =
+    spark.range(f).select(col("id").cast("int").as("_rep"))
+
+  /** key + i × (max+1), computed per column from the source table. */
+  private def shifted(df: DataFrame, f: Int, keyCols: Seq[String]): DataFrame = {
+    val spans = keyCols.map { k =>
+      k -> (df.agg(max(col(k))).head.getLong(0) + 1L)
+    }.toMap
+    val rep = broadcast(reps(df.sparkSession, f))
+    val out = df.crossJoin(rep)
+    df.columns.foldLeft(out) { (cur, c) =>
+      if (spans.contains(c))
+        cur.withColumn(c, col(c) + col("_rep").cast("long") * spans(c))
+      else cur
+    }.drop("_rep")
+  }
+
+  private def copyTable(spark: SparkSession, src: String, dst: String, t: String): Unit =
+    spark.read.parquet(s"$src/$t.parquet")
+      .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+
+  /** Replica-i vocabulary bijection over `vocab`, seed-derived. */
+  private def vocabPerm(vocab: Array[String], i: Int): Map[String, String] = {
+    val rnd = new scala.util.Random(42L * 1000003L + i)
+    val shuffled = rnd.shuffle(vocab.toVector)
+    vocab.zip(shuffled).toMap
+  }
+
+  private def scaleDocuments(spark: SparkSession, src: String, dst: String, f: Int): Unit = {
+    val d = spark.read.parquet(s"$src/documents.parquet")
+    val span = d.agg(max(col("doc_id"))).head.getLong(0) + 1L
+    // corpus vocabulary: small by construction (FIXTURES.md — shared
+    // data-engineering terms), so the per-replica bijections fit in
+    // one broadcast map keyed by "rep:word"
+    val vocab = d.select(explode(split(col("text"), " ")).as("w"))
+      .distinct().collect().map(_.getString(0)).sorted
+    val lookup: Map[String, String] =
+      (1 until f).flatMap { i =>
+        vocabPerm(vocab, i).map { case (w, w2) => s"$i:$w" -> w2 }
+      }.toMap
+    val lookupCol = typedlit(lookup)
+    val rep = broadcast(reps(spark, f))
+    d.crossJoin(rep)
+      .withColumn("doc_id", col("doc_id") + col("_rep").cast("long") * span)
+      .withColumn("text",
+        when(col("_rep") === 0, col("text")).otherwise(
+          array_join(
+            transform(split(col("text"), " "),
+              w => coalesce(
+                element_at(lookupCol, concat(col("_rep").cast("string"), lit(":"), w)),
+                w)),
+            " ")))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .drop("_rep")
+      .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+  }
+
+  /** Signed permutation (orthogonal transform) of the DIM dims. */
+  private def signedPerm(vec: Column, i: Int): Column = {
+    val rnd = new scala.util.Random(77L * 1000003L + i)
+    val perm = rnd.shuffle((0 until DIM).toVector)
+    val signs = Vector.fill(DIM)(if (rnd.nextBoolean()) 1f else -1f)
+    array((0 until DIM).map(j =>
+      element_at(vec, perm(j) + 1) * lit(signs(j))): _*)
+  }
+
+  private def scaleEmbeddings(spark: SparkSession, src: String, dst: String, f: Int): Unit = {
+    val e = spark.read.parquet(s"$src/embeddings.parquet")
+    val span = e.agg(max(col("vec_id"))).head.getLong(0) + 1L
+    val rep = broadcast(reps(spark, f))
+    val vecExpr = (1 until f).foldLeft(
+        when(col("_rep") === 0, col("embedding"))) { (acc, i) =>
+      acc.when(col("_rep") === i, signedPerm(col("embedding"), i))
+    }
+    e.crossJoin(rep)
+      .withColumn("vec_id", col("vec_id") + col("_rep").cast("long") * span)
+      .withColumn("embedding", vecExpr)
+      .drop("_rep")
+      .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+  }
+
+  def generate(spark: SparkSession, src: String, dst: String, f: Int): Unit = {
+    require(f >= 1, s"factor must be >= 1 (got $f)")
+    copyTable(spark, src, dst, "region")
+    copyTable(spark, src, dst, "nation")
+    shifted(spark.read.parquet(s"$src/customer.parquet"), f, Seq("c_custkey"))
+      .write.mode("overwrite").parquet(s"$dst/customer.parquet")
+    shifted(spark.read.parquet(s"$src/supplier.parquet"), f, Seq("s_suppkey"))
+      .write.mode("overwrite").parquet(s"$dst/supplier.parquet")
+    shifted(spark.read.parquet(s"$src/part.parquet"), f, Seq("p_partkey"))
+      .write.mode("overwrite").parquet(s"$dst/part.parquet")
+    // FK consistency: orders and lineitem shift each key by ITS OWN
+    // parent's span, computed from the parent table
+    val spark0 = spark
+    val custSpan = spark0.read.parquet(s"$src/customer.parquet")
+      .agg(max(col("c_custkey"))).head.getLong(0) + 1L
+    val ordSpan = spark0.read.parquet(s"$src/orders.parquet")
+      .agg(max(col("o_orderkey"))).head.getLong(0) + 1L
+    val partSpan = spark0.read.parquet(s"$src/part.parquet")
+      .agg(max(col("p_partkey"))).head.getLong(0) + 1L
+    val suppSpan = spark0.read.parquet(s"$src/supplier.parquet")
+      .agg(max(col("s_suppkey"))).head.getLong(0) + 1L
+    val rep = broadcast(reps(spark, f))
+    spark.read.parquet(s"$src/orders.parquet").crossJoin(rep)
+      .withColumn("o_orderkey", col("o_orderkey") + col("_rep").cast("long") * ordSpan)
+      .withColumn("o_custkey", col("o_custkey") + col("_rep").cast("long") * custSpan)
+      .drop("_rep")
+      .write.mode("overwrite").parquet(s"$dst/orders.parquet")
+    spark.read.parquet(s"$src/lineitem.parquet").crossJoin(rep)
+      .withColumn("l_orderkey", col("l_orderkey") + col("_rep").cast("long") * ordSpan)
+      .withColumn("l_partkey", col("l_partkey") + col("_rep").cast("long") * partSpan)
+      .withColumn("l_suppkey", col("l_suppkey") + col("_rep").cast("long") * suppSpan)
+      .drop("_rep")
+      .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
+    // events: keep raw schema AS THE DRIVER WROTE IT (µs timestamps) —
+    // readers go through Tables.events either way
+    val ev = spark.read.parquet(s"$src/events.parquet")
+    val evSpan = ev.agg(max(col("event_id"))).head.getLong(0) + 1L
+    val userSpan = ev.agg(max(col("user_id"))).head.getLong(0) + 1L
+    ev.crossJoin(rep)
+      .withColumn("event_id", col("event_id") + col("_rep").cast("long") * evSpan)
+      .withColumn("user_id", col("user_id") + col("_rep").cast("long") * userSpan)
+      .drop("_rep")
+      .write.mode("overwrite").parquet(s"$dst/events.parquet")
+    scaleDocuments(spark, src, dst, f)
+    scaleEmbeddings(spark, src, dst, f)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val dst = args.lift(1).getOrElse("/tmp/graft_sf1")
+    val f = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.Tables.setEventsReadConfs(spark)
+    val t0 = System.nanoTime()
+    generate(spark, src, dst, f)
+    println(f"GenScale: $src x$f -> $dst in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    spark.stop()
+  }
+}

@@ -748,25 +748,40 @@ class ExtrasSuite extends GraftSuite {
     assert(got.toSet == Set((1L, 10L), (1L, 11L), (2L, 11L), (3L, 11L)))
   }
 
-  test("PiiScrub (#122): planted spans masked, counts audit the original, boundaries respected") {
+  test("PiiScrub (#122): planted spans masked, counts audit actual replacements, boundaries respected") {
     val sess = spark; import sess.implicits._
     val df = Seq(
       (1L, "write to bob.smith+x@corp.example.org today"),
       (2L, "acct 123456789 and card 9876543210 ok"),       // two ≥9-digit runs
       (3L, "short 12345678 stays"),                        // 8 digits — below threshold
       (4L, "dual a1@b.co plus id 555000111222"),
-      (5L, "clean text no pii")
+      (5L, "clean text no pii"),
+      (6L, "mail 123456789012@x.io end"),                  // ≥9 digits INSIDE an email
+      (7L, "pay 4111 1111 1111 1111 now"),                 // Luhn-valid card, spaced
+      (8L, "fake 4111111111111112 here"),                  // card-shaped, Luhn-INVALID
+      (9L, "srv 192.168.10.1 via 2001:0db8:85a3:0000:0000:8a2e:0370:7334"),
+      (10L, "call +14155551234 or 415-555-1234")
     ).toDF("doc_id", "text")
     val out = graft.api.PiiScrub.scrub(df, "text")
       .orderBy("doc_id").collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("nemail"),
+        r.getAs[Long]("nipv6"), r.getAs[Long]("nipv4"), r.getAs[Long]("ncard"),
+        r.getAs[Long]("nphone"), r.getAs[Long]("nphonesep"),
         r.getAs[Long]("nid"), r.getAs[String]("text")))
-    assert(out(0) == ((1L, 1L, 0L, "write to <EMAIL> today")))
-    assert(out(1) == ((2L, 0L, 2L, "acct <ID> and card <ID> ok")))
-    assert(out(2) == ((3L, 0L, 0L, "short 12345678 stays")))
-    // email is consumed FIRST, so its digits never count as an id
-    assert(out(3) == ((4L, 1L, 1L, "dual <EMAIL> plus id <ID>")))
-    assert(out(4) == ((5L, 0L, 0L, "clean text no pii")))
+    assert(out(0) == ((1L, 1L, 0L, 0L, 0L, 0L, 0L, 0L, "write to <EMAIL> today")))
+    assert(out(1) == ((2L, 0L, 0L, 0L, 0L, 0L, 0L, 2L, "acct <ID> and card <ID> ok")))
+    assert(out(2) == ((3L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, "short 12345678 stays")))
+    assert(out(3) == ((4L, 1L, 0L, 0L, 0L, 0L, 0L, 1L, "dual <EMAIL> plus id <ID>")))
+    assert(out(4) == ((5L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, "clean text no pii")))
+    // ADVICE r11 semantics: counts audit REPLACEMENTS — the ≥9-digit
+    // run consumed by the email rule is NOT double-counted as an id
+    assert(out(5) == ((6L, 1L, 0L, 0L, 0L, 0L, 0L, 0L, "mail <EMAIL> end")))
+    // Luhn gate, both directions: valid masks as <CARD>; the invalid
+    // lookalike falls through to the digit-run rule instead
+    assert(out(6) == ((7L, 0L, 0L, 0L, 1L, 0L, 0L, 0L, "pay <CARD> now")))
+    assert(out(7) == ((8L, 0L, 0L, 0L, 0L, 0L, 0L, 1L, "fake <ID> here")))
+    assert(out(8) == ((9L, 0L, 1L, 1L, 0L, 0L, 0L, 0L, "srv <IPV4> via <IPV6>")))
+    assert(out(9) == ((10L, 0L, 0L, 0L, 0L, 1L, 1L, 0L, "call <PHONE> or <PHONE>")))
   }
 
   test("q_train_split (#120): deterministic pure-projection split with sane ratios") {

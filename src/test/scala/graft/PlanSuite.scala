@@ -289,6 +289,63 @@ class PlanSuite extends GraftSuite {
       s"overlap join must not need a dedup aggregate:\n$p")
   }
 
+  test("skew_salt hint rule: hinted inner join pre-salts the shuffle; un-hinted plans untouched") {
+    import org.apache.spark.sql.functions.col
+    val big = Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+    val small = Tables.orders(spark, sf0001)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val base = big.join(small, col("l_orderkey") === col("o_orderkey"))
+    val hinted = big.hint("skew_salt", 8)
+      .join(small, col("l_orderkey") === col("o_orderkey"))
+    // force the shuffled path so the exchange keys are visible
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val ph = plan(hinted)
+      assert(ph.contains("_graft_salt"),
+        s"hinted join must carry the deterministic row salt:\n$ph")
+      assert(ph.contains("_graft_rep"),
+        s"the other side must replicate via the exploded sequence:\n$ph")
+      // the salt reaches the JOIN keys (and hence the exchange
+      // partitioning EnsureRequirements derives from them) — that is
+      // the whole point: the hot key is spread before the shuffle,
+      // not rescued after
+      assert("(SortMergeJoin|ShuffledHashJoin) \\[[^\\]]*_graft_salt".r
+          .findFirstIn(ph).isDefined,
+        s"salt must be part of the equi-join keys:\n$ph")
+      val pe = hinted.queryExecution.executedPlan.toString
+      assert("hashpartitioning\\([^)]*_graft_salt".r.findFirstIn(pe).isDefined,
+        s"salt must reach the physical exchange partitioning:\n$pe")
+      // un-hinted plan is untouched
+      val pu = plan(base)
+      assert(!pu.contains("_graft_salt") && !pu.contains("_graft_rep"),
+        s"un-hinted join must not be salted:\n$pu")
+      // rewrite is invisible in the results
+      val want = base.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+      val got = hinted.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+      assert(got == want, "salted join must return exactly the unsalted rows")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("skew_salt hint rule: outer joins refused — hint is a clean no-op") {
+    import org.apache.spark.sql.functions.col
+    val big = Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey"), col("l_quantity"))
+    val small = Tables.orders(spark, sf0001)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val base = big.join(small, col("l_orderkey") === col("o_orderkey"), "left")
+    val hinted = big.hint("skew_salt", 8)
+      .join(small, col("l_orderkey") === col("o_orderkey"), "left")
+    val ph = plan(hinted)
+    assert(!ph.contains("_graft_salt") && !ph.contains("_graft_rep"),
+      s"a left join must not be salted (per-replica null extension would be wrong):\n$ph")
+    val want = base.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    val got = hinted.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(got == want, "refused hint must leave results identical")
+  }
+
   test("q_stream_neardup (#124) batch dual: band equi-join, no cartesian") {
     val p = plan(graft.api.NearDupStream.nearDupBatch(
       Tables.documents(spark, sf0001), "doc_id", "text"))

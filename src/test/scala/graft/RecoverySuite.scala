@@ -171,6 +171,67 @@ class RecoverySuite extends GraftSuite {
     }
   }
 
+  test("NearDupStream -> sinkUpsert end-to-end: crash mid-publish of batch 1, restart, exactly-once") {
+    // VERDICT r11 next #6: the two components are individually
+    // recovery-tested; this pins the COMPOSITION — stateful
+    // transformWithState matching feeding the manifest-committed
+    // upsert sink, killed between the data write and the manifest
+    // commit, must converge to exactly the batch dual after restart
+    // (state store rolls back to the pre-batch version, the replayed
+    // batch re-emits the same matches, the upsert dedups by key).
+    import graft.api.StreamzOps._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val base = java.nio.file.Files.createTempDirectory("neardup_e2e").toString
+      val docsDir = s"$base/docs"; val table = s"$base/pairs"; val cp = s"$base/cp"
+      // replayable file source, one id-ordered chunk per micro-batch
+      val docs = Tables.documents(spark, sf0001).select(col("doc_id"), col("text"))
+      docs.filter(col("doc_id") < 250).coalesce(1).write.parquet(docsDir)
+      docs.filter(col("doc_id") >= 250).coalesce(1)
+        .write.mode("append").parquet(docsDir)
+      // pin arrival order chunk1 -> chunk2 (file source goes by mod time)
+      val parts = new java.io.File(docsDir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.length())
+      val byMax = parts.map { f =>
+        val ids = spark.read.parquet(f.getPath).agg(max(col("doc_id"))).head.getLong(0)
+        (f, ids)
+      }.sortBy(_._2)
+      byMax.zipWithIndex.foreach { case ((f, _), i) =>
+        f.setLastModified(1700000000000L + i * 60000L) }
+      val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+      def start(fail: Boolean) = graft.api.NearDupStream.nearDupStream(
+          spark.readStream.schema("doc_id LONG, text STRING")
+            .option("maxFilesPerTrigger", "1").parquet(docsDir),
+          "doc_id", "text", minSim = 0.5)
+        .sinkUpsert(table, Seq("doc_id", "matched_id"), "band", cp,
+          failpoint = (stage, batchId) =>
+            if (fail && stage == "pre-commit" && batchId == 1L &&
+              !crashed.getAndSet(true)) throw new RuntimeException("injected crash"))
+      val q1 = start(fail = true)
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q1.awaitTermination(); ()
+      }
+      assert(crashed.get(), "the injected mid-publish crash must have fired")
+      val q2 = start(fail = false) // resume: replays batch 1 from the WAL
+      assert(q2.awaitTermination(180000), "restarted query must drain")
+      val got = readUpsertTable(spark, table)
+        .select("doc_id", "matched_id", "est_sim").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val want = graft.api.NearDupStream.nearDupBatch(docs, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(want.nonEmpty, "fixture must contain near-dups")
+      assert(got == want,
+        s"post-recovery pair table must equal the batch dual; " +
+          s"missing=${(want diff got).take(5)} extra=${(got diff want).take(5)}")
+    } finally prevProvider match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("stateful aggregation runs on the RocksDB state store provider") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",

@@ -669,7 +669,8 @@ class StreamingSuite extends GraftSuite {
   }
 
   test("q_stream_neardup (#124): TTL-bounded state — a long TTL still equals the batch dual") {
-    // pins the TTLConfig + ProcessingTime-mode wiring: with a TTL far
+    // pins the TTL wiring (handler-managed expiry against the
+    // replay-stable batch timestamp each row carries): with a TTL far
     // beyond the test's runtime nothing expires, so output must equal
     // the unbounded variant (TTL *expiry* is processing-time-
     // dependent and deliberately not asserted here)
