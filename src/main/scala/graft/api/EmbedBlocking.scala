@@ -68,11 +68,39 @@ object EmbedBlocking {
     Array(43, 13, 63, 40, 54, 16, 32, 31), Array(32, 57, 58, 54, 3, 5, 40, 27), Array(35, 2, 0, 21, 49, 8, 40, 16), Array(20, 47, 28, 35, 45, 27, 60, 0)
   )
 
+  /** Deterministic band→dimensions table for any (bands, bits) —
+    * the generator behind [[BAND_DIMS]]'s shape, exposed so BITS can
+    * GROW with the corpus (see [[scaledTable]]): with fixed bits,
+    * unrelated-pair candidates ≈ |pairs| · bands · 2^−bits, which is
+    * QUADRATIC in N — measured 27× time at 10× data on random
+    * vectors (BASELINE.md round-12 scaling curve). Seeded sampling
+    * without replacement per band. */
+  def bandTable(bands: Int, bits: Int, seed: Long = 4242L): Array[Array[Int]] = {
+    require(bits >= 1 && bits <= 31 && bits <= DIM, s"bits out of range: $bits")
+    val rnd = new scala.util.Random(seed)
+    Array.fill(bands)(rnd.shuffle((0 until DIM).toVector).take(bits).toArray)
+  }
+
+  /** Bits sized so candidates stay LINEAR in corpus size: unrelated
+    * pairs collide at ≈ 2^−bits per band, so 2^bits ≈ n keeps
+    * expected candidates ≈ n · bands / 2 regardless of scale. Recall
+    * at production thresholds stays high (cos ≥ 0.85 ⇒ p ≥ 0.82;
+    * p^bits ≈ 0.05 at bits = 15, recall over 64 bands ≈ 0.96 — the
+    * closed-form model in the header). The FROZEN [[BAND_DIMS]]
+    * remains the oracle-compat default (#111's DuckDB oracle
+    * enumerates it as a VALUES list); this is the 100 TB path. */
+  def scaledTable(nVectors: Long, bands: Int = BANDS): Array[Array[Int]] = {
+    val bits = math.max(BITS,
+      math.ceil(math.log(math.max(nVectors, 2).toDouble) / math.log(2.0)).toInt)
+    bandTable(bands, math.min(bits, 24))
+  }
+
   /** (id, band, key) — one row per vector per band. Pure projection +
     * explode of a literal-built array: NO shuffle, NO UDF; the sign
     * tests and bit-packing are codegen'd Column arithmetic. */
-  def bandKeys(e: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val bandStructs = BAND_DIMS.zipWithIndex.map { case (dims, j) =>
+  def bandKeys(e: DataFrame, idCol: String, vecCol: String,
+      table: Array[Array[Int]] = BAND_DIMS): DataFrame = {
+    val bandStructs = table.zipWithIndex.map { case (dims, j) =>
       val key = dims.zipWithIndex.map { case (d, t) =>
         when(element_at(col(vecCol), d + 1) >= lit(0f), lit(1 << t)).otherwise(lit(0))
       }.reduce(_ + _)
@@ -100,8 +128,9 @@ object EmbedBlocking {
     * anyway. (Checkpoint blocks are freed by GC of the RDD, not by
     * spark.catalog.clearCache() — long-lived drivers re-running this
     * should not hold references to returned frames.) */
-  def candidatePairs(e: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val k = bandKeys(e, idCol, vecCol).localCheckpoint(eager = false)
+  def candidatePairs(e: DataFrame, idCol: String, vecCol: String,
+      table: Array[Array[Int]] = BAND_DIMS): DataFrame = {
+    val k = bandKeys(e, idCol, vecCol, table).localCheckpoint(eager = false)
     val a = k.select(col(idCol).as("ia"), col("band"), col("key"))
     val b = k.select(col(idCol).as("ib"), col("band"), col("key"))
     a.join(b, Seq("band", "key"))
@@ -115,9 +144,9 @@ object EmbedBlocking {
     * on survivors only. Output (ia, ib, cos_sim) rounded to 6 dp,
     * ordered — the scale-safe counterpart of #63's label-blocked row. */
   def dedupPairs(spark: SparkSession, e: DataFrame, idCol: String, vecCol: String,
-      tau: Double): DataFrame = {
+      tau: Double, table: Array[Array[Int]] = BAND_DIMS): DataFrame = {
     graft.functions.FloatVecDot.register(spark)
-    val cand = candidatePairs(e, idCol, vecCol)
+    val cand = candidatePairs(e, idCol, vecCol, table)
     val ea = e.select(col(idCol).as("ia"), col(vecCol).as("_ea"))
     val eb = e.select(col(idCol).as("ib"), col(vecCol).as("_eb"))
     cand.join(ea, "ia").join(eb, "ib")

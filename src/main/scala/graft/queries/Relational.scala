@@ -451,54 +451,64 @@ object Relational {
   // Instead: (1) approx-percentile cut points of the sort column
   // (tiny driver fetch, planning-scale — boundary quality affects only
   // balance, never the answer); (2) value-deterministic range buckets
-  // from those cut points; (3) exact per-bucket counts → global rank =
-  // bucket offset + partition-LOCAL row_number (Window.partitionBy
-  // bucket — parallel); (4) NTILE's exact first-(N mod k)-buckets-get-
-  // one-extra formula from the literal total. Identical output to
-  // ntile(4) OVER (ORDER BY ...) for any total order (tiebreak is
-  // unique), parallel at any scale.
-  // NOTE: constructing this DataFrame runs TWO small driver jobs
-  // (percentile cut points + per-bucket counts) — planning-scale
-  // aggregates, the same class as AQE statistics or a JDBC max-poll;
-  // `bucketed` is cached so the counts job and the main query share
-  // one scan.
+  // from those cut points; (3) exact per-bucket counts, their prefix-sum
+  // offsets, and the grand total as a 32-row aggregate broadcast back
+  // onto the buckets → global rank = bucket offset + partition-LOCAL
+  // row_number (Window.partitionBy bucket — parallel); (4) NTILE's
+  // exact first-(N mod k)-buckets-get-one-extra formula with N as a
+  // column. Identical output to ntile(4) OVER (ORDER BY ...) for any
+  // total order (tiebreak is unique), parallel at any scale.
+  // r12 re-pin: the WHOLE thing is now ONE action / one DAG — buckets
+  // come from uniform ranges over the in-DAG (min, max) 1-row
+  // aggregate (broadcast), not from a collected percentile pass, and
+  // counts/offsets/total are a 32-row aggregate cumsum broadcast back
+  // on _b instead of a second collect()+cache round trip. Isolated
+  // runs showed the old shape was driver-round-trip-bound: three
+  // sequential tiny DAGs cost ~3× one 600k-row window. Uniform ranges
+  // are order-respecting for ANY data, so the answer is identical;
+  // only bucket BALANCE is distribution-dependent (a skewed column
+  // concentrates buckets — the percentile-cut variant this replaced
+  // remains the right pick there; on this column both are balanced).
   val qWinNtile: Q = (s, dir) => {
     val k = 4
     val cust = Tables.customer(s, dir)
     val nBuckets = 32
-    val probs = (1 until nBuckets).map(_.toDouble / nBuckets)
-    val cuts = cust.agg(percentile_approx(col("c_acctbal"),
-        typedlit(probs), lit(10000)).as("p"))
-      .collect()(0).getSeq[Any](0)
-      .map {
-        case d: java.math.BigDecimal => d.doubleValue
-        case d: java.lang.Number => d.doubleValue
-      }.distinct.sorted(Ordering[Double].reverse)
-    // bucket 0 = highest acctbal range (sort is acctbal DESC)
-    val bucketExpr = cuts.zipWithIndex.foldLeft(when(lit(false), 0)) {
-      case (acc, (cut, i)) => acc.when(col("c_acctbal") > cut, i)
-    }.otherwise(cuts.length)
-    val bucketed = cust.withColumn("_b", bucketExpr).cache()
-    val counts = bucketed.groupBy(col("_b")).count().collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val total = counts.values.sum
-    val offsets = (0 to cuts.length).map { b =>
-      b -> (0 until b).map(counts.getOrElse(_, 0L)).sum
-    }.toMap
-    val base = total / k
-    val rem = total % k
+    val mm = cust.agg(min(col("c_acctbal")).as("_mn"), max(col("c_acctbal")).as("_mx"))
+    // bucket 0 = highest acctbal range (sort is acctbal DESC);
+    // degenerate all-equal column → single bucket 0
+    val bucketExpr = when(col("_mx") === col("_mn"), 0)
+      .otherwise(least(lit(nBuckets - 1), greatest(lit(0),
+        floor((col("_mx") - col("c_acctbal")) /
+          ((col("_mx") - col("_mn")) / nBuckets)).cast("int"))))
+    val bucketed = cust.crossJoin(broadcast(mm))
+      .withColumn("_b", bucketExpr)
+      .select(col("c_custkey"), col("c_acctbal"), col("_b"))
+    // global-window OK: the cumsum window runs over at most nBuckets
+    // (= 32) aggregate rows, bounded by construction.
+    val wCum = Window.orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // global-window OK: same 32-row aggregate, full frame for total.
+    val wTot = Window.orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val stats = bucketed.groupBy(col("_b")).agg(count(lit(1)).as("_c"))
+      .select(col("_b"),
+        coalesce(sum(col("_c")).over(wCum), lit(0L)).as("_off"),
+        sum(col("_c")).over(wTot).as("_total"))
     val wLocal = Window.partitionBy(col("_b"))
       .orderBy(col("c_acctbal").desc, col("c_custkey"))
-    val offCol = element_at(
-      typedlit(offsets.map { case (b, o) => b.toLong -> o }), col("_b").cast("long"))
-    val rn = (offCol + row_number().over(wLocal)).as("_rn")
-    val withRn = bucketed.select(col("c_custkey"), rn)
-    val cutRows = rem * (base + 1)
-    val quartile =
-      if (base == 0) col("_rn") // degenerate N < k: one row per tile
-      else when(col("_rn") <= cutRows,
-          expr(s"(_rn - 1) div ${base + 1}") + 1)
-        .otherwise(lit(rem) + expr(s"(_rn - ${cutRows} - 1) div ${base}") + 1)
+    val withRn = bucketed.join(broadcast(stats), "_b")
+      .select(col("c_custkey"), col("_total"),
+        (col("_off") + row_number().over(wLocal)).as("_rn"))
+    // NTILE's exact first-(N mod k)-buckets-get-one-extra formula,
+    // with N as a COLUMN (same value on every row) instead of a
+    // driver-collected literal
+    val quartile = expr(
+      s"""CASE WHEN _total div $k = 0 THEN _rn
+         |     WHEN _rn <= (_total % $k) * (_total div $k + 1)
+         |       THEN (_rn - 1) div (_total div $k + 1) + 1
+         |     ELSE (_total % $k) +
+         |          (_rn - (_total % $k) * (_total div $k + 1) - 1) div (_total div $k) + 1
+         |END""".stripMargin)
     withRn.select(col("c_custkey"), quartile.cast("int").as("quartile"))
       .orderBy("c_custkey")
   }

@@ -964,6 +964,51 @@ class ExtrasSuite extends GraftSuite {
       "every exact pair that IS a candidate must survive the re-rank")
   }
 
+  test("EmbedBlocking.scaledTable: wider bits shrink candidates sharply, planted near-dups still recalled") {
+    // the round-12 scaling curve measured the FROZEN 8-bit table at
+    // 27x time on 10x random vectors (quadratic candidates — see
+    // BASELINE.md); the scaled table is the linear-scale path: this
+    // pins BOTH halves of its contract on one corpus
+    val sess = spark; import sess.implicits._
+    val rnd = new scala.util.Random(7L)
+    def unit(): Array[Float] = {
+      val v = Array.fill(64)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    def jitter(v: Array[Float], eps: Float): Array[Float] = {
+      val w = v.map(x => x + eps * rnd.nextGaussian().toFloat)
+      val n = math.sqrt(w.map(x => x.toDouble * x).sum).toFloat
+      w.map(_ / n)
+    }
+    // 1100 random vectors + 30 planted tight near-dup pairs (cos ~0.93)
+    val base = (0 until 1100).map(i => (i.toLong, unit()))
+    val planted = (0 until 30).map { i =>
+      val v = base(i)._2
+      ((10000 + i).toLong, jitter(v, 0.05f))
+    }
+    val e = (base ++ planted).toDF("vec_id", "embedding")
+    val plantedPairs = (0 until 30).map(i => (i.toLong, (10000 + i).toLong)).toSet
+    val wide = graft.api.EmbedBlocking.scaledTable(1130) // ceil(log2) = 11 bits
+    assert(wide.head.length >= graft.api.EmbedBlocking.BITS + 3,
+      "scaledTable must widen bits beyond the frozen default at this n")
+    val candsWide = graft.api.EmbedBlocking
+      .candidatePairs(e, "vec_id", "embedding", wide)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cands8 = graft.api.EmbedBlocking
+      .candidatePairs(e, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // (a) candidate volume drops with 2^-(bits-8) on unrelated pairs
+    // (model x8 at +3 bits; assert a conservative x3 — correlated
+    // pairs rightly keep colliding)
+    assert(candsWide.size * 3 <= cands8.size,
+      s"wider bits must shrink candidates: ${candsWide.size} vs ${cands8.size}")
+    // (b) tight near-dups survive: cos ~0.93 => p ~ 0.88 per dim =>
+    // per-band collision p^11 ~ 0.25, recall over 64 bands ~ 1
+    val recall = (plantedPairs & candsWide).size.toDouble / plantedPairs.size
+    assert(recall >= 0.9, f"planted near-dup recall $recall%.2f under the scaled table")
+  }
+
   test("q_text_bm25 (#102): top-10, descending rounded scores, multi-term ranking sane") {
     val rows = graft.queries.SearchDedup.qTextBm25(spark, sf0001).collect()
     assert(rows.length == 10)
