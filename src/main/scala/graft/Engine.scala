@@ -32,6 +32,7 @@ object Engine {
     }
     FloatVecDot.register(spark)
     functions.KllQuantile.register(spark) // kll_sketch_agg / kll_union_agg / kll_quantiles
+    functions.ThetaSketch.register(spark) // theta_sketch_agg / theta_union_agg / set-op estimators
     // opt-in optimizer rewrite: range-only joins → binned equi-joins
     // (fires only when spark.graft.rangeBin.width is set — see
     // plans/RangeBinJoinRule)

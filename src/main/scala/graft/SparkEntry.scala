@@ -18,7 +18,8 @@ object SparkEntry {
     Relational.queries ++ Scalars.queries ++ Streaming.queries ++
       LlmPipeline.queries ++ PipelineExtras.queries ++ Multimodal.queries ++
       MinHashDf.queries ++ Scalars2.queries ++ Relational2.queries ++
-      Relational3.queries ++ SearchDedup.queries ++ Analytics.queries
+      Relational3.queries ++ SearchDedup.queries ++ Analytics.queries ++
+      TextModel.queries
 
   /** Queries excluded from the Bench hot set (still in `queries`, still
     * correctness-gated every round). q_dedup_fuzzy_minhash is the MLlib
@@ -39,5 +40,6 @@ object SparkEntry {
     Relational.oracleSql ++ Scalars.oracleSql ++ Streaming.oracleSql ++
       LlmPipeline.oracleSql ++ PipelineExtras.oracleSql ++ Multimodal.oracleSql ++
       MinHashDf.oracleSql ++ Scalars2.oracleSql ++ Relational2.oracleSql ++
-      Relational3.oracleSql ++ SearchDedup.oracleSql ++ Analytics.oracleSql
+      Relational3.oracleSql ++ SearchDedup.oracleSql ++ Analytics.oracleSql ++
+      TextModel.oracleSql
 }

@@ -214,6 +214,73 @@ object Scalars2 {
       |FROM g
       |ORDER BY l_returnflag""".stripMargin
 
+  // ---- #126 q_agg_theta_sketch (added r12) -------------------------------
+  // Mergeable distinct-count sketches WITH set algebra (DataSketches
+  // Theta, functions/ThetaSketch): per-event-type user sketches, then
+  // |A|, |A ∪ B|, |A ∩ B|, |A \ B| as pure sketch algebra — the
+  // audience-overlap question HLL (#21) cannot answer without
+  // re-scanning. 100 TB shape: ONE linear pass builds KB-sized
+  // per-segment sketches; every overlap/exclusion after that is
+  // driver-side. Oracled via the #110/#119 tolerance encoding: exact
+  // cardinalities (one per-user aggregate, hash-checked) + booleans
+  // asserting each theta estimate sits within ±5% of exact (band on
+  // the UNION size for the set-op rows — the standard error model;
+  // RSE at 4096 nominal entries is ~1.6%, and below 4096 distincts
+  // theta is exact). DuckDB mirrors with approx_count_distinct +
+  // inclusion–exclusion inside the same bands.
+  val qAggThetaSketch: Q = (s, dir) => {
+    graft.functions.ThetaSketch.register(s)
+    Tables.events(s, dir).createOrReplaceTempView("events_theta")
+    s.sql(
+      """WITH pu AS (
+        |  SELECT user_id,
+        |         MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a,
+        |         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b
+        |  FROM events_theta GROUP BY user_id),
+        |ex AS (
+        |  SELECT CAST(SUM(a) AS BIGINT) AS n_a, CAST(SUM(b) AS BIGINT) AS n_b,
+        |         CAST(SUM(CASE WHEN a = 1 OR b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_union,
+        |         CAST(SUM(a * b) AS BIGINT) AS n_intersect,
+        |         CAST(SUM(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_anotb
+        |  FROM pu),
+        |sk AS (
+        |  SELECT theta_sketch_agg(CASE WHEN event_type = 'click' THEN user_id END) AS ska,
+        |         theta_sketch_agg(CASE WHEN event_type = 'purchase' THEN user_id END) AS skb
+        |  FROM events_theta)
+        |SELECT n_a, n_b, n_union, n_intersect, n_anotb,
+        |       (abs(theta_est(ska) - n_a) <= 0.05 * n_a) AS a_ok,
+        |       (abs(theta_est(skb) - n_b) <= 0.05 * n_b) AS b_ok,
+        |       (abs(theta_union_est(ska, skb) - n_union) <= 0.05 * n_union) AS union_ok,
+        |       (abs(theta_intersect_est(ska, skb) - n_intersect) <= 0.05 * n_union) AS intersect_ok,
+        |       (abs(theta_anotb_est(ska, skb) - n_anotb) <= 0.05 * n_union) AS anotb_ok
+        |FROM ex CROSS JOIN sk""".stripMargin)
+  }
+
+  val qAggThetaSketchSql: String =
+    """WITH pu AS (
+      |  SELECT user_id,
+      |         MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a,
+      |         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b
+      |  FROM events GROUP BY user_id),
+      |ex AS (
+      |  SELECT CAST(SUM(a) AS BIGINT) AS n_a, CAST(SUM(b) AS BIGINT) AS n_b,
+      |         CAST(SUM(CASE WHEN a = 1 OR b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_union,
+      |         CAST(SUM(a * b) AS BIGINT) AS n_intersect,
+      |         CAST(SUM(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_anotb
+      |  FROM pu),
+      |ap AS (
+      |  SELECT approx_count_distinct(CASE WHEN event_type = 'click' THEN user_id END) AS ea,
+      |         approx_count_distinct(CASE WHEN event_type = 'purchase' THEN user_id END) AS eb,
+      |         approx_count_distinct(CASE WHEN event_type IN ('click', 'purchase') THEN user_id END) AS eu
+      |  FROM events)
+      |SELECT n_a, n_b, n_union, n_intersect, n_anotb,
+      |       (abs(ea - n_a) <= 0.05 * n_a) AS a_ok,
+      |       (abs(eb - n_b) <= 0.05 * n_b) AS b_ok,
+      |       (abs(eu - n_union) <= 0.05 * n_union) AS union_ok,
+      |       (abs((ea + eb - eu) - n_intersect) <= 0.05 * n_union) AS intersect_ok,
+      |       (abs((eu - eb) - n_anotb) <= 0.05 * n_union) AS anotb_ok
+      |FROM ex CROSS JOIN ap""".stripMargin
+
   // ------------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "q_win_value_funcs" -> qWinValueFuncs,
@@ -222,6 +289,7 @@ object Scalars2 {
     "q_cond_funcs" -> qCondFuncs,
     "q_bitwise" -> qBitwise,
     "q_agg_quantile_sketch" -> qAggQuantileSketch,
+    "q_agg_theta_sketch" -> qAggThetaSketch,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -231,5 +299,6 @@ object Scalars2 {
     "q_cond_funcs" -> qCondFuncsSql,
     "q_bitwise" -> qBitwiseSql,
     "q_agg_quantile_sketch" -> qAggQuantileSketchSql,
+    "q_agg_theta_sketch" -> qAggThetaSketchSql,
   )
 }

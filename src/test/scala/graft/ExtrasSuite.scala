@@ -1009,6 +1009,70 @@ class ExtrasSuite extends GraftSuite {
     assert(recall >= 0.9, f"planted near-dup recall $recall%.2f under the scaled table")
   }
 
+  test("theta sketch (#126): set-op estimates within RSE bounds in ESTIMATION mode; partials union to the direct sketch") {
+    graft.functions.ThetaSketch.register(spark)
+    val sess = spark; import sess.implicits._
+    // 30k distincts >> 4096 nominal entries forces estimation mode —
+    // the fixture (~hundreds of users) would be exact and prove
+    // nothing about the error model. A: multiples of 2, B: multiples
+    // of 3 → known exact intersections.
+    val df = (0 until 60000).map(i => (i.toLong, i % 4)).toDF("v", "g")
+    df.createOrReplaceTempView("theta_t")
+    val row = spark.sql(
+      """SELECT theta_sketch_agg(CASE WHEN v % 2 = 0 THEN v END) AS ska,
+        |       theta_sketch_agg(CASE WHEN v % 3 = 0 THEN v END) AS skb
+        |FROM theta_t""".stripMargin).head
+    val (ska, skb) = (row.getAs[Array[Byte]](0), row.getAs[Array[Byte]](1))
+    def est(sql: String): Double =
+      spark.sql(sql).head.getDouble(0)
+    spark.createDataFrame(Seq(Tuple2(ska, skb))).toDF("a", "b")
+      .createOrReplaceTempView("theta_sk")
+    val nA = 30000.0; val nB = 20000.0
+    val nI = 10000.0; val nU = nA + nB - nI // multiples of 6 overlap
+    val estA = est("SELECT theta_est(a) FROM theta_sk")
+    val estU = est("SELECT theta_union_est(a, b) FROM theta_sk")
+    val estI = est("SELECT theta_intersect_est(a, b) FROM theta_sk")
+    val estD = est("SELECT theta_anotb_est(a, b) FROM theta_sk")
+    assert(math.abs(estA - nA) / nA < 0.05, s"|A| est $estA vs $nA")
+    assert(math.abs(estU - nU) / nU < 0.05, s"|A∪B| est $estU vs $nU")
+    assert(math.abs(estI - nI) / nU < 0.05, s"|A∩B| est $estI vs $nI (band on union)")
+    assert(math.abs(estD - (nA - nI)) / nU < 0.05, s"|A\\B| est $estD vs ${nA - nI}")
+    // mergeability: grouped partials re-unioned == the direct sketch's
+    // estimate (theta union is associative; same persistence move as
+    // kll_union_agg)
+    val direct = est("SELECT theta_est(theta_sketch_agg(v)) FROM theta_t")
+    val merged = est(
+      """SELECT theta_est(theta_union_agg(sk)) FROM
+        |  (SELECT g, theta_sketch_agg(v) AS sk FROM theta_t GROUP BY g)""".stripMargin)
+    assert(math.abs(direct - merged) / direct < 0.05,
+      s"partial-union $merged must track the direct sketch $direct")
+  }
+
+  test("q_text_ngram_lm (#125): train-split model — train docs never OOV, scores rank garbage below fixture text") {
+    val out = graft.queries.TextModel.qTextNgramLm(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.length > 400, "nearly every fixture doc has >= 2 words")
+    // train docs (md5 rule) were IN the model: every bigram seen => oov = 0
+    val trainIds = graft.queries.PipelineExtras.qTrainSplit(spark, sf0001)
+      .filter(org.apache.spark.sql.functions.col("split") === "train")
+      .collect().map(_.getLong(0)).toSet
+    val (tr, te) = out.partition(r => trainIds(r._1))
+    assert(tr.nonEmpty && tr.forall(_._4 == 0.0),
+      "a train doc cannot contain an out-of-model bigram")
+    // scores are log-probs: strictly negative, and the corpus mean
+    // beats the uniform floor ln(1/V) by a wide margin
+    assert(out.forall(_._3 < 0.0))
+    val meanTr = tr.map(_._3).sum / tr.size
+    // held-out docs score lower on average than train docs (they can
+    // contain unseen bigrams) but remain comparable — sanity that the
+    // model generalizes over the shared vocabulary
+    if (te.nonEmpty) {
+      val meanTe = te.map(_._3).sum / te.size
+      assert(meanTe <= meanTr + 0.2,
+        f"held-out mean $meanTe%.3f should not beat train mean $meanTr%.3f by a margin")
+    }
+  }
+
   test("q_text_bm25 (#102): top-10, descending rounded scores, multi-term ranking sane") {
     val rows = graft.queries.SearchDedup.qTextBm25(spark, sf0001).collect()
     assert(rows.length == 10)
