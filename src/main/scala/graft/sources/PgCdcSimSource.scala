@@ -216,15 +216,15 @@ class PgCdcSimScan(path: String, batchSize: Long, snapshotSeqOpt: Long,
   override def description(): String = s"PgCdcSim(path=$path, batchSize=$batchSize)"
 
   override def toBatch: Batch = new Batch {
-    // one tiny driver-side aggregate (the `SELECT max(xmin)` analog);
-    // readers need the data horizon to place tombstone seqs without
-    // scanning the log themselves
-    private lazy val maxDataSeq: Long = PgCdcSim.changelogStats(path, deletes)._1
+    // the same connector seam the stream uses (sources/CdcChangelog);
+    // the horizon poll is one tiny driver-side aggregate — readers
+    // need the data horizon to place tombstone seqs without scanning
+    // the log themselves
+    private lazy val changelog = new ParquetChangelog(path, numPartitions, deletes)
     override def planInputPartitions(): Array[InputPartition] =
-      ChangelogSlice.plan(path, Long.MinValue, Long.MaxValue, numPartitions,
-        deletes, maxDataSeq, None) // full range ⇒ no history pass at all
+      changelog.planSlices(Long.MinValue, Long.MaxValue) // full range ⇒ no history pass
     override def createReaderFactory(): PartitionReaderFactory =
-      ChangelogReaderFactory.forSession()
+      changelog.readerFactory()
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
@@ -237,9 +237,16 @@ class PgCdcSimMicroBatchStream(path: String, batchSize: Long,
     checkpointLocation: String)
     extends MicroBatchStream
     with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+  // ALL backend access goes through the connector seam
+  // (sources/CdcChangelog) — override [[makeChangelog]] with a
+  // JDBC/Debezium implementation and the offset/planning machinery
+  // below is unchanged (CdcAdapterSuite drives exactly this seam
+  // with an in-memory backend)
+  protected def makeChangelog(): CdcChangelog =
+    new ParquetChangelog(path, numPartitions, deletes, () => Some(firstSeenDir))
+  private lazy val changelog: CdcChangelog = makeChangelog()
   // planning stats only — the driver never materializes changelog rows
-  private lazy val stats: (Long, Long) = PgCdcSim.changelogStats(path, deletes)
-  private lazy val maxDataSeq: Long = stats._1
+  private lazy val stats: (Long, Long) = changelog.pollHorizon()
   private lazy val maxSeq: Long = stats._2
 
   /** First-seen key index sidecar, built ONCE per stream (one Spark
@@ -307,14 +314,14 @@ class PgCdcSimMicroBatchStream(path: String, batchSize: Long,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[SeqOffset].seq
     val e = end.asInstanceOf[SeqOffset].seq
-    // the sidecar only pays off (and is only consulted) for
-    // mid-stream slices that would otherwise scan a history prefix
-    val idx = if (s >= 0L) Some(firstSeenDir) else None
-    ChangelogSlice.plan(path, s, e, numPartitions, deletes, maxDataSeq, idx)
+    // the first-seen sidecar only pays off (and is only consulted,
+    // inside ParquetChangelog) for mid-stream slices that would
+    // otherwise scan a history prefix
+    changelog.planSlices(s, e)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    ChangelogReaderFactory.forSession()
+    changelog.readerFactory()
   override def deserializeOffset(json: String): Offset = SeqOffset(json.toLong)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
