@@ -1048,6 +1048,48 @@ class ExtrasSuite extends GraftSuite {
       s"partial-union $merged must track the direct sketch $direct")
   }
 
+  test("SegmentSketches: persisted per-segment sketches answer overlap/coverage without rescanning; refresh is idempotent") {
+    val sess = spark; import sess.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("seg_sk").toString + "/t"
+    // segments with KNOWN overlaps, sized to force estimation mode:
+    // s0 = [0, 20k), s1 = [5k, 25k), s2 = [40k, 60k) (disjoint from both)
+    val df = (Seq.tabulate(20000)(i => ("s0", i.toLong)) ++
+      Seq.tabulate(20000)(i => ("s1", 5000L + i)) ++
+      Seq.tabulate(20000)(i => ("s2", 40000L + i))).toDF("seg", "k")
+    graft.api.SegmentSketches.build(spark, df, "seg", "k", dir)
+    val m = graft.api.SegmentSketches.overlapMatrix(spark, dir)
+      .map(t => (t._1, t._2) -> t).toMap
+    val o01 = m(("s0", "s1"))
+    assert(math.abs(o01._6 - 15000.0) / 25000.0 < 0.05,
+      s"s0∩s1 est ${o01._6} vs exact 15000 (band on union 25000)")
+    assert(math.abs(o01._5 - 25000.0) / 25000.0 < 0.05, s"s0∪s1 est ${o01._5}")
+    val o02 = m(("s0", "s2"))
+    assert(o02._6 / 40000.0 < 0.02, s"disjoint segments must estimate ~0 overlap, got ${o02._6}")
+    // subset coverage: s0 ∪ s2 = 40k exact
+    val cov = graft.api.SegmentSketches.unionCoverage(spark, dir, Seq("s0", "s2"))
+    assert(math.abs(cov - 40000.0) / 40000.0 < 0.05, s"coverage est $cov vs 40000")
+    // refresh with the SAME data: estimates must not inflate (theta
+    // union of already-seen keys is a no-op on the estimate)
+    val before = graft.api.SegmentSketches.load(spark, dir)
+      .view.mapValues(_._1.getEstimate).toMap
+    graft.api.SegmentSketches.refresh(spark, df, "seg", "k", dir)
+    val after = graft.api.SegmentSketches.load(spark, dir)
+      .view.mapValues(_._1.getEstimate).toMap
+    before.foreach { case (seg, est) =>
+      assert(math.abs(after(seg) - est) / math.max(est, 1.0) < 0.03,
+        s"re-ingesting identical keys must not move $seg: $est -> ${after(seg)}")
+    }
+    // refresh with NEW keys + a NEW segment: both visible afterwards
+    val extra = (Seq.tabulate(10000)(i => ("s0", 100000L + i)) ++
+      Seq.tabulate(5000)(i => ("s3", 200000L + i))).toDF("seg", "k")
+    graft.api.SegmentSketches.refresh(spark, extra, "seg", "k", dir)
+    val grown = graft.api.SegmentSketches.load(spark, dir)
+    assert(math.abs(grown("s0")._1.getEstimate - 30000.0) / 30000.0 < 0.05,
+      s"s0 must grow to ~30000, got ${grown("s0")._1.getEstimate}")
+    assert(math.abs(grown("s3")._1.getEstimate - 5000.0) / 5000.0 < 0.05,
+      "new segment must appear with its own sketch")
+  }
+
   test("q_text_ngram_lm (#125): train-split model — train docs never OOV, scores rank garbage below fixture text") {
     val out = graft.queries.TextModel.qTextNgramLm(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
