@@ -112,11 +112,63 @@ object TextModel {
       |FROM sc GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // ---- #127 q_text_chunk (added r12) -------------------------------------
+  // Sliding-window document chunking — the step between curation and
+  // tokenization: every doc splits into word windows of CHUNK_W with
+  // stride CHUNK_S (overlap = W − S context carry), the shape long
+  // documents enter a fixed-context-length training run in. Chunk k
+  // covers words [k·S, k·S+W); the last window starts at the final
+  // position that still adds new words, so coverage is exact and no
+  // chunk is empty. Pure per-row explode — NO shuffle at any scale
+  // (the same embarrassingly-parallel class as the scrub/quality
+  // rows); chunk count per doc = 1 + ⌈(n−W)/S⌉.
+  val CHUNK_W = 32
+  val CHUNK_S = 24
+
+  val qTextChunk: Q = (s, dir) => {
+    Tables.documents(s, dir).createOrReplaceTempView("docs_chunk")
+    s.sql(
+      s"""WITH w AS (
+         |  SELECT doc_id, lang, split(text, ' ') AS ws,
+         |         size(split(text, ' ')) AS n
+         |  FROM docs_chunk WHERE size(split(text, ' ')) >= 1),
+         |c AS (
+         |  SELECT doc_id, lang, n, explode(transform(
+         |    sequence(0, CASE WHEN n <= $CHUNK_W THEN 0
+         |                     ELSE CAST(ceil((n - $CHUNK_W) / ${CHUNK_S}.0) AS INT) END),
+         |    k -> struct(k AS chunk_id,
+         |                least($CHUNK_W, n - k * $CHUNK_S) AS n_tokens,
+         |                array_join(slice(ws, k * $CHUNK_S + 1, $CHUNK_W), ' ') AS chunk))) AS ck
+         |  FROM w)
+         |SELECT doc_id, lang, CAST(ck.chunk_id AS INT) AS chunk_id,
+         |       CAST(ck.n_tokens AS INT) AS n_tokens, ck.chunk AS chunk
+         |FROM c
+         |ORDER BY doc_id, chunk_id""".stripMargin)
+  }
+
+  val qTextChunkSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, lang, string_split(text, ' ') AS ws,
+       |         LEN(string_split(text, ' ')) AS n
+       |  FROM documents WHERE LEN(string_split(text, ' ')) >= 1),
+       |c AS (
+       |  SELECT doc_id, lang, ws, n,
+       |         UNNEST(generate_series(0, CASE WHEN n <= $CHUNK_W THEN 0
+       |           ELSE CAST(CEIL((n - $CHUNK_W) / ${CHUNK_S}.0) AS INT) END)) AS k
+       |  FROM w)
+       |SELECT doc_id, lang, CAST(k AS INT) AS chunk_id,
+       |       CAST(LEAST($CHUNK_W, n - k * $CHUNK_S) AS INT) AS n_tokens,
+       |       array_to_string(ws[k * $CHUNK_S + 1 : k * $CHUNK_S + $CHUNK_W], ' ') AS chunk
+       |FROM c
+       |ORDER BY doc_id, chunk_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_text_ngram_lm" -> qTextNgramLm,
+    "q_text_chunk" -> qTextChunk,
   )
 
   val oracleSql: Map[String, String] = Map(
     "q_text_ngram_lm" -> qTextNgramLmSql,
+    "q_text_chunk" -> qTextChunkSql,
   )
 }

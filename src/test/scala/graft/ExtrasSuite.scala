@@ -1090,6 +1090,30 @@ class ExtrasSuite extends GraftSuite {
       "new segment must appear with its own sketch")
   }
 
+  test("q_text_chunk (#127): stride windows reconstruct every document exactly; overlap is W-S") {
+    val W = graft.queries.TextModel.CHUNK_W
+    val S = graft.queries.TextModel.CHUNK_S
+    val chunks = graft.queries.TextModel.qTextChunk(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getString(4)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    val docs = Tables.documents(spark, sf0001)
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(chunks.keySet == docs.keySet, "every doc must chunk")
+    docs.foreach { case (id, text) =>
+      val words = text.split(" ").toSeq
+      val cs = chunks(id).map(_.split(" ").toSeq)
+      // chunk 0 is the first W words; each later chunk re-carries the
+      // last W-S words of its predecessor's window, so dropping that
+      // overlap and concatenating reconstructs the doc EXACTLY
+      assert(cs.head == words.take(W), s"doc $id chunk 0 wrong")
+      val rebuilt = cs.head ++ cs.tail.flatMap(_.drop(W - S))
+      assert(rebuilt == words, s"doc $id: chunks must reconstruct the text exactly")
+      // no degenerate trailing chunk
+      assert(cs.forall(_.nonEmpty))
+    }
+  }
+
   test("q_text_ngram_lm (#125): train-split model — train docs never OOV, scores rank garbage below fixture text") {
     val out = graft.queries.TextModel.qTextNgramLm(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
