@@ -76,6 +76,33 @@ object SegmentSketches {
     Versioned.fs(spark, tmp).delete(new org.apache.hadoop.fs.Path(tmp), true)
   }
 
+  /** Continuous maintenance: keep the stored sketches current from a
+    * STREAMING frame — each micro-batch unions its per-segment
+    * sketches into the table ([[build]] bootstraps an absent table).
+    * At-least-once delivery needs NO dedup here: a replayed batch
+    * re-unions keys the table already holds, and theta union of
+    * already-seen keys cannot move the estimate — the sketch is
+    * idempotent by construction, which is exactly why sketch tables
+    * beat `COUNT(DISTINCT)` materializations for streaming upkeep.
+    * n_rows (an advisory ingest counter) CAN double-count on replay;
+    * documented, never part of any estimate. */
+  def sinkRefresh(df: DataFrame, segmentCol: String, keyCol: String,
+      dir: String, checkpointLocation: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      nominalEntries: Int = graft.functions.ThetaSketch.DEFAULT_NOMINAL)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpointLocation)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val exists = Versioned.fs(spark, dir)
+          .exists(new org.apache.hadoop.fs.Path(dir))
+        if (exists) refresh(spark, batch, segmentCol, keyCol, dir, nominalEntries)
+        else build(spark, batch, segmentCol, keyCol, dir, nominalEntries)
+      }.start()
+
   /** The stored sketches, heapified driver-side: segment →
     * (sketch, exact ingested row count). Segment-count-sized. */
   def load(spark: SparkSession, dir: String): Map[String, (CompactSketch, Long)] =

@@ -1090,6 +1090,38 @@ class ExtrasSuite extends GraftSuite {
       "new segment must appear with its own sketch")
   }
 
+  test("SegmentSketches.sinkRefresh: streamed sketch table == batch build (idempotent unions, bootstrap included)") {
+    val sess = spark; import sess.implicits._
+    implicit val sqlCtx = sess.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("seg_stream").toString
+    val dir = s"$base/t"; val cp = s"$base/cp"
+    val ev = Tables.events(spark, sf0001)
+      .select($"event_type", $"user_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val (c1, c2) = ev.splitAt(ev.length / 2)
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long)]
+    def run(): Unit = {
+      val q = graft.api.SegmentSketches.sinkRefresh(
+        ms.toDF().toDF("seg", "k"), "seg", "k", dir, cp)
+      assert(q.awaitTermination(120000)); ()
+    }
+    ms.addData(c1.toSeq: _*); run()   // bootstrap from batch 0
+    ms.addData(c2.toSeq: _*); run()   // incremental union
+    val streamed = graft.api.SegmentSketches.load(spark, dir)
+      .view.mapValues(_._1.getEstimate).toMap
+    // batch reference over the same data
+    val bdir = s"$base/batch"
+    graft.api.SegmentSketches.build(spark,
+      ev.toSeq.toDF("seg", "k"), "seg", "k", bdir)
+    val batch = graft.api.SegmentSketches.load(spark, bdir)
+      .view.mapValues(_._1.getEstimate).toMap
+    assert(streamed.keySet == batch.keySet)
+    batch.foreach { case (seg, est) =>
+      assert(math.abs(streamed(seg) - est) / math.max(est, 1.0) < 0.01,
+        s"streamed sketch for $seg (${streamed(seg)}) must match batch ($est)")
+    }
+  }
+
   test("q_text_chunk (#127): stride windows reconstruct every document exactly; overlap is W-S") {
     val W = graft.queries.TextModel.CHUNK_W
     val S = graft.queries.TextModel.CHUNK_S
