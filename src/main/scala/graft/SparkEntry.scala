@@ -19,7 +19,7 @@ object SparkEntry {
       LlmPipeline.queries ++ PipelineExtras.queries ++ Multimodal.queries ++
       MinHashDf.queries ++ Scalars2.queries ++ Relational2.queries ++
       Relational3.queries ++ SearchDedup.queries ++ Analytics.queries ++
-      TextModel.queries
+      TextModel.queries ++ Linkage.queries
 
   /** Queries excluded from the Bench hot set (still in `queries`, still
     * correctness-gated every round). q_dedup_fuzzy_minhash is the MLlib
@@ -41,5 +41,5 @@ object SparkEntry {
       LlmPipeline.oracleSql ++ PipelineExtras.oracleSql ++ Multimodal.oracleSql ++
       MinHashDf.oracleSql ++ Scalars2.oracleSql ++ Relational2.oracleSql ++
       Relational3.oracleSql ++ SearchDedup.oracleSql ++ Analytics.oracleSql ++
-      TextModel.oracleSql
+      TextModel.oracleSql ++ Linkage.oracleSql
 }

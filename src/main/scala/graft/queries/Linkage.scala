@@ -1,0 +1,208 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Record-linkage + maintenance rows (added r12, second pass):
+  *
+  *  - #128 `q_dedup_substring` — exact duplicate-PASSAGE detection:
+  *    the suffix-array substitute from the "deduplicating training
+  *    data makes language models better" line of work, re-expressed
+  *    as the MapReduce-able shingle form: every K-word shingle that
+  *    occurs in ≥2 documents marks its positions; per-document
+  *    overlapping/adjacent marked windows merge into maximal spans
+  *    (gaps-and-islands). Finds the copied PASSAGE inside otherwise
+  *    distinct documents — what doc-level MinHash (#54/#104) cannot
+  *    localize.
+  *  - #129 `q_join_editdist` — edit-distance similarity join
+  *    (entity resolution / typo clustering) via SymSpell
+  *    deletion-neighborhood blocking: for d = 1, two strings within
+  *    edit distance 1 ALWAYS share an entry of
+  *    {s} ∪ {s minus one char} (substitution → delete the differing
+  *    position from both; insert/delete → the shorter string IS a
+  *    deletion variant of the longer). So candidates come from an
+  *    EQUI-join on the exploded variant set — never a cross join —
+  *    and an exact `levenshtein` filter keeps only true pairs.
+  *  - #130 `q_cdc_agg_maintain` — incremental aggregate-view
+  *    maintenance over the CDC changelog (#50's table-replication
+  *    semantic): each version row becomes +delta on arrival and
+  *    −delta when superseded (the Flink-style retract stream), and
+  *    the maintained GROUP BY is then a plain ADDITIVE sum of signed
+  *    deltas — no latest-state materialization. The DuckDB oracle
+  *    recomputes from latest state, cross-checking the delta algebra
+  *    against the recompute definition.
+  *
+  * Scale shapes:
+  *  - #128: shingle explode is per-row; the duplicate-shingle filter
+  *    is one groupBy on the shingle (shuffle by content hash — the
+  *    same key the counts need anyway); the island merge is a window
+  *    PARTITIONED BY doc_id. Nothing is all-pairs; at 100 TB the
+  *    shingle table shards by hash exactly like #104's bands.
+  *  - #129: candidate count is Σ C(bucket, 2) over variant buckets —
+  *    linear in data for bounded bucket sizes, vs the O(n²) naive
+  *    join the oracle deliberately runs (at oracle scale only). The
+  *    deterministic md5 25%-sample of keys bounds BOTH engines to
+  *    the same scope, keeping the naive oracle tractable at sf0.1.
+  *  - #130: one window (partitioned by key — the changelog's natural
+  *    partitioning) + one additive aggregate. In streaming form the
+  *    retraction comes from operator state instead of `lead`
+  *    (StreamzStateOps holds the stateful analogs); money sums run
+  *    in integer cents so +x/−x cancellation is EXACT, making the
+  *    delta order irrelevant — the property that lets partial
+  *    aggregation merge in any order on a real cluster.
+  */
+object Linkage {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** Shingle width for #128: 8 words. Long enough that the 31-word
+    * fixture vocabulary cannot collide by chance (31⁸ ≫ corpus
+    * shingle count); short enough to localize copied passages.
+    */
+  val SUB_K = 8
+
+  // ---- #128 q_dedup_substring --------------------------------------------
+  val qDedupSubstring: Q = (s, dir) => {
+    Tables.documents(s, dir).createOrReplaceTempView("docs_sub")
+    s.sql(
+      s"""WITH w AS (
+         |  SELECT doc_id, split(text, ' ') AS ws FROM docs_sub
+         |  WHERE size(split(text, ' ')) >= $SUB_K),
+         |sh AS (
+         |  SELECT doc_id, i AS pos, array_join(slice(ws, i, $SUB_K), ' ') AS sh
+         |  FROM w LATERAL VIEW explode(sequence(1, size(ws) - ${SUB_K - 1})) t AS i),
+         |dup AS (
+         |  SELECT sh FROM sh GROUP BY sh HAVING COUNT(DISTINCT doc_id) >= 2),
+         |p AS (
+         |  SELECT s.doc_id, s.pos FROM sh s JOIN dup d ON s.sh = d.sh),
+         |lg AS (
+         |  SELECT doc_id, pos,
+         |         LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+         |  FROM p),
+         |isl AS (
+         |  SELECT doc_id, pos,
+         |         SUM(CASE WHEN prev IS NULL OR pos > prev + $SUB_K THEN 1 ELSE 0 END)
+         |           OVER (PARTITION BY doc_id ORDER BY pos
+         |                 ROWS UNBOUNDED PRECEDING) AS island
+         |  FROM lg)
+         |SELECT doc_id, CAST(MIN(pos) AS INT) AS span_start,
+         |       CAST(MAX(pos) + ${SUB_K - 1} AS INT) AS span_end,
+         |       COUNT(*) AS n_shingles
+         |FROM isl GROUP BY doc_id, island
+         |ORDER BY doc_id, span_start""".stripMargin)
+  }
+
+  val qDedupSubstringSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+       |  WHERE LEN(string_split(text, ' ')) >= $SUB_K),
+       |sh AS (
+       |  SELECT doc_id,
+       |         UNNEST(generate_series(1, LEN(ws) - ${SUB_K - 1})) AS pos,
+       |         UNNEST(list_transform(generate_series(1, LEN(ws) - ${SUB_K - 1}),
+       |           i -> array_to_string(ws[i : i + ${SUB_K - 1}], ' '))) AS sh
+       |  FROM w),
+       |dup AS (
+       |  SELECT sh FROM sh GROUP BY sh HAVING COUNT(DISTINCT doc_id) >= 2),
+       |p AS (
+       |  SELECT s.doc_id, s.pos FROM sh s JOIN dup d ON s.sh = d.sh),
+       |lg AS (
+       |  SELECT doc_id, pos,
+       |         LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+       |  FROM p),
+       |isl AS (
+       |  SELECT doc_id, pos,
+       |         SUM(CASE WHEN prev IS NULL OR pos > prev + $SUB_K THEN 1 ELSE 0 END)
+       |           OVER (PARTITION BY doc_id ORDER BY pos
+       |                 ROWS UNBOUNDED PRECEDING) AS island
+       |  FROM lg)
+       |SELECT doc_id, CAST(MIN(pos) AS INT) AS span_start,
+       |       CAST(MAX(pos) + ${SUB_K - 1} AS INT) AS span_end,
+       |       COUNT(*) AS n_shingles
+       |FROM isl GROUP BY doc_id, island
+       |ORDER BY doc_id, span_start""".stripMargin
+
+  // ---- #129 q_join_editdist ----------------------------------------------
+  // Deterministic 25% key sample (md5 first hex char ≤ '3') bounds the
+  // oracle's deliberately-naive O(n²) cross-check at sf0.1; the Spark
+  // side runs the SAME sample through the linear-ish blocked plan.
+  val qJoinEditdist: Q = (s, dir) => {
+    Tables.customer(s, dir).createOrReplaceTempView("cust_ed")
+    s.sql(
+      """WITH nm AS (
+        |  SELECT c_name FROM cust_ed
+        |  WHERE substring(md5(CAST(CAST(c_custkey AS STRING) AS BINARY)), 1, 1) <= '3'),
+        |v AS (
+        |  SELECT c_name, explode(array_union(
+        |    transform(sequence(1, length(c_name)),
+        |      i -> concat(substring(c_name, 1, i - 1),
+        |                  substring(c_name, i + 1, length(c_name)))),
+        |    array(c_name))) AS variant
+        |  FROM nm),
+        |cand AS (
+        |  SELECT DISTINCT a.c_name AS name1, b.c_name AS name2
+        |  FROM v a JOIN v b ON a.variant = b.variant AND a.c_name < b.c_name)
+        |SELECT name1, name2, CAST(levenshtein(name1, name2) AS INT) AS dist
+        |FROM cand WHERE levenshtein(name1, name2) = 1
+        |ORDER BY name1, name2""".stripMargin)
+  }
+
+  val qJoinEditdistSql: String =
+    """WITH nm AS (
+      |  SELECT c_name FROM customer
+      |  WHERE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1) <= '3')
+      |SELECT a.c_name AS name1, b.c_name AS name2,
+      |       CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+      |FROM nm a JOIN nm b
+      |  ON a.c_name < b.c_name AND levenshtein(a.c_name, b.c_name) = 1
+      |ORDER BY name1, name2""".stripMargin
+
+  // ---- #130 q_cdc_agg_maintain -------------------------------------------
+  // The maintained view: per event_type, (count of keys whose latest
+  // version lands there, sum of their latest values in exact cents).
+  // Computed WITHOUT materializing latest state: each version emits
+  // +delta, and −delta iff superseded; GROUP BY sums signed deltas.
+  val qCdcAggMaintain: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val versions = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+        round(dec(col("value")) * 100).cast("long").as("cents"))
+      .withColumn("superseded", lead(col("event_id"), 1).over(w).isNotNull)
+    versions
+      .select(col("event_type"), explode(
+        when(col("superseded"),
+          array(struct(col("cents").as("dv"), lit(1L).as("dc")),
+                struct((-col("cents")).as("dv"), lit(-1L).as("dc"))))
+        .otherwise(
+          array(struct(col("cents").as("dv"), lit(1L).as("dc"))))).as("d"))
+      .groupBy("event_type")
+      .agg(sum(col("d.dc")).as("n_users"), sum(col("d.dv")).as("total_cents"))
+      .filter(col("n_users") > 0)
+      .orderBy("event_type")
+  }
+
+  val qCdcAggMaintainSql: String = EV +
+    """SELECT event_type, COUNT(*) AS n_users,
+      |       CAST(SUM(CAST(round(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)) AS BIGINT)
+      |         AS total_cents
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+      |        ORDER BY ts DESC, event_id DESC) AS rn FROM e)
+      |WHERE rn = 1
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q_dedup_substring" -> qDedupSubstring,
+    "q_join_editdist" -> qJoinEditdist,
+    "q_cdc_agg_maintain" -> qCdcAggMaintain,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_dedup_substring" -> qDedupSubstringSql,
+    "q_join_editdist" -> qJoinEditdistSql,
+    "q_cdc_agg_maintain" -> qCdcAggMaintainSql,
+  )
+}
