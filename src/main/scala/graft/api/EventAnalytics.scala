@@ -318,6 +318,16 @@ object EventAnalytics {
       PiiScrub.scrub(SparkSession.active.table(strArg(fn, args, 0, "table")),
         strArg(fn, args, 1, "text_col"))
     },
+    // SQL surface for duplicate-passage detection (§2B #128): maximal
+    // per-doc spans of k-word shingles shared by >= 2 documents.
+    // Delegates to api/DupSpans.dupSpans (one-implementation rule).
+    desc("graft_dup_spans") { args =>
+      val fn = "graft_dup_spans"
+      arity(fn, args, 4, "table, id_col, text_col, k")
+      DupSpans.dupSpans(SparkSession.active.table(strArg(fn, args, 0, "table")),
+        strArg(fn, args, 1, "id_col"), strArg(fn, args, 2, "text_col"),
+        longArg(fn, args, 3, "k").toInt)
+    },
     // SQL surface for the engine's flagship ANN capability (VERDICT
     // r11 missing #3): probe a persisted IVF-PQ index straight from
     // SQL. Delegates to IvfPqIndex.query (one-implementation rule) —

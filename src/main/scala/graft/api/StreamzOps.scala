@@ -329,6 +329,42 @@ object StreamzOps {
             opCol, deleteOp, numBuckets, retainManifests, failpoint)
         }.start()
     }
+
+    /** INCREMENTAL AGGREGATE-VIEW sink (§2B #130's streaming form):
+      * maintain `tablePath` as a grouped additive aggregate fed by a
+      * retract/delta stream — rows (groupCols…, dn: long, dv: long)
+      * such as [[StreamzStateOps.retractAggStream]] emits. Each
+      * micro-batch pre-folds its deltas per group, then ADDS them
+      * into the stored per-group totals; groups whose maintained key
+      * count reaches 0 drop out of the table.
+      *
+      * Exactly-once: additive application is NOT naturally idempotent
+      * (replaying a batch would double-add), so every stored row
+      * carries the last batchId applied to its bucket; a replayed
+      * batch whose id is already recorded passes the bucket through
+      * untouched. Crash before manifest commit → the manifest still
+      * points at the pre-batch snapshot and the replay re-merges from
+      * it; crash after commit → the replay no-ops. Same atomic
+      * snapshot-manifest storage (and reader, compaction, GC) as
+      * [[sinkUpsert]].
+      */
+    def sinkAggMaintain(tablePath: String, groupCols: Seq[String],
+        checkpointLocation: String,
+        trigger: Trigger = Trigger.AvailableNow(),
+        numBuckets: Int = 16,
+        retainManifests: Int = 0,
+        failpoint: (String, Long) => Unit = (_, _) => ()): StreamingQuery = {
+      require(numBuckets > 0, s"numBuckets must be > 0 (got $numBuckets)")
+      require(retainManifests >= 0,
+        s"retainManifests must be >= 0 (got $retainManifests)")
+      df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpointLocation)
+        .trigger(trigger)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          StreamzOps.aggMaintainBatch(batch, tablePath, groupCols, batchId,
+            numBuckets, retainManifests, failpoint)
+        }.start()
+    }
   }
 
   /** Merge ONE micro-batch into an SCD2 history table — the exact
@@ -401,6 +437,50 @@ object StreamzOps {
         reduced.filter(!(col(oc) <=> lit(deleteOp))))
     }
   }
+
+  /** Apply ONE delta micro-batch to a maintained aggregate table —
+    * the foreachBatch body of [[StreamzDataFrame.sinkAggMaintain]],
+    * exposed like [[upsertBatch]] for pipelines composing their own
+    * per-batch work. `batch` rows are (groupCols…, dn, dv) signed
+    * deltas; stored rows are per-group running totals plus two
+    * internal columns: `_lb` (last batchId applied to the row's
+    * bucket — the replay guard) and `_src` (0 = stored, 1 = incoming;
+    * never persisted as 1).
+    */
+  def aggMaintainBatch(batch: DataFrame, tablePath: String,
+      groupCols: Seq[String], batchId: Long,
+      numBuckets: Int = 16, retainManifests: Int = 0,
+      failpoint: (String, Long) => Unit = (_, _) => ()): Unit = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    val pre = batch
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum("dn").cast("long").as("dn"), sum("dv").cast("long").as("dv"))
+      .withColumn("_lb", lit(batchId))
+      .withColumn("_src", lit(1))
+    commitBucketedSnapshot(pre, tablePath, groupCols, numBuckets,
+      retainManifests, batchId, failpoint,
+      priorHasDerivedColumns = false) { merged0 =>
+      // replay guard: if this bucket's stored rows already record
+      // batchId (crash AFTER manifest commit), drop the incoming
+      // delta rows — the addition already happened
+      val wb = Window.partitionBy(col(BucketCol))
+      merged0
+        .withColumn("_applied",
+          max(when(col("_src") === 0, col("_lb"))).over(wb))
+        .filter(col("_src") === 0 ||
+          col("_applied").isNull || col("_applied") < lit(batchId))
+        .groupBy((BucketCol +: groupCols).map(col): _*)
+        .agg(sum("dn").as("dn"), sum("dv").as("dv"), max("_lb").as("_lb"))
+        .filter(col("dn") > 0)
+        .withColumn("_src", lit(0))
+    }
+  }
+
+  /** Read a [[StreamzDataFrame.sinkAggMaintain]] table: per-group
+    * running totals, internal bookkeeping columns dropped. */
+  def readAggTable(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, snapshot: Option[Long] = None): DataFrame =
+    readUpsertTable(spark, tablePath, snapshot).drop("_lb", "_src")
 
   /** Shared commit path of the bucketed snapshot-manifest sinks: add
     * the key-hash bucket column, read the prior state of the dirty

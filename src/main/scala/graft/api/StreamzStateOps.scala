@@ -943,4 +943,68 @@ object StreamzStateOps {
       drain(tv.getCurrentWatermarkInMs()).map(_.copy(user_id = user))
     }
   }
+
+  // not private: Catalyst's generated (de)serializers must access them
+  case class CdcVer(key: Long, ord: Long, grp: String, cents: Long)
+  case class LastVer(grp: String, cents: Long)
+  case class AggDelta(grp: String, dn: Long, dv: Long)
+
+  /** Changelog → RETRACT STREAM (§2B #130's streaming form): keyed by
+    * the changelog key, state = the key's last version; every arriving
+    * version emits −1/−old_cents against the superseded version's
+    * group and +1/+new_cents for its own. Downstream, a maintained
+    * GROUP BY is then a plain ADDITIVE fold of these signed deltas —
+    * [[StreamzOps.sinkAggMaintain]] applies them to a persisted table
+    * incrementally, no latest-state rescan ever.
+    *
+    * This is what the batch row computes with `lead()` inside one
+    * frame: here the retraction pairs with insertions ACROSS
+    * micro-batch (and restart) boundaries because the last version
+    * lives in checkpointed ValueState. Replay-deterministic: state is
+    * restored to the batch's start on recovery, so a replayed batch
+    * re-emits identical deltas.
+    *
+    * Scale: state is O(1) per key (one LastVer), sharded by the
+    * groupByKey shuffle; deltas are additive and commutative (integer
+    * cents — exact cancellation), so any downstream partial
+    * aggregation order is correct.
+    */
+  def retractAggStream(df: DataFrame, keyCol: String, ordCol: String,
+      groupCol: String, centsCol: String): DataFrame = {
+    implicit val verEnc = Encoders.product[CdcVer]
+    implicit val outEnc = Encoders.product[AggDelta]
+    implicit val keyEnc = Encoders.scalaLong
+    df.select(
+        col(keyCol).cast("long").as("key"),
+        col(ordCol).cast("long").as("ord"),
+        col(groupCol).cast("string").as("grp"),
+        col(centsCol).cast("long").as("cents")).as[CdcVer]
+      .groupByKey(_.key)
+      .transformWithState(new RetractProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+      .toDF("grp", "dn", "dv")
+  }
+
+  /** Per-key last-version state → signed insert/retract deltas. */
+  class RetractProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, CdcVer, AggDelta] {
+    @transient private var last: org.apache.spark.sql.streaming.ValueState[LastVer] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      last = getHandle.getValueState[LastVer]("last", Encoders.product[LastVer],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[CdcVer],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[AggDelta] = {
+      val out = Vector.newBuilder[AggDelta]
+      var cur = if (last.exists()) Option(last.get()) else None
+      // same per-batch ord sort contract as every fold in this file
+      rows.toSeq.sortBy(_.ord).foreach { v =>
+        cur.foreach(o => out += AggDelta(o.grp, -1L, -o.cents))
+        out += AggDelta(v.grp, 1L, v.cents)
+        cur = Some(LastVer(v.grp, v.cents))
+      }
+      cur.foreach(last.update)
+      out.result().iterator
+    }
+  }
 }

@@ -65,35 +65,10 @@ object Linkage {
   val SUB_K = 8
 
   // ---- #128 q_dedup_substring --------------------------------------------
-  val qDedupSubstring: Q = (s, dir) => {
-    Tables.documents(s, dir).createOrReplaceTempView("docs_sub")
-    s.sql(
-      s"""WITH w AS (
-         |  SELECT doc_id, split(text, ' ') AS ws FROM docs_sub
-         |  WHERE size(split(text, ' ')) >= $SUB_K),
-         |sh AS (
-         |  SELECT doc_id, i AS pos, array_join(slice(ws, i, $SUB_K), ' ') AS sh
-         |  FROM w LATERAL VIEW explode(sequence(1, size(ws) - ${SUB_K - 1})) t AS i),
-         |dup AS (
-         |  SELECT sh FROM sh GROUP BY sh HAVING COUNT(DISTINCT doc_id) >= 2),
-         |p AS (
-         |  SELECT s.doc_id, s.pos FROM sh s JOIN dup d ON s.sh = d.sh),
-         |lg AS (
-         |  SELECT doc_id, pos,
-         |         LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
-         |  FROM p),
-         |isl AS (
-         |  SELECT doc_id, pos,
-         |         SUM(CASE WHEN prev IS NULL OR pos > prev + $SUB_K THEN 1 ELSE 0 END)
-         |           OVER (PARTITION BY doc_id ORDER BY pos
-         |                 ROWS UNBOUNDED PRECEDING) AS island
-         |  FROM lg)
-         |SELECT doc_id, CAST(MIN(pos) AS INT) AS span_start,
-         |       CAST(MAX(pos) + ${SUB_K - 1} AS INT) AS span_end,
-         |       COUNT(*) AS n_shingles
-         |FROM isl GROUP BY doc_id, island
-         |ORDER BY doc_id, span_start""".stripMargin)
-  }
+  // Delegates to api/DupSpans (one-implementation rule) — the same
+  // transform the `graft_dup_spans` SQL table function exposes.
+  val qDedupSubstring: Q = (s, dir) =>
+    graft.api.DupSpans.dupSpans(Tables.documents(s, dir), "doc_id", "text", SUB_K)
 
   val qDedupSubstringSql: String =
     s"""WITH w AS (

@@ -266,4 +266,62 @@ class RecoverySuite extends GraftSuite {
       }
     }
   }
+
+  test("retractAggStream -> sinkAggMaintain: maintained aggregate == q_cdc_agg_maintain; crash-replay never double-adds") {
+    // #130's streaming form, end-to-end: per-key last-version state
+    // turns the changelog into signed deltas; the additive sink folds
+    // them into a persisted per-group table. Crashes are injected at
+    // every publish barrier of batch 1; "post-commit" is the worst
+    // window for an ADDITIVE sink — the batch already landed, so a
+    // naive replay would apply it TWICE (the per-bucket batchId guard
+    // is what this pins).
+    import graft.api.StreamzOps._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val want = queries.Linkage.qCdcAggMaintain(spark, sf0001).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(want.nonEmpty)
+      for (crashAt <- Seq("data-written", "pre-commit", "post-commit")) {
+        val base = java.nio.file.Files.createTempDirectory("aggmaint").toString
+        val table = s"$base/state"; val cp = s"$base/cp"
+        val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+        def start(fail: Boolean) = {
+          val cdc = spark.readStream.format("pg-cdc-sim")
+            .option("path", s"$sf0001/events.parquet")
+            .option("batchSize", "250")
+            .option("snapshotSeq", "99")
+            .option("numPartitions", "4")
+            .load()
+            .withColumn("cents",
+              round(col("value").cast("decimal(18,2)") * 100).cast("long"))
+          graft.api.StreamzStateOps
+            .retractAggStream(cdc, "key", "seq", "event_type", "cents")
+            .sinkAggMaintain(table, Seq("grp"), cp,
+              failpoint = (stage, batchId) =>
+                if (fail && stage == crashAt && batchId == 1L &&
+                  !crashed.getAndSet(true))
+                  throw new RuntimeException(s"injected crash at $stage"))
+        }
+        val q1 = start(fail = true)
+        intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q1.awaitTermination(); ()
+        }
+        assert(crashed.get(), s"$crashAt: the injected crash must have fired")
+        val q2 = start(fail = false) // replays batch 1 from the WAL
+        assert(q2.awaitTermination(180000), s"$crashAt: restarted query must drain")
+        val got = readAggTable(spark, table).collect()
+          .map(r => (r.getAs[String]("grp"), r.getAs[Long]("dn"),
+            r.getAs[Long]("dv"))).toSet
+        assert(got == want,
+          s"$crashAt: maintained table must equal the batch row after recovery; " +
+            s"missing=${(want diff got).take(5)} extra=${(got diff want).take(5)}")
+      }
+    } finally prevProvider match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
 }

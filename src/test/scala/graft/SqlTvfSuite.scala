@@ -225,4 +225,21 @@ class SqlTvfSuite extends GraftSuite {
         s"got: ${badSteps.getMessage}")
     }
   }
+
+  test("graft_dup_spans TVF == q_dedup_substring; wider shingles never widen coverage") {
+    Tables.documents(spark, sf0001).createOrReplaceTempView("docs_tvf")
+    val got = spark.sql("SELECT * FROM graft_dup_spans('docs_tvf', 'doc_id', 'text', 8)")
+    assert(got.columns.toSeq == Seq("doc_id", "span_start", "span_end", "n_shingles"))
+    val want = queries.Linkage.qDedupSubstring(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(got.collect().map(_.toSeq).toSeq == want,
+      "TVF spans must equal the oracled q_dedup_substring rows")
+    // Every 8-subgram of a shared 16-gram is itself shared, so k=16
+    // coverage is a subset of k=8 coverage (per-doc covered positions).
+    def covered(rows: Array[org.apache.spark.sql.Row]): Long =
+      rows.map(r => r.getInt(2) - r.getInt(1) + 1L).sum
+    val wide = spark.sql("SELECT * FROM graft_dup_spans('docs_tvf', 'doc_id', 'text', 16)")
+    assert(covered(wide.collect()) <= covered(got.collect()),
+      "k=16 duplicated coverage must not exceed k=8 coverage")
+  }
 }
