@@ -434,4 +434,23 @@ class PlanSuite extends GraftSuite {
     assert(offenders.isEmpty,
       s"partition-less Window without a 'global-window OK:' justification:\n${offenders.mkString("\n")}")
   }
+
+  test("q_join_editdist (#129): candidates via variant equi-join — no cartesian/BNLJ anywhere") {
+    val p = plan(queries.Linkage.qJoinEditdist(spark, sf0001))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the SymSpell-blocked similarity join must never go all-pairs:\n$p")
+    // the candidate join is an equi-join keyed on the deletion variant
+    assert(p.contains("variant"), s"expected the variant equi-join key in the plan:\n$p")
+  }
+
+  test("q_dedup_substring (#128): shingle semi-join is an equi-join; islands partition by doc") {
+    val p = plan(queries.Linkage.qDedupSubstring(spark, sf0001))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"duplicate-passage detection must never go all-pairs:\n$p")
+    // the island merge must be doc-partitioned (no global window):
+    // every window spec in the plan names doc_id as its partition key
+    val specs = "windowspecdefinition\\(([^,]*)".r.findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("doc_id")),
+      s"island windows must partition by doc_id, got specs=$specs in:\n$p")
+  }
 }
