@@ -201,15 +201,103 @@ object Linkage {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  // ---- #131 q_text_dedup_clean -------------------------------------------
+  // The EXCISION step that completes #128's detect half (together they
+  // are the full exact-substring dedup pass of the training-data
+  // literature): every word position covered by a duplicated span is
+  // removed from every document, and the corpus is re-emitted with
+  // per-doc removal accounting. Composition row: spans come from the
+  // SAME api/DupSpans transform #128 oracles (one-implementation
+  // rule); the excision itself is a per-row HOF projection after ONE
+  // left join on doc_id — embarrassingly parallel at any scale.
+  //
+  // Bench-reading note (measured r12): `count()` on this frame lets
+  // Catalyst ELIMINATE the left join outright (the spans side is an
+  // aggregate, provably unique on the join key, and count references
+  // no column) — correct and desirable for a library query, but it
+  // means the bench's count-based number (~1.2 s at BOTH sf0.1 and
+  // the 10× dataset) prices the corpus scan, not the excision. The
+  // materialized cost, forced via sum(length(clean_text)):
+  // 4.7 s @ sf0.1 → 13.4 s @ 10× (2.8×, sub-linear — the span
+  // pipeline plus one broadcast-sized join plus the HOF projection).
+  val qTextDedupClean: Q = (s, dir) => {
+    val spans = graft.api.DupSpans
+      .dupSpans(Tables.documents(s, dir), "doc_id", "text", SUB_K)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start").as("s"), col("span_end").as("e")))
+        .as("spans"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("ws"), col("spans"),
+        expr("""filter(sequence(1, size(ws)),
+               |  i -> spans IS NULL OR NOT exists(spans, s -> i >= s.s AND i <= s.e))
+               |""".stripMargin).as("keep"))
+      .select(col("doc_id"),
+        size(col("ws")).as("n_words"),
+        (size(col("ws")) - size(col("keep"))).as("n_removed"),
+        expr("array_join(transform(keep, i -> element_at(ws, i)), ' ')").as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  val qTextDedupCleanSql: String =
+    s"""WITH w0 AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |w AS (SELECT doc_id, ws FROM w0 WHERE LEN(ws) >= $SUB_K),
+       |sh AS (
+       |  SELECT doc_id,
+       |         UNNEST(generate_series(1, LEN(ws) - ${SUB_K - 1})) AS pos,
+       |         UNNEST(list_transform(generate_series(1, LEN(ws) - ${SUB_K - 1}),
+       |           i -> array_to_string(ws[i : i + ${SUB_K - 1}], ' '))) AS sh
+       |  FROM w),
+       |dup AS (
+       |  SELECT sh FROM sh GROUP BY sh HAVING COUNT(DISTINCT doc_id) >= 2),
+       |p AS (
+       |  SELECT s.doc_id, s.pos FROM sh s JOIN dup d ON s.sh = d.sh),
+       |lg AS (
+       |  SELECT doc_id, pos,
+       |         LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+       |  FROM p),
+       |isl AS (
+       |  SELECT doc_id, pos,
+       |         SUM(CASE WHEN prev IS NULL OR pos > prev + $SUB_K THEN 1 ELSE 0 END)
+       |           OVER (PARTITION BY doc_id ORDER BY pos
+       |                 ROWS UNBOUNDED PRECEDING) AS island
+       |  FROM lg),
+       |spans0 AS (
+       |  SELECT doc_id, CAST(MIN(pos) AS INT) AS s,
+       |         CAST(MAX(pos) + ${SUB_K - 1} AS INT) AS e
+       |  FROM isl GROUP BY doc_id, island),
+       |sp AS (
+       |  SELECT doc_id, list({'s': s, 'e': e}) AS spans
+       |  FROM spans0 GROUP BY doc_id),
+       |kept AS (
+       |  SELECT w0.doc_id, w0.ws, sp.spans,
+       |         list_filter(generate_series(1, LEN(w0.ws)),
+       |           i -> sp.spans IS NULL OR
+       |                LEN(list_filter(sp.spans, s -> i >= s.s AND i <= s.e)) = 0) AS keep
+       |  FROM w0 LEFT JOIN sp ON sp.doc_id = w0.doc_id)
+       |SELECT doc_id, CAST(LEN(ws) AS INT) AS n_words,
+       |       CAST(LEN(ws) - LEN(keep) AS INT) AS n_removed,
+       |       -- COALESCE: DuckDB's array_to_string yields NULL on an
+       |       -- empty list where Spark's array_join yields '' (found
+       |       -- at sf0.01 — fully-excised docs)
+       |       COALESCE(array_to_string(list_transform(keep, i -> ws[i]), ' '), '')
+       |         AS clean_text
+       |FROM kept
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_dedup_substring" -> qDedupSubstring,
     "q_join_editdist" -> qJoinEditdist,
     "q_cdc_agg_maintain" -> qCdcAggMaintain,
+    "q_text_dedup_clean" -> qTextDedupClean,
   )
 
   val oracleSql: Map[String, String] = Map(
     "q_dedup_substring" -> qDedupSubstringSql,
     "q_join_editdist" -> qJoinEditdistSql,
     "q_cdc_agg_maintain" -> qCdcAggMaintainSql,
+    "q_text_dedup_clean" -> qTextDedupCleanSql,
   )
 }

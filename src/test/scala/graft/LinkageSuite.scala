@@ -105,4 +105,30 @@ class LinkageSuite extends GraftSuite {
     assert(maintained.toSeq.map(_._2).sum == users,
       "net key count across groups must equal distinct changelog keys")
   }
+
+  test("q_text_dedup_clean (#131): excision == documents minus exactly the #128 span positions") {
+    val spans = graft.queries.Linkage.qDedupSubstring(spark, sf0001).collect()
+      .groupBy(_.getLong(0))
+      .map { case (d, rs) => d -> rs.map(r => (r.getInt(1), r.getInt(2))) }
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = graft.queries.Linkage.qTextDedupClean(spark, sf0001).collect()
+    assert(out.length == docs.size, "every document must be re-emitted")
+    var removedDocs = 0
+    out.foreach { r =>
+      val (d, nWords, nRemoved, clean) =
+        (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))
+      val words = docs(d).split(" ", -1)
+      assert(words.length == nWords, s"doc $d word count")
+      val cover = spans.getOrElse(d, Array.empty[(Int, Int)])
+      val expected = words.zipWithIndex.collect {
+        case (w, i) if !cover.exists { case (s, e) => i + 1 >= s && i + 1 <= e } => w
+      }
+      assert(clean == expected.mkString(" "),
+        s"doc $d: cleaned text must drop exactly the span positions")
+      assert(nRemoved == nWords - expected.length, s"doc $d removal accounting")
+      if (nRemoved > 0) removedDocs += 1
+    }
+    assert(removedDocs > 0, "fixture dup structure must drive at least one excision")
+  }
 }
