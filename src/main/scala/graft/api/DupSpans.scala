@@ -73,4 +73,30 @@ object DupSpans {
       .select("doc_id", "span_start", "span_end", "n_shingles")
       .orderBy("doc_id", "span_start")
   }
+
+  /** Duplicated-passage EXCISION (§2B row 131) — [[dupSpans]]'s
+    * write-path companion: every word position covered by a
+    * duplicated span is removed from every document, and the corpus
+    * is re-emitted as (doc_id, n_words, n_removed, clean_text),
+    * ordered by doc_id. The span table is tiny (docs with dups only)
+    * so the join broadcasts; the excision is a per-row HOF position
+    * filter — embarrassingly parallel at any scale.
+    */
+  def cleanCorpus(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val spans = dupSpans(df, idCol, textCol, k)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start").as("s"), col("span_end").as("e")))
+        .as("spans"))
+    df.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("ws"),
+        expr("""filter(sequence(1, size(ws)),
+               |  i -> spans IS NULL OR NOT exists(spans, s -> i >= s.s AND i <= s.e))
+               |""".stripMargin).as("keep"))
+      .select(col("doc_id"),
+        size(col("ws")).as("n_words"),
+        (size(col("ws")) - size(col("keep"))).as("n_removed"),
+        expr("array_join(transform(keep, i -> element_at(ws, i)), ' ')").as("clean_text"))
+      .orderBy("doc_id")
+  }
 }

@@ -328,6 +328,15 @@ object EventAnalytics {
         strArg(fn, args, 1, "id_col"), strArg(fn, args, 2, "text_col"),
         longArg(fn, args, 3, "k").toInt)
     },
+    // write-path companion of graft_dup_spans (§2B #131): re-emit the
+    // corpus with every duplicated k-shingle span excised.
+    desc("graft_clean_corpus") { args =>
+      val fn = "graft_clean_corpus"
+      arity(fn, args, 4, "table, id_col, text_col, k")
+      DupSpans.cleanCorpus(SparkSession.active.table(strArg(fn, args, 0, "table")),
+        strArg(fn, args, 1, "id_col"), strArg(fn, args, 2, "text_col"),
+        longArg(fn, args, 3, "k").toInt)
+    },
     // SQL surface for the engine's flagship ANN capability (VERDICT
     // r11 missing #3): probe a persisted IVF-PQ index straight from
     // SQL. Delegates to IvfPqIndex.query (one-implementation rule) —

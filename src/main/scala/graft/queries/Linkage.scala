@@ -220,25 +220,8 @@ object Linkage {
   // materialized cost, forced via sum(length(clean_text)):
   // 4.7 s @ sf0.1 → 13.4 s @ 10× (2.8×, sub-linear — the span
   // pipeline plus one broadcast-sized join plus the HOF projection).
-  val qTextDedupClean: Q = (s, dir) => {
-    val spans = graft.api.DupSpans
-      .dupSpans(Tables.documents(s, dir), "doc_id", "text", SUB_K)
-      .groupBy("doc_id")
-      .agg(collect_list(struct(col("span_start").as("s"), col("span_end").as("e")))
-        .as("spans"))
-    Tables.documents(s, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .join(spans, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("ws"), col("spans"),
-        expr("""filter(sequence(1, size(ws)),
-               |  i -> spans IS NULL OR NOT exists(spans, s -> i >= s.s AND i <= s.e))
-               |""".stripMargin).as("keep"))
-      .select(col("doc_id"),
-        size(col("ws")).as("n_words"),
-        (size(col("ws")) - size(col("keep"))).as("n_removed"),
-        expr("array_join(transform(keep, i -> element_at(ws, i)), ' ')").as("clean_text"))
-      .orderBy("doc_id")
-  }
+  val qTextDedupClean: Q = (s, dir) =>
+    graft.api.DupSpans.cleanCorpus(Tables.documents(s, dir), "doc_id", "text", SUB_K)
 
   val qTextDedupCleanSql: String =
     s"""WITH w0 AS (

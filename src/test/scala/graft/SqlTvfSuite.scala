@@ -242,4 +242,29 @@ class SqlTvfSuite extends GraftSuite {
     assert(covered(wide.collect()) <= covered(got.collect()),
       "k=16 duplicated coverage must not exceed k=8 coverage")
   }
+
+  test("graft_clean_corpus TVF == q_text_dedup_clean; spans ∘ clean compose (clean twice == clean once at same k)") {
+    Tables.documents(spark, sf0001).createOrReplaceTempView("docs_tvf2")
+    val got = spark.sql("SELECT * FROM graft_clean_corpus('docs_tvf2', 'doc_id', 'text', 8)")
+    assert(got.columns.toSeq == Seq("doc_id", "n_words", "n_removed", "clean_text"))
+    val want = queries.Linkage.qTextDedupClean(spark, sf0001).collect().map(_.toSeq).toSeq
+    assert(got.collect().map(_.toSeq).toSeq == want,
+      "TVF must equal the oracled q_text_dedup_clean rows")
+    // Composition check: a second clean pass runs on the cleaned
+    // corpus (it may find NEW duplicated 8-grams formed by segments
+    // joined across a removed span) — its input counts must line up
+    // with pass-1's kept counts, and text only ever SHRINKS.
+    // (split("") = [""], so a fully-excised doc re-enters as 1 word.)
+    got.selectExpr("doc_id", "clean_text AS text").createOrReplaceTempView("docs_tvf2b")
+    val again = spark.sql(
+      "SELECT * FROM graft_clean_corpus('docs_tvf2b', 'doc_id', 'text', 8)")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(1) - r.getInt(2))).toMap
+    val first = got.collect().map(r => r.getLong(0) -> (r.getInt(1) - r.getInt(2))).toMap
+    first.foreach { case (d, kept) =>
+      val (nWords2, kept2) = again(d)
+      assert(nWords2 == math.max(kept, 1),
+        s"doc $d: second-pass input ${nWords2} must equal pass-1 kept $kept")
+      assert(kept2 <= nWords2, s"doc $d: pass 2 must only shrink")
+    }
+  }
 }
