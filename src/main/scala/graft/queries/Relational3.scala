@@ -338,7 +338,61 @@ object Relational3 {
       |ORDER BY event_id""".stripMargin
 
   // ------------------------------------------------------------------------
+  // ---- #132 q_win_pct_rank (added r12) -----------------------------------
+  // Relative-standing window functions: percent_rank (= (rank−1)/(n−1))
+  // and cume_dist (= #rows ≤ current / n) per l_returnflag partition,
+  // ordered by price. Pure rank arithmetic over the same partitioned
+  // sort every other window row pays — deterministic cross-engine
+  // because both engines derive the SAME doubles from the same
+  // integer rank/count pairs (ties share a rank in both).
+  val qWinPctRank: Q = (s, dir) => {
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .orderBy("l_returnflag", "pct_rank", "l_orderkey", "l_linenumber")
+  }
+
+  val qWinPctRankSql: String =
+    """SELECT l_orderkey, l_linenumber, l_returnflag,
+      |       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+      |       ROUND(CUME_DIST() OVER w, 6) AS cume
+      |FROM lineitem
+      |WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+      |ORDER BY l_returnflag, pct_rank, l_orderkey, l_linenumber""".stripMargin
+
+  // ---- #133 q_agg_mode (added r12) ---------------------------------------
+  // Per-group MODE with a DETERMINISTIC tie-break (smallest modal
+  // value wins) — deliberately NOT the engines' built-in mode()
+  // (DuckDB's breaks ties by first-seen arrival, Spark 4's
+  // `mode(col)` is non-deterministic under ties), so both engines
+  // state the same count→rank pipeline: value counts, then one row
+  // per group by (count DESC, value ASC). Two shuffles, both keyed
+  // by the group — the standard scale shape for grouped arg-max.
+  val qAggMode: Q = (s, dir) => {
+    val counts = Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("cnt").desc, col("l_quantity").asc)
+    counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("l_returnflag"), col("l_quantity").as("mode_qty"), col("cnt"))
+      .orderBy("l_returnflag")
+  }
+
+  val qAggModeSql: String =
+    """SELECT l_returnflag, l_quantity AS mode_qty, cnt
+      |FROM (SELECT l_returnflag, l_quantity, COUNT(*) AS cnt,
+      |             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+      |               ORDER BY COUNT(*) DESC, l_quantity ASC) AS rn
+      |      FROM lineitem GROUP BY l_returnflag, l_quantity)
+      |WHERE rn = 1
+      |ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_win_pct_rank" -> qWinPctRank,
+    "q_agg_mode" -> qAggMode,
     "q_string_agg" -> qStringAgg,
     "q_join_lateral" -> qJoinLateral,
     "q_sessionize_gap" -> qSessionizeGap,
@@ -352,6 +406,8 @@ object Relational3 {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_win_pct_rank" -> qWinPctRankSql,
+    "q_agg_mode" -> qAggModeSql,
     "q_string_agg" -> qStringAggSql,
     "q_join_lateral" -> qJoinLateralSql,
     "q_sessionize_gap" -> qSessionizeGapSql,
