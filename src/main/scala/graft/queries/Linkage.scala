@@ -5,7 +5,9 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
-/** Record-linkage + maintenance rows (added r12, second pass):
+/** Record-linkage + maintenance rows (added r12, second pass; #131
+  * q_text_dedup_clean — the excision companion of #128 — lives at the
+  * bottom of this file and delegates to api/DupSpans.cleanCorpus):
   *
   *  - #128 `q_dedup_substring` — exact duplicate-PASSAGE detection:
   *    the suffix-array substitute from the "deduplicating training

@@ -3,9 +3,10 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.queries.Linkage
 
-/** Guards for the #128–#130 rows (queries/Linkage.scala): duplicate-
+/** Guards for the #128–#131 rows (queries/Linkage.scala): duplicate-
   * passage span structure, SymSpell blocking completeness vs a brute-
-  * force join, and delta-maintenance == latest-state recompute.
+  * force join, delta-maintenance == latest-state recompute, and
+  * excision == corpus minus exactly the detected spans.
   */
 class LinkageSuite extends GraftSuite {
 
