@@ -390,9 +390,69 @@ object Relational3 {
       |WHERE rn = 1
       |ORDER BY l_returnflag""".stripMargin
 
+  // ---- #134 q_join_asof_nearest (added r12) ------------------------------
+  // pandas merge_asof(direction='nearest'): for each purchase, the
+  // user's click CLOSEST in time in EITHER direction. Composes the
+  // two existing AsofBinJoin duals — backward (≤, non-strict) and
+  // forward (>, strict) partition the candidates exactly (every click
+  // is on one side), so the nearest pick is a per-row choice between
+  // the two time-extremes: smaller |Δt| wins, ties go backward (and
+  // within a direction the binned join's own lexicographic tie rule
+  // applies — MAX id backward, MIN id forward — which the oracle
+  // mirrors with a signed-id sort). Scale shape: two binned as-of
+  // joins (each linear, carry-windowed) + one equi-join on the left
+  // id — no new machinery.
+  val qJoinAsofNearest: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("_t"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_event_id"), col("user_id").as("c_user_id"),
+        unix_micros(col("ts")).as("_rt"))
+    def side(direction: String, strict: Boolean) =
+      graft.api.AsofBinJoin.asofJoin(
+        p, leftIdCol = "event_id", leftTimeCol = "_t", keysLeft = Seq("user_id"),
+        right = c, rightTimeCol = "_rt", keysRight = Seq("c_user_id"),
+        tieBreakCols = Seq("c_event_id"), binWidth = 86400000000L,
+        direction = direction, strict = strict)
+    val back = side("backward", strict = false)
+      .select(col("event_id"), col("user_id"), col("_t"),
+        col("c_event_id").as("b_id"), col("_rt").as("b_rt"))
+    val fwd = side("forward", strict = true)
+      .select(col("event_id").as("f_event"),
+        col("c_event_id").as("f_id"), col("_rt").as("f_rt"))
+    back.join(fwd, col("event_id") === col("f_event"))
+      .withColumn("pick_back",
+        col("f_id").isNull ||
+          (col("b_id").isNotNull &&
+            (col("_t") - col("b_rt")) <= (col("f_rt") - col("_t"))))
+      .select(col("event_id"), col("user_id"),
+        when(col("pick_back"), col("b_id")).otherwise(col("f_id"))
+          .as("nearest_click_id"),
+        when(col("pick_back"), col("b_rt") - col("_t"))
+          .otherwise(col("f_rt") - col("_t")).as("delta_us"))
+      .orderBy("event_id")
+  }
+
+  val qJoinAsofNearestSql: String = EV +
+    """SELECT event_id, user_id, nearest_click_id, delta_us FROM (
+      |  SELECT p.event_id, p.user_id, c.event_id AS nearest_click_id,
+      |         epoch_us(c.ts) - epoch_us(p.ts) AS delta_us,
+      |         ROW_NUMBER() OVER (PARTITION BY p.event_id
+      |           ORDER BY abs(epoch_us(c.ts) - epoch_us(p.ts)) ASC NULLS LAST,
+      |                    (c.ts > p.ts) ASC NULLS LAST,
+      |                    CASE WHEN c.ts > p.ts THEN c.event_id
+      |                         ELSE -c.event_id END ASC NULLS LAST) AS rn
+      |  FROM e p LEFT JOIN e c
+      |    ON p.user_id = c.user_id AND c.event_type = 'click'
+      |  WHERE p.event_type = 'purchase')
+      |WHERE rn = 1
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_win_pct_rank" -> qWinPctRank,
     "q_agg_mode" -> qAggMode,
+    "q_join_asof_nearest" -> qJoinAsofNearest,
     "q_string_agg" -> qStringAgg,
     "q_join_lateral" -> qJoinLateral,
     "q_sessionize_gap" -> qSessionizeGap,
@@ -408,6 +468,7 @@ object Relational3 {
   val oracleSql: Map[String, String] = Map(
     "q_win_pct_rank" -> qWinPctRankSql,
     "q_agg_mode" -> qAggModeSql,
+    "q_join_asof_nearest" -> qJoinAsofNearestSql,
     "q_string_agg" -> qStringAggSql,
     "q_join_lateral" -> qJoinLateralSql,
     "q_sessionize_gap" -> qSessionizeGapSql,
