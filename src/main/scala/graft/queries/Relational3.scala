@@ -449,10 +449,41 @@ object Relational3 {
       |WHERE rn = 1
       |ORDER BY event_id""".stripMargin
 
+  // ---- #135 q_agg_corr (added r12) ---------------------------------------
+  // Bivariate aggregate statistics — the pair-moments family #20's
+  // univariate stats lacked: Pearson correlation, sample covariance,
+  // and the OLS line (slope + intercept) of price against quantity
+  // per return flag. Same determinism class as #20's stddev (sums of
+  // products over doubles, merge-order differences land below the
+  // 6-dp round — §2.5.2); every function is a built-in partial
+  // aggregate, one shuffle keyed by the group.
+  val qAggCorr: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("covar_qp"),
+        round(expr("regr_slope(l_extendedprice, l_quantity)"), 6).as("slope"),
+        round(expr("regr_intercept(l_extendedprice, l_quantity)"), 4).as("intercept"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  val qAggCorrSql: String =
+    """SELECT l_returnflag,
+      |       ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qp,
+      |       ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 4) AS covar_qp,
+      |       ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 6) AS slope,
+      |       ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 4) AS intercept,
+      |       COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_win_pct_rank" -> qWinPctRank,
     "q_agg_mode" -> qAggMode,
     "q_join_asof_nearest" -> qJoinAsofNearest,
+    "q_agg_corr" -> qAggCorr,
     "q_string_agg" -> qStringAgg,
     "q_join_lateral" -> qJoinLateral,
     "q_sessionize_gap" -> qSessionizeGap,
@@ -469,6 +500,7 @@ object Relational3 {
     "q_win_pct_rank" -> qWinPctRankSql,
     "q_agg_mode" -> qAggModeSql,
     "q_join_asof_nearest" -> qJoinAsofNearestSql,
+    "q_agg_corr" -> qAggCorrSql,
     "q_string_agg" -> qStringAggSql,
     "q_join_lateral" -> qJoinLateralSql,
     "q_sessionize_gap" -> qSessionizeGapSql,
