@@ -334,7 +334,73 @@ object Analytics {
       |ORDER BY user_id, d""".stripMargin
 
   // ------------------------------------------------------------------------
+  // ---- #136 q_graph_pagerank (added r12) ---------------------------------
+  // Iterative graph scoring — the algorithm family (power iteration
+  // over an edge list) none of the other rows exercise; the dedup
+  // clusters row (#72) iterates to a FIXPOINT, this row iterates a
+  // FIXED count of damped propagation steps. Graph: part co-purchase
+  // (parts sharing an order, symmetrized by construction), PageRank
+  // with damping 0.85, exactly 5 iterations, uniform start.
+  //
+  // Scale shape: each iteration is ONE join edges⋈pr (shuffle keyed
+  // by src) + ONE aggregate keyed by dst — the standard distributed
+  // PageRank step; the graph is symmetric so there are no dangling
+  // nodes and the mass term stays closed-form. The node count enters
+  // as a literal via one planning-scale count() (same class as the
+  // other audited driver scalars); at production iteration counts
+  // the loop would localCheckpoint every few rounds exactly like
+  // DedupClusters' lineage truncation — at 5 rounds lineage is fine.
+  // Determinism: float sums differ from DuckDB's only in merge order
+  // (~1e-15 relative); round(…, 8) sits 7+ orders above that noise.
+  val qGraphPagerank: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val edges = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+      .select(col("a.pk").as("src"), col("b.pk").as("dst")).distinct()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val nodes = edges.select(col("src").as("node")).distinct()
+    val n = nodes.count() // planning-scale scalar: #distinct parts
+    var pr = nodes.withColumn("pr", lit(1.0 / n))
+    for (_ <- 1 to 5) {
+      val contrib = edges.join(pr, col("src") === col("node"))
+        .join(deg, "src")
+        .groupBy(col("dst")).agg(sum(col("pr") / col("deg")).as("c"))
+      pr = nodes.join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit(0.15 / n) + lit(0.85) * coalesce(col("c"), lit(0.0))).as("pr"))
+    }
+    pr.select(col("node").as("part_key"), round(col("pr"), 8).as("pagerank"))
+      .orderBy("part_key")
+  }
+
+  // DuckDB oracle: the same 5 steps UNROLLED as CTE pairs
+  // (contribution aggregate, then damped update) — built
+  // programmatically so both engines state one recurrence.
+  val qGraphPagerankSql: String = {
+    val head =
+      """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |edges AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+        |          FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
+        |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |cnt AS (SELECT COUNT(*) AS n FROM nodes),
+        |pr0 AS (SELECT node, 1.0 / n AS pr FROM nodes CROSS JOIN cnt)""".stripMargin
+    val steps = (1 to 5).map { k =>
+      s"""c$k AS (SELECT e.dst AS node, SUM(p.pr / d.deg) AS c
+         |  FROM edges e JOIN pr${k - 1} p ON p.node = e.src
+         |  JOIN deg d ON d.src = e.src GROUP BY e.dst),
+         |pr$k AS (SELECT n.node, 0.15 / cnt.n + 0.85 * COALESCE(c.c, 0) AS pr
+         |  FROM nodes n CROSS JOIN cnt LEFT JOIN c$k c ON c.node = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""$head,
+       |$steps
+       |SELECT node AS part_key, ROUND(pr, 8) AS pagerank
+       |FROM pr5 ORDER BY part_key""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_graph_pagerank" -> qGraphPagerank,
     "q_funnel" -> qFunnel,
     "q_cohort_retention" -> qCohortRetention,
     "q_win_distinct_count" -> qWinDistinctCount,
@@ -347,6 +413,7 @@ object Analytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_graph_pagerank" -> qGraphPagerankSql,
     "q_funnel" -> qFunnelSql,
     "q_cohort_retention" -> qCohortRetentionSql,
     "q_win_distinct_count" -> qWinDistinctCountSql,
