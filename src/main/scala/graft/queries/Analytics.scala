@@ -399,8 +399,42 @@ object Analytics {
        |FROM pr5 ORDER BY part_key""".stripMargin
   }
 
+  // ---- #137 q_seq_transitions (added r12) --------------------------------
+  // Markov transition matrix over per-user event sequences — the
+  // sequential-analytics shape between #104's FIXED funnel (one
+  // ordered pattern) and #125's word bigrams: count every adjacent
+  // (event_type → next event_type) transition in each user's
+  // ts-ordered stream and emit per-source transition probabilities.
+  // ONE window (partitioned by user — the stream's natural key) +
+  // one aggregate; probabilities are count ratios rounded to 6 dp
+  // (#56's determinism class — exact integer counts both engines).
+  val qSeqTransitions: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round(col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("from_type"))), 6))
+      .orderBy("from_type", "to_type")
+  }
+
+  val qSeqTransitionsSql: String = EV +
+    """SELECT event_type AS from_type, next_type AS to_type,
+      |       COUNT(*) AS n,
+      |       ROUND(COUNT(*) / SUM(COUNT(*)) OVER (PARTITION BY event_type), 6) AS p
+      |FROM (SELECT event_type,
+      |             LEAD(event_type, 1) OVER (PARTITION BY user_id
+      |               ORDER BY ts, event_id) AS next_type
+      |      FROM e)
+      |WHERE next_type IS NOT NULL
+      |GROUP BY event_type, next_type
+      |ORDER BY from_type, to_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_graph_pagerank" -> qGraphPagerank,
+    "q_seq_transitions" -> qSeqTransitions,
     "q_funnel" -> qFunnel,
     "q_cohort_retention" -> qCohortRetention,
     "q_win_distinct_count" -> qWinDistinctCount,
@@ -414,6 +448,7 @@ object Analytics {
 
   val oracleSql: Map[String, String] = Map(
     "q_graph_pagerank" -> qGraphPagerankSql,
+    "q_seq_transitions" -> qSeqTransitionsSql,
     "q_funnel" -> qFunnelSql,
     "q_cohort_retention" -> qCohortRetentionSql,
     "q_win_distinct_count" -> qWinDistinctCountSql,
