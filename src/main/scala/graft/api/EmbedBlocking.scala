@@ -69,16 +69,47 @@ object EmbedBlocking {
   )
 
   /** Deterministic band→dimensions table for any (bands, bits) —
-    * the generator behind [[BAND_DIMS]]'s shape, exposed so BITS can
-    * GROW with the corpus (see [[scaledTable]]): with fixed bits,
-    * unrelated-pair candidates ≈ |pairs| · bands · 2^−bits, which is
-    * QUADRATIC in N — measured 27× time at 10× data on random
-    * vectors (BASELINE.md round-12 scaling curve). Seeded sampling
-    * without replacement per band. */
+    * the generator behind [[BAND_DIMS]]'s shape; seeded sampling
+    * without replacement per band. Kept as the suite-only regression
+    * generator; the contract rows use [[affineTable]], whose dims are
+    * a closed-form formula BOTH engines (Spark and the DuckDB
+    * oracle) compute — a seeded `Random` shuffle is not
+    * SQL-reproducible, a modular affine progression is. */
   def bandTable(bands: Int, bits: Int, seed: Long = 4242L): Array[Array[Int]] = {
     require(bits >= 1 && bits <= 31 && bits <= DIM, s"bits out of range: $bits")
     val rnd = new scala.util.Random(seed)
     Array.fill(bands)(rnd.shuffle((0 until DIM).toVector).take(bits).toArray)
+  }
+
+  /** Closed-form dim selection: band `j`, position `t` reads
+    * dimension `(17j + 7 + t·step_j) mod 64` with `step_j = 2·((5j +
+    * 3) mod 32) + 1`. The step is odd ⇒ coprime with 64 ⇒ the `bits`
+    * dims within a band are DISTINCT (sampling without replacement,
+    * by construction); (offset, step) varies per band so band dim
+    * sets differ. For unrelated vectors (iid sign bits) the per-band
+    * collision rate is 2^−bits regardless of WHICH dims a band reads,
+    * so the candidate bound is identical to the seeded table's; for
+    * correlated pairs the affine sets are as good as random ones
+    * (recall floors pinned in ExtrasSuite). Chosen over the seeded
+    * shuffle so the DuckDB oracle can rebuild the table from the same
+    * three integer constants (17, 7, 5·…·+3) — see [[scaledDimsCte]]. */
+  def affineDim(band: Int, t: Int): Int = {
+    val step = 2 * ((5 * band + 3) % 32) + 1
+    ((17 * band + 7) + t * step) % DIM
+  }
+
+  def affineTable(bands: Int, bits: Int): Array[Array[Int]] = {
+    require(bits >= 1 && bits <= 24, s"bits out of range: $bits")
+    Array.tabulate(bands)(j => Array.tabulate(bits)(t => affineDim(j, t)))
+  }
+
+  /** Smallest b in [8, 24] with 2^b ≥ n — integer bit-length, NOT
+    * float log2 (ceil(ln n / ln 2) can straddle an exact power of two
+    * differently across engines; bit arithmetic cannot). */
+  def scaledBits(nVectors: Long): Int = {
+    val n = math.max(nVectors, 2L)
+    val b = 64 - java.lang.Long.numberOfLeadingZeros(n - 1) // bitLength(n-1)
+    math.min(24, math.max(BITS, b))
   }
 
   /** Bits sized so candidates stay LINEAR in corpus size: unrelated
@@ -86,14 +117,28 @@ object EmbedBlocking {
     * expected candidates ≈ n · bands / 2 regardless of scale. Recall
     * at production thresholds stays high (cos ≥ 0.85 ⇒ p ≥ 0.82;
     * p^bits ≈ 0.05 at bits = 15, recall over 64 bands ≈ 0.96 — the
-    * closed-form model in the header). The FROZEN [[BAND_DIMS]]
-    * remains the oracle-compat default (#111's DuckDB oracle
-    * enumerates it as a VALUES list); this is the 100 TB path. */
-  def scaledTable(nVectors: Long, bands: Int = BANDS): Array[Array[Int]] = {
-    val bits = math.max(BITS,
-      math.ceil(math.log(math.max(nVectors, 2).toDouble) / math.log(2.0)).toInt)
-    bandTable(bands, math.min(bits, 24))
-  }
+    * closed-form model in the header). Since r13 this IS the
+    * `q_dedup_embed_bucketed` default (the contract row and the
+    * 100 TB path agree — VERDICT r12 Next-round #2); the frozen
+    * [[BAND_DIMS]] stays as a suite regression table. */
+  def scaledTable(nVectors: Long, bands: Int = BANDS): Array[Array[Int]] =
+    affineTable(bands, scaledBits(nVectors))
+
+  /** DuckDB CTE fragment rebuilding [[scaledTable]] for `table`:
+    * defines `nv(n)`, `bitsv(bits)` (integer shift comparison — the
+    * SQL twin of [[scaledBits]]) and `dims(band, bit, dim)` (the
+    * [[affineDim]] formula). Splice as the head of a WITH chain. */
+  def scaledDimsCte(table: String): String =
+    s"""nv AS (SELECT COUNT(*) AS n FROM $table),
+       |bitsv AS (SELECT COALESCE((SELECT MIN(b) FROM generate_series(8, 24) t(b)
+       |            WHERE (CAST(1 AS BIGINT) << b) >= (SELECT n FROM nv)), 24) AS bits),
+       |dims AS (
+       |  SELECT a.j AS band, s.t AS bit,
+       |         ((a.j * 17 + 7) + s.t * (2 * ((a.j * 5 + 3) % 32) + 1)) % 64 AS dim
+       |  FROM generate_series(0, ${BANDS - 1}) a(j)
+       |  CROSS JOIN generate_series(0, 23) s(t)
+       |  CROSS JOIN bitsv
+       |  WHERE s.t < bitsv.bits)""".stripMargin
 
   /** (id, band, key) — one row per vector per band. Pure projection +
     * explode of a literal-built array: NO shuffle, NO UDF; the sign
@@ -157,7 +202,9 @@ object EmbedBlocking {
   }
 
   /** The BAND_DIMS table as a SQL VALUES list `(band, bit, dim), …` —
-    * lets the DuckDB oracle recompute the identical band keys. */
+    * lets an oracle recompute the frozen table's band keys (the
+    * contract row now uses [[scaledDimsCte]]; this remains for
+    * suite-side regression checks against the frozen table). */
   def dimsValuesSql: String =
     BAND_DIMS.zipWithIndex.flatMap { case (dims, j) =>
       dims.zipWithIndex.map { case (d, t) => s"($j, $t, $d)" }

@@ -135,28 +135,40 @@ object Linkage {
   // ~10 µs/call (Spark's DP implementation allocates per call): the
   // r12 probe measured 64 s of the 10×-dataset runtime in that one
   // expression. Proof beats recomputation.
-  val qJoinEditdist: Q = (s, dir) => {
-    Tables.customer(s, dir).createOrReplaceTempView("cust_ed")
+  /** The #129 blocked plan over an ARBITRARY one-string-column frame
+    * — factored out so LinkageSuite's ScalaCheck property (r13:
+    * VERDICT r12 Next-round #7) can drive the ENGINE plan, not a
+    * re-derivation, over generated unicode near-pair corpora. The
+    * input's first column is taken as the name; output
+    * (name1, name2, dist ≡ 1) with name1 < name2. */
+  def editDistJoin(s: org.apache.spark.sql.SparkSession,
+      names: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    names.select(col(names.columns.head).as("nm")).createOrReplaceTempView("ed_nm_in")
     s.sql(
-      """WITH nm AS (
-        |  SELECT c_name FROM cust_ed
-        |  WHERE substring(md5(CAST(CAST(c_custkey AS STRING) AS BINARY)), 1, 1) <= '3'),
-        |v AS (
-        |  SELECT c_name, vp.variant AS variant, vp.pos AS pos
-        |  FROM nm LATERAL VIEW explode(array_union(
-        |    transform(sequence(1, length(c_name)),
-        |      i -> struct(concat(substring(c_name, 1, i - 1),
-        |                         substring(c_name, i + 1, length(c_name))) AS variant,
+      """WITH v AS (
+        |  SELECT nm, vp.variant AS variant, vp.pos AS pos
+        |  FROM ed_nm_in LATERAL VIEW explode(array_union(
+        |    transform(sequence(1, length(nm)),
+        |      i -> struct(concat(substring(nm, 1, i - 1),
+        |                         substring(nm, i + 1, length(nm))) AS variant,
         |                  i AS pos)),
-        |    array(struct(c_name AS variant, 0 AS pos)))) t AS vp),
+        |    array(struct(nm AS variant, 0 AS pos)))) t AS vp
+        |  WHERE length(nm) >= 1),
         |cand AS (
-        |  SELECT DISTINCT a.c_name AS name1, b.c_name AS name2
+        |  SELECT DISTINCT a.nm AS name1, b.nm AS name2
         |  FROM v a JOIN v b
-        |    ON a.variant = b.variant AND a.c_name < b.c_name
+        |    ON a.variant = b.variant AND a.nm < b.nm
         |   AND (a.pos = b.pos OR a.pos = 0 OR b.pos = 0))
         |SELECT name1, name2, CAST(1 AS INT) AS dist
         |FROM cand
         |ORDER BY name1, name2""".stripMargin)
+  }
+
+  val qJoinEditdist: Q = (s, dir) => {
+    val nm = Tables.customer(s, dir)
+      .filter(expr("substring(md5(CAST(CAST(c_custkey AS STRING) AS BINARY)), 1, 1) <= '3'"))
+      .select(col("c_name"))
+    editDistJoin(s, nm)
   }
 
   val qJoinEditdistSql: String =

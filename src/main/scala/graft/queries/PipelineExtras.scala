@@ -64,7 +64,12 @@ object PipelineExtras {
 
   // ---- #62 q_dedup_ngram_jaccard -----------------------------------------
   // Exact 3-gram Jaccard at scale — inverted-index + prefix-filter
-  // shape, linear passes, NO all-pairs work:
+  // shape, linear passes, NO all-pairs work. Since r13 the pipeline
+  // runs AFTER an exact-duplicate collapse (collapseExact) and its
+  // index joins are df-capped (NGRAM_POSTING_DF_CAP — the bounded-
+  // candidate mode closing the r12 Σ df² scale-killer); identical
+  // texts score 1.0 by identity, representative-level pairs expand
+  // back to members. Over the unique corpus:
   //  1. Candidate generation from TWO inverted indexes, unioned:
   //     (a) postings with document frequency <= NGRAM_DF_CUT,
   //         self-joined on the shingle → per-pair count of shared
@@ -119,6 +124,71 @@ object PipelineExtras {
     * proportional to the true output), never all-pairs.
     */
   val NGRAM_CONTAIN_MIN = 0.8
+
+  /** r13 bounded-candidate cap (VERDICT r12 Next-round #1): inverted-
+    * index joins enumerate candidates only through shingles whose
+    * document frequency over UNIQUE texts is ≤ this. The r12 10×
+    * scaling curve measured the uncapped joins Σ df²-superlinear
+    * (containment 42–49×, jaccard 13×) under trigram-vocabulary
+    * saturation — df of generic trigrams grows ∝ N, so Σ df² grows
+    * ∝ N², exactly what a real 100 TB corpus's stopword trigrams do.
+    * With the cap, join cost ≤ CAP · |postings| — linear by
+    * construction. Two recall defenses make the trade narrow:
+    *  1. EXACT-duplicate collapse runs FIRST ([[collapseExact]]):
+    *     identical texts — the dominant hot-df driver in real
+    *     corpora — are grouped losslessly (score 1.0 by identity),
+    *     so cluster size never inflates df and those pairs can't be
+    *     lost to the cap;
+    *  2. the prefix/rarest indexes rank RAREST-first, so a capped-out
+    *     candidate route needs the pair's entire qualifying overlap
+    *     to sit in shingles hotter than the cap ACROSS UNIQUE TEXTS —
+    *     i.e. generic boilerplate n-grams that ≥ 200 distinct
+    *     documents share (declared trade; planted-pair recall pinned
+    *     in ExtrasSuite). The fixture's max unique-text df is 25, so
+    *     the cap provably does not change sf0.001–0.1 output.
+    * Both engines (Spark and the DuckDB oracle) apply the identical
+    * cap, so the rows stay fully hash-checked. */
+  val NGRAM_POSTING_DF_CAP = 200L
+
+  /** Exact-duplicate collapse: one text-keyed window pass assigns
+    * every doc (≥ 3 words — the shingling domain) its cluster's
+    * representative `uid` = min doc_id over identical texts. Returns
+    * (memb: doc_id → uid, urep: one (doc_id, text) row per distinct
+    * text, keyed by its uid). One shuffle on text — the same
+    * magnitude the shingle explode pays anyway — and the candidate
+    * stages then run over unique texts only, where exact copies
+    * can't inflate document frequencies. Cached: memb feeds the
+    * same-cluster/expansion joins and urep feeds the core pipeline. */
+  private[graft] def collapseExact(docs: DataFrame): (DataFrame, DataFrame) = {
+    val withUid = docs
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), col("text"))
+      .withColumn("uid", min(col("doc_id")).over(Window.partitionBy(col("text"))))
+      .cache()
+    (withUid.select(col("doc_id"), col("uid")),
+      withUid.filter(col("doc_id") === col("uid")).select(col("doc_id"), col("text")))
+  }
+
+  /** All within-cluster pairs at score 1.0 — identical texts, so the
+    * score is exact by identity (no recount needed). Output size is
+    * the true duplicate-pair count: Σ c·(c−1)/2 over clusters. */
+  private[graft] def sameClusterPairs(memb: DataFrame, scoreName: String): DataFrame =
+    memb.as("a").join(memb.as("b"),
+        col("a.uid") === col("b.uid") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        lit(1.0).as(scoreName))
+
+  /** Expand representative-level pairs to member-level: every member
+    * of cluster A × every member of cluster B carries the reps'
+    * score (their texts are identical to the reps'). */
+  private[graft] def expandPairs(cross: DataFrame, memb: DataFrame,
+      scoreName: String): DataFrame = {
+    val ma = memb.select(col("uid").as("doc_a"), col("doc_id").as("da"))
+    val mb = memb.select(col("uid").as("doc_b"), col("doc_id").as("db"))
+    cross.join(ma, "doc_a").join(mb, "doc_b")
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col(scoreName))
+  }
   /** Per-doc distinct 3-gram shingles — SHARED with the streaming
     * scorer ([[graft.api.StreamContain]]): the streamed == batch
     * guarantee depends on the shingling staying byte-identical, so
@@ -145,7 +215,12 @@ object PipelineExtras {
       tau: Double): org.apache.spark.sql.Column =
     floor((lit(1.0) - lit(tau)) * sz + lit(1e-9)).cast("long") + 1L
 
-  private[graft] def ngramContainmentPairs(docs: DataFrame): DataFrame = {
+  /** Containment scorer over an already-UNIQUE (doc_id, text) corpus
+    * — [[ngramContainmentPairs]] wraps it with the exact-duplicate
+    * collapse and member expansion. The candidate probe side is
+    * df-capped ([[NGRAM_POSTING_DF_CAP]]); the prefix side is not
+    * (it is ≤ ⌊(1−τ)·sz⌋+1 slots per doc by construction). */
+  private[graft] def containmentPairsUnique(docs: DataFrame): DataFrame = {
     val sh = containShingles(docs)
       .cache() // consumed 4× (prefix source, candidate probe, recount both sides)
     val shDf = sh
@@ -156,7 +231,9 @@ object PipelineExtras {
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))))
       .filter(col("_r") <= containPrefixSlots(col("sz"), NGRAM_CONTAIN_MIN))
       .select(col("doc_id"), col("sh"))
-    val cand = prefix.as("a").join(sh.as("b"),
+    val probe = shDf.filter(col("df") <= NGRAM_POSTING_DF_CAP)
+      .select(col("doc_id"), col("sh"))
+    val cand = prefix.as("a").join(probe.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") =!= col("b.doc_id"))
       .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
@@ -172,13 +249,24 @@ object PipelineExtras {
         round(col("inter").cast("double") / least(col("sa"), col("sb")).cast("double"), 6)
           .as("containment"))
       .filter(col("containment") >= NGRAM_CONTAIN_MIN)
+  }
+
+  /** Driver-visible containment dedup (r13 shape): exact-duplicate
+    * collapse → capped prefix-filter scoring over unique texts →
+    * member expansion + within-cluster pairs at 1.0. See
+    * [[NGRAM_POSTING_DF_CAP]] for the scale argument. */
+  private[graft] def ngramContainmentPairs(docs: DataFrame): DataFrame = {
+    val (memb, urep) = collapseExact(docs)
+    sameClusterPairs(memb, "containment")
+      .unionByName(expandPairs(containmentPairsUnique(urep), memb, "containment"))
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Core Jaccard pipeline over any (doc_id, text) frame — factored
-    * out so tests can plant boilerplate clusters the fixture lacks.
-    */
-  private[graft] def ngramJaccardPairs(docs: DataFrame): DataFrame = {
+  /** Core Jaccard pipeline over an already-UNIQUE (doc_id, text)
+    * frame — [[ngramJaccardPairs]] wraps it with the exact-duplicate
+    * collapse; factored out so tests can plant boilerplate clusters
+    * the fixture lacks. */
+  private[graft] def jaccardPairsUnique(docs: DataFrame): DataFrame = {
     // per-doc distinct via array_distinct BEFORE the explode: the
     // shingle set is defined per doc, so deduping inside the row is
     // exactly distinct-on-(doc_id, sh) — minus the full shuffle a
@@ -222,7 +310,8 @@ object PipelineExtras {
     val rarestK = shDf.join(mostlyHot, "doc_id")
       .withColumn("_r", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))))
-      .filter(col("_r") <= NGRAM_RAREST_K)
+      .filter(col("_r") <= NGRAM_RAREST_K &&
+        col("df") <= NGRAM_POSTING_DF_CAP) // r13 bounded-candidate cap
       .select(col("doc_id"), col("sh"))
     val candRarest = rarestK.as("a").join(rarestK.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -274,6 +363,16 @@ object PipelineExtras {
         round(col("inter").cast("double") /
           (col("sa") + col("sb") - col("inter")).cast("double"), 6).as("jaccard"))
       .filter(col("jaccard") >= NGRAM_JACCARD_MIN)
+  }
+
+  /** Driver-visible Jaccard dedup (r13 shape): exact-duplicate
+    * collapse → rare-index + capped rarest-K candidates over unique
+    * texts → member expansion + within-cluster pairs at 1.0. See
+    * [[NGRAM_POSTING_DF_CAP]] for the scale argument. */
+  private[graft] def ngramJaccardPairs(docs: DataFrame): DataFrame = {
+    val (memb, urep) = collapseExact(docs)
+    sameClusterPairs(memb, "jaccard")
+      .unionByName(expandPairs(jaccardPairsUnique(urep), memb, "jaccard"))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -284,14 +383,18 @@ object PipelineExtras {
   // ngramContainmentPairs): on this fixture its output coincides with
   // the full-duplicate set (no planted partial containment — the
   // distinguishing subset cases are suite-planted in ExtrasSuite),
-  // but the oracle still verifies the whole prefix-filter pipeline —
-  // shingling, rarest-prefix selection, candidate join, exact
-  // recount, least()-denominator score — cross-engine.
+  // but the oracle still verifies the whole r13 pipeline — exact
+  // collapse, shingling, rarest-prefix selection, df-capped candidate
+  // join, exact recount, least()-denominator score, member
+  // expansion — cross-engine.
   val qDedupContainment: Q = (s, dir) => ngramContainmentPairs(Tables.documents(s, dir))
 
   val qDedupContainmentSql: String =
-    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-      |           WHERE LEN(string_split(text, ' ')) >= 3),
+    s"""WITH d0 AS (SELECT doc_id, text FROM documents
+      |            WHERE LEN(string_split(text, ' ')) >= 3),
+      |rep AS (SELECT text, MIN(doc_id) AS uid FROM d0 GROUP BY text),
+      |memb AS (SELECT d0.doc_id, rep.uid FROM d0 JOIN rep USING (text)),
+      |d AS (SELECT uid AS doc_id, string_split(text, ' ') AS ws FROM rep),
       |sh AS (SELECT DISTINCT doc_id, sh FROM (
       |  SELECT doc_id, UNNEST(list_transform(generate_series(1, LEN(ws) - 2),
       |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh FROM d)),
@@ -303,27 +406,39 @@ object PipelineExtras {
       |           ROW_NUMBER() OVER (PARTITION BY sh.doc_id ORDER BY dfc.df, sh.sh) AS _r
       |    FROM sh JOIN dfc ON dfc.sh = sh.sh JOIN sizes ON sizes.doc_id = sh.doc_id)
       |  WHERE _r <= CAST(FLOOR((1.0 - $NGRAM_CONTAIN_MIN) * sz + 1e-9) AS BIGINT) + 1),
+      |probe AS (SELECT sh.doc_id, sh.sh FROM sh
+      |          JOIN dfc ON dfc.sh = sh.sh WHERE dfc.df <= $NGRAM_POSTING_DF_CAP),
       |cand AS (
       |  SELECT DISTINCT LEAST(a.doc_id, b.doc_id) AS doc_a,
       |                  GREATEST(a.doc_id, b.doc_id) AS doc_b
-      |  FROM prefix a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id),
+      |  FROM prefix a JOIN probe b ON a.sh = b.sh AND a.doc_id <> b.doc_id),
       |inter AS (
       |  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
       |  FROM cand c
       |  JOIN sh pa ON pa.doc_id = c.doc_a
       |  JOIN sh pb ON pb.doc_id = c.doc_b AND pb.sh = pa.sh
-      |  GROUP BY 1, 2)
-      |SELECT doc_a, doc_b,
-      |       ROUND(CAST(inter AS DOUBLE) / CAST(LEAST(sa.sz, sb.sz) AS DOUBLE), 6) AS containment
-      |FROM inter
-      |JOIN sizes sa ON sa.doc_id = doc_a
-      |JOIN sizes sb ON sb.doc_id = doc_b
-      |WHERE ROUND(CAST(inter AS DOUBLE) / CAST(LEAST(sa.sz, sb.sz) AS DOUBLE), 6) >= $NGRAM_CONTAIN_MIN
+      |  GROUP BY 1, 2),
+      |cross0 AS (
+      |  SELECT doc_a, doc_b,
+      |         ROUND(CAST(inter AS DOUBLE) / CAST(LEAST(sa.sz, sb.sz) AS DOUBLE), 6) AS containment
+      |  FROM inter
+      |  JOIN sizes sa ON sa.doc_id = doc_a
+      |  JOIN sizes sb ON sb.doc_id = doc_b
+      |  WHERE ROUND(CAST(inter AS DOUBLE) / CAST(LEAST(sa.sz, sb.sz) AS DOUBLE), 6) >= $NGRAM_CONTAIN_MIN)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(1.0 AS DOUBLE) AS containment
+      |FROM memb a JOIN memb b ON a.uid = b.uid AND a.doc_id < b.doc_id
+      |UNION ALL
+      |SELECT LEAST(ma.doc_id, mb.doc_id) AS doc_a,
+      |       GREATEST(ma.doc_id, mb.doc_id) AS doc_b, c.containment
+      |FROM cross0 c JOIN memb ma ON ma.uid = c.doc_a JOIN memb mb ON mb.uid = c.doc_b
       |ORDER BY doc_a, doc_b""".stripMargin
 
   val qDedupNgramJaccardSql: String =
-    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-      |           WHERE LEN(string_split(text, ' ')) >= 3),
+    s"""WITH d0 AS (SELECT doc_id, text FROM documents
+      |            WHERE LEN(string_split(text, ' ')) >= 3),
+      |rep AS (SELECT text, MIN(doc_id) AS uid FROM d0 GROUP BY text),
+      |memb AS (SELECT d0.doc_id, rep.uid FROM d0 JOIN rep USING (text)),
+      |d AS (SELECT uid AS doc_id, string_split(text, ' ') AS ws FROM rep),
       |sh AS (SELECT DISTINCT doc_id, sh FROM (
       |  SELECT doc_id, UNNEST(list_transform(generate_series(1, LEN(ws) - 2),
       |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh FROM d)),
@@ -340,13 +455,13 @@ object PipelineExtras {
       |mostly_hot AS (SELECT doc_id FROM stats WHERE rz < $NGRAM_RAREST_K),
       |rarest_k AS (
       |  SELECT doc_id, sh FROM (
-      |    SELECT sh.doc_id, sh.sh,
+      |    SELECT sh.doc_id, sh.sh, dfc.df,
       |           ROW_NUMBER() OVER (PARTITION BY sh.doc_id
       |             ORDER BY dfc.df, sh.sh) AS _r
       |    FROM sh
       |    JOIN mostly_hot mh ON mh.doc_id = sh.doc_id
       |    JOIN dfc ON dfc.sh = sh.sh)
-      |  WHERE _r <= $NGRAM_RAREST_K),
+      |  WHERE _r <= $NGRAM_RAREST_K AND df <= $NGRAM_POSTING_DF_CAP),
       |cand AS (
       |  SELECT COALESCE(i.doc_a, c.doc_a) AS doc_a,
       |         COALESCE(i.doc_b, c.doc_b) AS doc_b,
@@ -374,11 +489,18 @@ object PipelineExtras {
       |  FROM survivors
       |  JOIN sh_surv pa ON pa.doc_id = doc_a
       |  JOIN sh_surv pb ON pb.doc_id = doc_b AND pb.sh = pa.sh
-      |  GROUP BY 1, 2, 3, 4)
-      |SELECT doc_a, doc_b,
-      |       ROUND(CAST(inter AS DOUBLE) / CAST(sa + sb - inter AS DOUBLE), 6) AS jaccard
-      |FROM exact
-      |WHERE ROUND(CAST(inter AS DOUBLE) / CAST(sa + sb - inter AS DOUBLE), 6) >= $NGRAM_JACCARD_MIN
+      |  GROUP BY 1, 2, 3, 4),
+      |cross0 AS (
+      |  SELECT doc_a, doc_b,
+      |         ROUND(CAST(inter AS DOUBLE) / CAST(sa + sb - inter AS DOUBLE), 6) AS jaccard
+      |  FROM exact
+      |  WHERE ROUND(CAST(inter AS DOUBLE) / CAST(sa + sb - inter AS DOUBLE), 6) >= $NGRAM_JACCARD_MIN)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(1.0 AS DOUBLE) AS jaccard
+      |FROM memb a JOIN memb b ON a.uid = b.uid AND a.doc_id < b.doc_id
+      |UNION ALL
+      |SELECT LEAST(ma.doc_id, mb.doc_id) AS doc_a,
+      |       GREATEST(ma.doc_id, mb.doc_id) AS doc_b, c.jaccard
+      |FROM cross0 c JOIN memb ma ON ma.uid = c.doc_a JOIN memb mb ON mb.uid = c.doc_b
       |ORDER BY doc_a, doc_b""".stripMargin
 
   // ---- #63 q_dedup_embed_cosine ------------------------------------------
@@ -413,20 +535,30 @@ object PipelineExtras {
 
   // ---- #111 q_dedup_embed_bucketed ---------------------------------------
   // The scale-safe embedding dedup: candidates from DETERMINISTIC
-  // sign-band blocking (api/EmbedBlocking — 64 bands × 8 fixed dims,
-  // frozen table), exact cosine ≥ 0.4 re-rank on candidates only.
-  // Every band key is integer sign arithmetic, so the DuckDB oracle
-  // recomputes IDENTICAL candidates and the row is fully hash-checked
-  // (same reason #71's MinHash banding is oracle-able). Unlike #63 it
-  // needs no label: blocking is content-derived, the candidate join
-  // is a (band, key) equi-join, and nothing is all-pairs — the plan
-  // that survives 100 TB (PlanSuite pins no-cartesian).
-  val qDedupEmbedBucketed: Q = (s, dir) =>
-    graft.api.EmbedBlocking.dedupPairs(
-      s, Tables.embeddings(s, dir), "vec_id", "embedding", tau = 0.4)
+  // sign-band blocking (api/EmbedBlocking — 64 bands × CORPUS-SIZED
+  // bits), exact cosine ≥ 0.4 re-rank on candidates only. Since r13
+  // the row runs EmbedBlocking.scaledTable (VERDICT r12 Next-round
+  // #2): bits = bitLength(n−1) clamped to [8, 24], dims from the
+  // closed-form affine formula — so unrelated-pair candidates stay
+  // ≈ n·BANDS/2 (LINEAR in n; the frozen 8-bit table measured ~15×
+  // at 10× data, the declared scale-killer this closes). Every band
+  // key is integer sign arithmetic AND the table itself is integer
+  // arithmetic, so the DuckDB oracle recomputes IDENTICAL candidates
+  // at ANY sf — n from COUNT(*), bits by integer shift comparison,
+  // dims from the same affine constants (scaledDimsCte). Unlike #63
+  // it needs no label: blocking is content-derived, the candidate
+  // join is a (band, key) equi-join, and nothing is all-pairs —
+  // the plan that survives 100 TB (PlanSuite pins no-cartesian).
+  // The e.count() is a planning-scale scalar (same audited class as
+  // q_graph_pagerank's node count).
+  val qDedupEmbedBucketed: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    graft.api.EmbedBlocking.dedupPairs(s, e, "vec_id", "embedding", tau = 0.4,
+      table = graft.api.EmbedBlocking.scaledTable(e.count()))
+  }
 
   val qDedupEmbedBucketedSql: String =
-    s"""WITH dims(band, bit, dim) AS (VALUES ${graft.api.EmbedBlocking.dimsValuesSql}),
+    s"""WITH ${graft.api.EmbedBlocking.scaledDimsCte("embeddings")},
        |k AS (
        |  SELECT e.vec_id, d.band,
        |         SUM(CASE WHEN e.embedding[d.dim + 1] >= 0 THEN 1 << d.bit ELSE 0 END) AS key

@@ -198,6 +198,13 @@ class PgCdcSimTable(options: CaseInsensitiveStringMap)
   private val snapshotSeq = options.getLong("snapshotSeq", -1L)
   private val numPartitions = options.getInt("numPartitions", 4)
   private val deletes = options.getBoolean("deletes", false)
+  // backend selector (r13): "parquet" = the simulator; "debezium-json"
+  // = the on-disk Debezium JSON-envelope directory feed
+  // (sources/DebeziumJsonChangelog), with `keyField` naming the
+  // primary-key column inside before/after. The offset/admission/
+  // restart machinery downstream is identical for both.
+  private val backend = Option(options.get("backend")).getOrElse("parquet")
+  private val keyField = Option(options.get("keyField")).getOrElse("id")
 
   override def name(): String = s"pg-cdc-sim($path)"
   override def schema(): StructType = PgCdcSim.schema
@@ -206,12 +213,14 @@ class PgCdcSimTable(options: CaseInsensitiveStringMap)
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan =
-        new PgCdcSimScan(path, batchSize, snapshotSeq, numPartitions, deletes)
+        new PgCdcSimScan(path, batchSize, snapshotSeq, numPartitions, deletes,
+          backend, keyField)
     }
 }
 
 class PgCdcSimScan(path: String, batchSize: Long, snapshotSeqOpt: Long,
-    numPartitions: Int, deletes: Boolean) extends Scan {
+    numPartitions: Int, deletes: Boolean,
+    backend: String = "parquet", keyField: String = "id") extends Scan {
   override def readSchema(): StructType = PgCdcSim.schema
   override def description(): String = s"PgCdcSim(path=$path, batchSize=$batchSize)"
 
@@ -220,7 +229,9 @@ class PgCdcSimScan(path: String, batchSize: Long, snapshotSeqOpt: Long,
     // the horizon poll is one tiny driver-side aggregate — readers
     // need the data horizon to place tombstone seqs without scanning
     // the log themselves
-    private lazy val changelog = new ParquetChangelog(path, numPartitions, deletes)
+    private lazy val changelog: CdcChangelog =
+      if (backend == "debezium-json") new DebeziumJsonChangelog(path, keyField, numPartitions)
+      else new ParquetChangelog(path, numPartitions, deletes)
     override def planInputPartitions(): Array[InputPartition] =
       changelog.planSlices(Long.MinValue, Long.MaxValue) // full range ⇒ no history pass
     override def createReaderFactory(): PartitionReaderFactory =
@@ -229,12 +240,13 @@ class PgCdcSimScan(path: String, batchSize: Long, snapshotSeqOpt: Long,
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new PgCdcSimMicroBatchStream(path, batchSize, snapshotSeqOpt, numPartitions,
-      deletes, checkpointLocation)
+      deletes, checkpointLocation, backend, keyField)
 }
 
 class PgCdcSimMicroBatchStream(path: String, batchSize: Long,
     snapshotSeqOpt: Long, numPartitions: Int, deletes: Boolean,
-    checkpointLocation: String)
+    checkpointLocation: String,
+    backend: String = "parquet", keyField: String = "id")
     extends MicroBatchStream
     with SupportsAdmissionControl with SupportsTriggerAvailableNow {
   // ALL backend access goes through the connector seam
@@ -243,7 +255,10 @@ class PgCdcSimMicroBatchStream(path: String, batchSize: Long,
   // below is unchanged (CdcAdapterSuite drives exactly this seam
   // with an in-memory backend)
   protected def makeChangelog(): CdcChangelog =
-    new ParquetChangelog(path, numPartitions, deletes, () => Some(firstSeenDir))
+    if (backend == "debezium-json")
+      new DebeziumJsonChangelog(path, keyField, numPartitions)
+    else
+      new ParquetChangelog(path, numPartitions, deletes, () => Some(firstSeenDir))
   private lazy val changelog: CdcChangelog = makeChangelog()
   // planning stats only — the driver never materializes changelog rows
   private lazy val stats: (Long, Long) = changelog.pollHorizon()

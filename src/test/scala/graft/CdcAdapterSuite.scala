@@ -100,6 +100,137 @@ class CdcAdapterSuite extends GraftSuite {
     // envelope fidelity: ops and keys arrive as the backend delivered
     assert(all.toSet == rows.map(r => (r.seq, r.key, r.op, r.tsUs)).toSet)
   }
+
+  test("DebeziumJsonChangelog: real-wire-format directory feed through the trait — parse, horizon, slice predicates") {
+    val dir = java.nio.file.Files.createTempDirectory("dbz_feed").toString
+    DbzFeed.write(dir)
+    val cl = new graft.sources.DebeziumJsonChangelog(dir, "id", numPartitions = 3)
+    // horizon: data horizon excludes the trailing tombstone (seq 26)
+    assert(cl.pollHorizon() == (25L, 26L),
+      s"horizon must be (maxData=25, maxAll=26); got ${cl.pollHorizon()}")
+    val parts = cl.planSlices(Long.MinValue, Long.MaxValue)
+    assert(parts.length == 3)
+    val bySlice = parts.map(p => readAll(cl, Array(p)))
+    bySlice.zipWithIndex.foreach { case (rows, i) =>
+      assert(rows.forall(r => Math.floorMod(r._2, 3L) == i),
+        s"slice $i leaked keys outside its hash class")
+    }
+    // full fidelity vs the fixture: seq/key/op-mapping (c,r->I, u->U,
+    // d->D)/ts_ms*1000; junk lines (blank, null, unknown op, non-feed
+    // file) contribute nothing
+    val want = DbzFeed.evs.map { e =>
+      (e.seq, e.key, e.op match { case "c" | "r" => "I"; case "u" => "U"; case _ => "D" },
+        (1000L + e.seq) * 1000L)
+    }.toSet
+    assert(bySlice.flatten.toSet == want,
+      s"decoded feed must equal the fixture; missing=${(want diff bySlice.flatten.toSet).take(3)}")
+    // mid-range slice honors (start, end]
+    val mid = readAll(cl, cl.planSlices(9L, 19L)).map(_._1).sorted
+    assert(mid == (10L to 19L), s"range slice must cover (9, 19]; got $mid")
+    // incremental horizon: a NEW file advances the poll (memoized
+    // files are not re-parsed; (size, mtime) keys the memo)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "part-003.jsonl"),
+      DbzFeed.line(DbzFeed.Ev(27L, 5L, "u", "view", 27.5), wrapped = false)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(cl.pollHorizon() == (27L, 27L), "new file must advance the horizon")
+  }
+
+  test("Debezium backend end-to-end: readStream -> offset/admission walk -> sinkUpsert == batch fold; restart no-op") {
+    import graft.api.StreamzOps._
+    val dir = java.nio.file.Files.createTempDirectory("dbz_e2e").toString
+    DbzFeed.write(dir)
+    val base = java.nio.file.Files.createTempDirectory("dbz_sink").toString
+    def run() = {
+      val q = spark.readStream.format("pg-cdc-sim")
+        .option("path", dir)
+        .option("backend", "debezium-json").option("keyField", "id")
+        .option("batchSize", "8").option("snapshotSeq", "9")
+        .option("numPartitions", "3")
+        .load()
+        .sinkUpsert(s"$base/state", Seq("key"), "seq", s"$base/cp",
+          opCol = Some("op"))
+      q.awaitTermination(120000)
+      q
+    }
+    val q = run()
+    // admission control drove multiple polls: snapshot batch then
+    // bounded quanta. (numInputRows counts SCAN rows: sinkUpsert's
+    // foreachBatch runs two actions over the uncached batch frame, so
+    // each batch meters at 2x its delivered rows — assert the walk
+    // SHAPE here; exact per-batch row delivery is pinned by the
+    // MemChangelog offset-walk test and the trait-level test above.)
+    val batches = q.recentProgress.map(_.numInputRows).filter(_ > 0)
+    assert(batches.length >= 3, s"expected snapshot + polls, got ${batches.toSeq}")
+    def state() = graft.api.StreamzOps.readUpsertTable(spark, s"$base/state")
+      .collect().map(r => r.getAs[Long]("key") -> r.getAs[Long]("seq")).toMap
+    assert(state() == DbzFeed.expectedState,
+      s"upsert state must equal the batch fold; got ${state()}")
+    run() // restart from the same checkpoint: fully caught up
+    assert(state() == DbzFeed.expectedState, "restart must be a no-op")
+    // and the BATCH read path decodes the same feed
+    val batch = spark.read.format("pg-cdc-sim")
+      .option("path", dir).option("backend", "debezium-json")
+      .option("keyField", "id").option("numPartitions", "3").load()
+    assert(batch.count() == DbzFeed.evs.size)
+    assert(batch.selectExpr("max(seq)").head().getLong(0) == 26L)
+  }
+}
+
+/** Fixture feed for the on-disk Debezium adapter tests: a
+  * deterministic 27-event changelog over 12 keys rendered as Debezium
+  * JSON envelopes (mixed schema-less / schema-wrapped lines, c and r
+  * creation ops, d tombstones with before-images, plus junk lines a
+  * real feed contains: blanks, `null` compaction tombstones, an
+  * unknown-op message event). */
+object DbzFeed {
+  final case class Ev(seq: Long, key: Long, op: String, et: String, v: java.lang.Double)
+
+  // keys 1..10 inserted (c/r mix), 11..12 late inserts, updates, and
+  // FINAL deletes of keys 3 and 11 (seq 20 mid-feed, seq 26 past the
+  // data horizon — the Mem test's tombstone-past-horizon shape)
+  val evs: Seq[Ev] =
+    (0 until 10).map(i => Ev(i, i + 1, if (i % 2 == 0) "c" else "r", "view", i + 0.5)) ++
+    Seq(Ev(10, 1, "u", "click", 10.5), Ev(11, 11, "c", "view", null),
+      Ev(12, 2, "u", "purchase", 12.5), Ev(13, 12, "c", "view", 13.5),
+      Ev(14, 4, "u", "click", 14.5), Ev(15, 5, "u", "view", 15.5),
+      Ev(16, 1, "u", "view", 16.5), Ev(17, 6, "u", "click", 17.5),
+      Ev(18, 7, "u", "view", 18.5), Ev(19, 2, "u", "click", 19.5),
+      Ev(20, 3, "d", null, null),
+      Ev(21, 8, "u", "view", 21.5), Ev(22, 9, "u", "purchase", 22.5),
+      Ev(23, 10, "u", "view", 23.5), Ev(24, 12, "u", "click", 24.5),
+      Ev(25, 4, "u", "view", 25.5),
+      Ev(26, 11, "d", null, null))
+
+  def line(e: Ev, wrapped: Boolean): String = {
+    val img = s"""{"id": ${e.key}, "event_type": ${
+      if (e.et == null) "null" else s""""${e.et}""""}, "value": ${
+      if (e.v == null) "null" else e.v.toString}}"""
+    val (before, after) = if (e.op == "d") (img, "null") else ("null", img)
+    val tsMs = 1000L + e.seq
+    val core = s"""{"before": $before, "after": $after, "source": {"version": "2.6", "connector": "postgresql", "lsn": ${e.seq}, "ts_ms": $tsMs}, "op": "${e.op}", "ts_ms": $tsMs}"""
+    if (wrapped) s"""{"schema": {"type": "struct", "name": "graft.events.Envelope"}, "payload": $core}"""
+    else core
+  }
+
+  /** Render the feed into `dir` as 3 files + realistic junk lines. */
+  def write(dir: String): Unit = {
+    val d = new java.io.File(dir); d.mkdirs()
+    def put(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, name),
+        lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val rendered = evs.map(e => line(e, wrapped = e.seq % 2 == 1))
+    put("part-000.jsonl", rendered.slice(0, 10) :+ "")
+    put("part-001.json", ("null" +: rendered.slice(10, 20)) :+
+      """{"op": "m", "message": {"prefix": "heartbeat"}}""")
+    put("part-002.jsonl", rendered.slice(20, 27))
+    put("ignored.txt", Seq("not a feed file"))
+  }
+
+  /** Driver-side batch fold: latest row per key, delete-latest keys
+    * dropped — the state sinkUpsert must converge to. */
+  def expectedState: Map[Long, Long] = evs.groupBy(_.key)
+    .map { case (k, es) => k -> es.maxBy(_.seq) }
+    .filter(_._2.op != "d").map { case (k, e) => k -> e.seq }
 }
 
 /** In-memory [[CdcChangelog]] — the JDBC/Debezium stand-in: slices

@@ -302,6 +302,30 @@ class ExtrasSuite extends GraftSuite {
     assert(dupPairs.forall(_._3 == 1.0), "identical docs have exact Jaccard 1.0")
   }
 
+  test("ngramJaccardPairs: NEAR-identical boilerplate (hot shingles, not byte-equal) still found under the r13 df cap") {
+    val sess = spark; import sess.implicits._
+    // 60 copies each with ONE word personalized: not byte-identical
+    // (so the r13 exact collapse can't merge them), every shared
+    // shingle has df=60 > NGRAM_DF_CUT=50 (rare index blind), and
+    // df=60 <= NGRAM_POSTING_DF_CAP=200 — the rarest-K index must
+    // still catch the cluster. This is the surviving job of index (b)
+    // now that byte-identical clusters route through collapseExact.
+    val words = "the quick brown fox jumps over the lazy dog again and again".split(" ")
+    val docs = ((0 until 60).map { i =>
+      (i.toLong, (words :+ s"sig$i").mkString(" "))
+    } ++ (0 until 40).map(i =>
+      (1000L + i, s"unique$i words alpha$i beta$i gamma$i delta$i epsilon$i zeta$i")))
+      .toDF("doc_id", "text")
+    val got = graft.queries.PipelineExtras.ngramJaccardPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val dupPairs = got.filter { case (a, b, _) => a < 60 && b < 60 }
+    assert(dupPairs.length == 60 * 59 / 2,
+      s"all ${60 * 59 / 2} near-boilerplate pairs must be reported, got ${dupPairs.length}")
+    // 12 shared shingles minus the one broken by the sig word: shingle
+    // sets differ only at the tail -> jaccard well above the 0.2 gate
+    assert(dupPairs.forall(_._3 >= 0.5), "near-identical docs must score high")
+  }
+
   test("q_dedup_ngram_jaccard: df-cut candidate generation loses NO pair vs brute-force all-pairs") {
     val got = PipelineExtras.qDedupNgramJaccard(spark, sf0001).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
@@ -939,20 +963,25 @@ class ExtrasSuite extends GraftSuite {
     val exact = graft.queries.PipelineExtras.qDedupEmbedCosine(spark, sf0001)
       .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exact.nonEmpty, "fixture must contain cos >= 0.4 pairs")
-    val cands = graft.api.EmbedBlocking.candidatePairs(e, "vec_id", "embedding")
+    // r13: the contract row runs the corpus-scaled affine table
+    // (bits = bitLength(n-1) = 9 at n = 500) — the 100 TB path
+    val table = graft.api.EmbedBlocking.scaledTable(n)
+    assert(table.head.length == 9, "fixture n=500 must scale to 9 bits")
+    val cands = graft.api.EmbedBlocking.candidatePairs(e, "vec_id", "embedding", table)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val frac = cands.size.toDouble / allPairs
-    // scale shape: candidates stay a bounded fraction of all pairs
-    // (model bound BANDS * 2^-BITS = 0.25; measured 0.193)
-    assert(frac <= 0.25, f"candidate fraction $frac%.3f exceeds the band model bound")
+    // scale shape: candidates stay under the band model bound
+    // BANDS * 2^-bits = 64/512 = 0.125 (measured 0.107)
+    assert(frac <= 0.125, f"candidate fraction $frac%.3f exceeds the band model bound")
     // recall on the fixture's WORST-case geometry (random unit
     // vectors, tau=0.4 => per-dim sign agreement ~0.63): deterministic
-    // measured 0.8 here; production near-dup thresholds (cos >= 0.85)
-    // put the same table at recall ~1 (see EmbedBlocking scaladoc)
+    // measured 3/5 = 0.6 here; production near-dup thresholds
+    // (cos >= 0.85) put the scaled table at recall >= 0.93 (model in
+    // EmbedBlocking scaladoc; planted-pair recall pinned below)
     val recall = (exact & cands).size.toDouble / exact.size
-    assert(recall >= 0.6, f"recall $recall%.2f vs #63's pairs below floor")
+    assert(recall >= 0.55, f"recall $recall%.2f vs #63's pairs below floor")
     // the blocking must CONCENTRATE true pairs, not sample at random:
-    // recall >= 3x the candidate fraction (measured ~4.1x)
+    // recall >= 3x the candidate fraction (measured ~5.6x)
     assert(recall >= 3 * frac,
       f"recall $recall%.2f <= 3 x candidate fraction $frac%.3f — blocking no better than chance")
     // and the oracled row's output = exact cosine re-rank over exactly
@@ -962,6 +991,22 @@ class ExtrasSuite extends GraftSuite {
     assert(out.subsetOf(cands), "output pairs must come from the candidate set")
     assert((exact & cands).subsetOf(out),
       "every exact pair that IS a candidate must survive the re-rank")
+  }
+
+  test("EmbedBlocking frozen BAND_DIMS (regression): the r9-r12 8-bit table keeps its measured floors") {
+    // the frozen table is no longer the contract default (it is
+    // quadratic at scale — r12 curve) but stays API-reachable; pin
+    // its round-9 floors so the regression surface doesn't rot
+    val e = Tables.embeddings(spark, sf0001)
+    val n = e.count()
+    val exact = graft.queries.PipelineExtras.qDedupEmbedCosine(spark, sf0001)
+      .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cands = graft.api.EmbedBlocking.candidatePairs(e, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val frac = cands.size.toDouble / (n * (n - 1) / 2)
+    assert(frac <= 0.25, f"frozen-table candidate fraction $frac%.3f exceeds model bound")
+    val recall = (exact & cands).size.toDouble / exact.size
+    assert(recall >= 0.6, f"frozen-table recall $recall%.2f below its r9 floor")
   }
 
   test("EmbedBlocking.scaledTable: wider bits shrink candidates sharply, planted near-dups still recalled") {

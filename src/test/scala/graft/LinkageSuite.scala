@@ -80,6 +80,79 @@ class LinkageSuite extends GraftSuite {
       s"blocked != brute: missing=${(brute -- blocked).take(5)} extra=${(blocked -- brute).take(5)}")
   }
 
+  test("q_join_editdist (#129) property: blocked == brute-force levenshtein on generated unicode near-pair corpora") {
+    // ScalaCheck generator over random near-pairs (VERDICT r12
+    // Next-round #7): bases over a mixed latin/digit/accent/greek/CJK
+    // alphabet (BMP-only, so Spark's UTF8 binary `<` and Scala's
+    // UTF-16 compare agree), each mutated by substitution / insertion
+    // / deletion / transposition at random positions — transpositions
+    // are the ed-2 shape that broke PLAIN variant blocking on dense
+    // key spaces (r12 probe) and must NOT appear in the output. The
+    // ENGINE plan (Linkage.editDistJoin — the exact #129 SQL) is
+    // asserted equal to a driver-side DP levenshtein brute force on
+    // every sampled corpus.
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val alphabet: Seq[Char] =
+      ('a' to 'z') ++ ('0' to '9') ++ "äöüßéèñçαβγδ中文字と한".toSeq
+    val baseGen: Gen[String] = for {
+      n <- Gen.choose(1, 12)
+      cs <- Gen.listOfN(n, Gen.oneOf(alphabet))
+    } yield cs.mkString
+    def mutantGen(s: String): Gen[String] = {
+      val subst = for {
+        i <- Gen.choose(0, s.length - 1); c <- Gen.oneOf(alphabet)
+      } yield s.updated(i, c)
+      val insert = for {
+        i <- Gen.choose(0, s.length); c <- Gen.oneOf(alphabet)
+      } yield s.substring(0, i) + c + s.substring(i)
+      val delete =
+        if (s.length <= 1) insert
+        else Gen.choose(0, s.length - 1).map(i => s.substring(0, i) + s.substring(i + 1))
+      val transpose =
+        if (s.length < 2) subst
+        else Gen.choose(0, s.length - 2).map { i =>
+          s.substring(0, i) + s(i + 1) + s(i) + s.substring(i + 2)
+        }
+      Gen.oneOf(subst, insert, delete, transpose)
+    }
+    val corpusGen: Gen[List[String]] = for {
+      nBase <- Gen.choose(12, 25)
+      bases <- Gen.listOfN(nBase, baseGen)
+      mutants <- Gen.sequence[List[String], String](
+        bases.flatMap(b => List.fill(2)(mutantGen(b))))
+    } yield bases ++ mutants
+    def lev(a: String, b: String): Int = {
+      val (x, y) = (a.toCharArray, b.toCharArray)
+      val dp = Array.tabulate(y.length + 1)(identity)
+      for (i <- 1 to x.length) {
+        var prev = dp(0); dp(0) = i
+        for (j <- 1 to y.length) {
+          val cur = dp(j)
+          dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+            prev + (if (x(i - 1) == y(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(y.length)
+    }
+    val sess = spark; import sess.implicits._
+    for (k <- 0 until 8) {
+      val corpus = corpusGen.pureApply(Gen.Parameters.default, Seed(1000L + k))
+        .distinct.sorted
+      val blocked = Linkage.editDistJoin(spark, corpus.toDF("nm"))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      val brute = (for {
+        i <- corpus.indices.iterator; j <- (i + 1) until corpus.size
+        if lev(corpus(i), corpus(j)) == 1
+      } yield (corpus(i), corpus(j))).toSet
+      assert(brute.nonEmpty, s"seed $k: generator must plant ed-1 pairs")
+      assert(blocked == brute,
+        s"seed $k: blocked != brute over ${corpus.size} strings; " +
+          s"missing=${(brute -- blocked).take(5)} extra=${(blocked -- brute).take(5)}")
+    }
+  }
+
   test("q_cdc_agg_maintain (#130): signed-delta aggregation == recompute from latest state; cents arithmetic exact") {
     val maintained = Linkage.qCdcAggMaintain(spark, sf0001)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet

@@ -453,4 +453,16 @@ class PlanSuite extends GraftSuite {
     assert(specs.nonEmpty && specs.forall(_.contains("doc_id")),
       s"island windows must partition by doc_id, got specs=$specs in:\n$p")
   }
+
+  test("q_graph_pagerank (#136): edge list materialized once — zero lineitem scans in the final plan") {
+    // The lineitem self-join+distinct is the dominant subtree; it must be
+    // localCheckpoint'ed before the iteration loop so the 5 iteration plans
+    // read materialized blocks instead of re-deriving it (VERDICT r12 #2).
+    val df = queries.Analytics.qGraphPagerank(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("lineitem"),
+      s"final PageRank plan must not rescan lineitem (edges are checkpointed):\n$p")
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      s"expected checkpointed (ExistingRDD) leaves:\n$p")
+  }
 }
