@@ -37,12 +37,17 @@ object MinHashDf {
     666666667L, 888888881L, 142857143L, 314159265L)
   private[graft] val NUM_BANDS = 6 // r = 2 rows per band
 
-  // ---- #71 q_dedup_minhash_df --------------------------------------------
-  val qDedupMinhashDf: Q = (s, dir) => {
+  /** Shared candidate pipeline: shingles (with 28-bit md5 hash) →
+    * one-pass signatures+sizes → r=2 bands → banded candidate pairs.
+    * Returns (sh postings, sigs, cand) — #71 scores candidates by
+    * exact Jaccard, #138 by exact CONTAINMENT; the subtrees are
+    * byte-identical so the two rows can never drift apart. */
+  private[graft] def bandedCandidates(docs: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
     // distinct 3-shingles with a 28-bit md5-derived hash; the dedup is
     // per-doc array_distinct BEFORE the explode — identical to a
     // global distinct on (doc_id, sh), minus its full shuffle
-    val sh = Tables.documents(s, dir)
+    val sh = docs
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 3)
       .select(col("doc_id"), explode(array_distinct(expr(
@@ -69,6 +74,12 @@ object MinHashDf {
           col("x.v2") === col("y.v2") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+    (sh, sigs, cand)
+  }
+
+  // ---- #71 q_dedup_minhash_df --------------------------------------------
+  val qDedupMinhashDf: Q = (s, dir) => {
+    val (sh, sigs, cand) = bandedCandidates(Tables.documents(s, dir))
     // exact Jaccard, computed only for candidates
     val sizes = sigs.select(col("doc_id"), col("sz"))
     val inter = cand
@@ -87,7 +98,55 @@ object MinHashDf {
       .orderBy("doc_a", "doc_b")
   }
 
-  val qDedupMinhashDfSql: String = {
+  // ---- #138 q_dedup_contain_minhash (added r13) --------------------------
+  // Banded-candidate CONTAINMENT — the scale path for #109, mirroring
+  // the #63→#111 pattern (VERDICT r12 Next-round #1 shape (b)). The
+  // r13 sf1 probe showed why an exact-threshold inverted-index join
+  // cannot be linear on a df-saturated corpus: at 10× data the
+  // fixture's trigram vocabulary grows only 1.09× (29.8k vs 27.2k),
+  // max df 143 and 29 769 of 29 791 shingles "hot" — EVERY candidate
+  // route through shingle identity is Σ df²-shaped (measured: the
+  // exact row enumerates 40M prefix-posting pairs, 158 s; BASELINE.md
+  // r13 section). MinHash band collisions are df-INDEPENDENT —
+  // signature agreement depends on pair similarity only, never on how
+  // many documents share a shingle — so candidates stay ∝ docs +
+  // true-positives at any corpus size (#71 measured 4.9× at 10×).
+  // Declared semantics: containment ≥ 0.8 among BANDED CANDIDATES —
+  // full and near-full duplicate pairs (high Jaccard ⇒ band recall
+  // ≈ 1 at 6×2 bands) score exactly; a low-Jaccard subset pair (small
+  // quote inside a large doc) is structurally invisible to Jaccard-
+  // tuned bands and remains the exact row's (#109's) territory on
+  // corpora whose df distribution lets its prefix filter bite. Scores
+  // on emitted pairs are EXACT (full relational recount, least()
+  // denominator) and the whole row — signatures, bands, recount — is
+  // integer/md5 arithmetic, hence fully DuckDB-oracled at every sf.
+  val qDedupContainMinhash: Q = (s, dir) =>
+    containMinhashPairs(Tables.documents(s, dir))
+
+  /** #138 over an arbitrary (doc_id, text) frame — suite-planted
+    * recall cases drive this directly. */
+  private[graft] def containMinhashPairs(docs: DataFrame): DataFrame = {
+    val (sh, sigs, cand) = bandedCandidates(docs)
+    val sizes = sigs.select(col("doc_id"), col("sz"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    cand
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sa")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(coalesce(col("inter"), lit(0L)).cast("double") /
+          least(col("sa"), col("sb")).cast("double"), 6).as("containment"))
+      .filter(col("containment") >= 0.8)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Shared CTE prefix (shingles → signatures → bands → candidates →
+    * sizes → intersections) — the SQL twin of [[bandedCandidates]],
+    * spliced into both rows' oracles. */
+  private def bandedCandidatesCte: String = {
     val sigExprs = A.indices.map(i =>
       s"MIN((${A(i)} * h + ${B(i)}) % $P) AS sig$i").mkString(",\n         ")
     val bandSelects = (0 until NUM_BANDS).map(bi =>
@@ -119,7 +178,11 @@ object MinHashDf {
        |  FROM cand c
        |  JOIN sh a ON a.doc_id = c.doc_a
        |  JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
-       |  GROUP BY 1, 2)
+       |  GROUP BY 1, 2)""".stripMargin
+  }
+
+  val qDedupMinhashDfSql: String =
+    s"""$bandedCandidatesCte
        |SELECT doc_a, doc_b,
        |       ROUND(1.0 - CAST(COALESCE(i.inter, 0) AS DOUBLE)
        |             / CAST(sa.sz + sb.sz - COALESCE(i.inter, 0) AS DOUBLE), 6) AS jaccard_dist
@@ -130,8 +193,24 @@ object MinHashDf {
        |WHERE ROUND(1.0 - CAST(COALESCE(i.inter, 0) AS DOUBLE)
        |      / CAST(sa.sz + sb.sz - COALESCE(i.inter, 0) AS DOUBLE), 6) <= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
-  }
 
-  val queries: Map[String, Q] = Map("q_dedup_minhash_df" -> qDedupMinhashDf)
-  val oracleSql: Map[String, String] = Map("q_dedup_minhash_df" -> qDedupMinhashDfSql)
+  val qDedupContainMinhashSql: String =
+    s"""$bandedCandidatesCte
+       |SELECT doc_a, doc_b,
+       |       ROUND(CAST(COALESCE(i.inter, 0) AS DOUBLE)
+       |             / CAST(LEAST(sa.sz, sb.sz) AS DOUBLE), 6) AS containment
+       |FROM cand c
+       |LEFT JOIN inter i USING (doc_a, doc_b)
+       |JOIN sizes sa ON sa.doc_id = c.doc_a
+       |JOIN sizes sb ON sb.doc_id = c.doc_b
+       |WHERE ROUND(CAST(COALESCE(i.inter, 0) AS DOUBLE)
+       |      / CAST(LEAST(sa.sz, sb.sz) AS DOUBLE), 6) >= 0.8
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q_dedup_minhash_df" -> qDedupMinhashDf,
+    "q_dedup_contain_minhash" -> qDedupContainMinhash)
+  val oracleSql: Map[String, String] = Map(
+    "q_dedup_minhash_df" -> qDedupMinhashDfSql,
+    "q_dedup_contain_minhash" -> qDedupContainMinhashSql)
 }

@@ -379,6 +379,44 @@ class ExtrasSuite extends GraftSuite {
       "fixture full-dups must appear in both scorers")
   }
 
+  test("q_dedup_contain_minhash (#138): banded containment — near-full dups found, declared subset-miss, fixture == exact row") {
+    val sess = spark; import sess.implicits._
+    // On the driver fixture (full-dup pairs only) the banded row must
+    // agree with the exact prefix-filter row EXACTLY — same pairs,
+    // same 1.0 scores — pinning that the two containment rows state
+    // one semantic where both apply.
+    val banded = graft.queries.MinHashDf.qDedupContainMinhash(spark, sf0001)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val exact = graft.queries.PipelineExtras.qDedupContainment(spark, sf0001)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(banded == exact,
+      s"banded and exact containment must agree on the full-dup fixture; " +
+        s"diff=${(banded.keySet diff exact.keySet).take(3)}/${(exact.keySet diff banded.keySet).take(3)}")
+    // Planted: 30 near-full dup pairs (one word of ~40 changed -> high
+    // Jaccard, containment ~0.93) must be recalled by the bands...
+    val words = (1 to 40).map(i => s"qq${i * 13 % 97}w$i")
+    val docs = ((0 until 30).map { i =>
+      (8000L + i, words.mkString(" "))
+    } ++ (0 until 30).map { i =>
+      (8100L + i, words.updated(20, s"alt$i").mkString(" "))
+    } :+ (8500L, words.slice(5, 15).mkString(" "))) // 10-word subset quote
+      .toDF("doc_id", "text")
+    val got = graft.queries.MinHashDf.containMinhashPairs(docs)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    (0 until 30).foreach { i =>
+      assert(got.contains((8000L + i, 8100L + i)),
+        s"near-full dup pair ${8000 + i} must be a band candidate")
+    }
+    // ...and every emitted score is the EXACT containment (near-dup
+    // pairs share 35 of 38 shingles; identical docs score 1.0)
+    assert(got((8000L, 8001L)) == 1.0)
+    // ...while the low-Jaccard subset quote is the DECLARED miss: its
+    // containment is 1.0 but its Jaccard ~0.2 sits far below the band
+    // collision threshold — that regime belongs to the exact row
+    assert(!got.keys.exists { case (a, b) => b == 8500L || a == 8500L },
+      "subset quote must NOT band-collide (declared #138 semantics; #109's territory)")
+  }
+
   test("ngramContainmentPairs: an ALL-HOT doc inside a rare-rich container is still found (prefix-filter recall)") {
     // The case Jaccard's rare-shingle candidate indexes cannot see at
     // all (and the reason containment has its own PPJoin-style prefix
