@@ -15,6 +15,7 @@ Exit code = number of mismatching queries.
 """
 import json
 import math
+import os
 import sys
 
 import duckdb
@@ -36,12 +37,24 @@ def norm(v):
 
 
 def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i:i + 2]
+    sf_dir, out_dir = argv[0], argv[1]
+    only = set(argv[2:])
+    results = {}
     con = duckdb.connect()
     for t in TABLES:
+        # fixture tables are single files; GenScale outputs (e.g. the
+        # 10x /tmp/graft_sf1) are Spark directories -- glob those
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path += "/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracle = json.load(f)
     failures = 0
@@ -58,10 +71,12 @@ def main():
             got_rows = got.fetchall()
         except Exception as e:
             print(f"FAIL {name}: exception {e}")
+            results[name] = "fail_exception"
             failures += 1
             continue
         if sorted(exp_cols) != sorted(got_cols):
             print(f"FAIL {name}: columns oracle={sorted(exp_cols)} spark={sorted(got_cols)}")
+            results[name] = "fail_schema"
             failures += 1
             continue
         # driver sorts columns by name before hashing values
@@ -71,6 +86,7 @@ def main():
         g = [tuple(norm(r[i]) for i in gidx) for r in got_rows]
         if len(e) != len(g):
             print(f"FAIL {name}: rows oracle={len(e)} spark={len(g)}")
+            results[name] = "fail_rows"
             failures += 1
             continue
         bad = [(i, a, b) for i, (a, b) in enumerate(zip(e, g)) if a != b]
@@ -80,9 +96,16 @@ def main():
             print(f"  cols   : {sorted(exp_cols)}")
             print(f"  oracle : {a}")
             print(f"  spark  : {b}")
+            results[name] = "fail_values"
             failures += 1
         else:
             print(f"OK   {name}: {len(e)} rows")
+            results[name] = f"ok:{len(e)}"
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "out_dir": out_dir,
+                       "n_checked": len(results), "n_fail": failures,
+                       "queries": results}, f, indent=1, sort_keys=True)
     sys.exit(min(failures, 125))
 
 

@@ -68,6 +68,19 @@ import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField
   * query. At 100 TB the posting store becomes a shingle-bucketed
   * table so those probes prune to matching buckets instead of full
   * scans; the per-batch-dir layout here keeps the same join shape.
+  *
+  * Relation to the r13 batch row: `q_dedup_containment` now collapses
+  * exact duplicates first and df-caps its candidate probe
+  * (PipelineExtras.NGRAM_POSTING_DF_CAP). Both are no-ops on corpora
+  * whose shingle dfs stay under the cap — the suite corpora, and any
+  * corpus the streamed==batch pin is meaningful for — because the
+  * collapse only reroutes identical-text pairs (same pairs, same 1.0
+  * scores, which this scorer finds via its prefix join) and a
+  * non-binding cap admits every posting. On df-saturated corpora the
+  * batch row intentionally drops all-hot candidate routes that this
+  * ingest-time scorer would still pay for; the scale answer there is
+  * the banded row (#138 q_dedup_contain_minhash), whose streaming
+  * analog is NearDupStream's band state, not a postings store.
   */
 object StreamContain {
 

@@ -211,6 +211,26 @@ object Relational {
   // ---- #14 q_agg_group_sum (TPC-H Q1 shape) ------------------------------
   // Two-phase HashAggregate (partial map-side + final): the shuffle
   // carries |groups| × state, not rows — the shape that scales.
+  // Decimal determinism notes (r13, found by the sf1 oracle sweep —
+  // both effects invisible at driver sfs, real at 10×):
+  //  1. The DuckDB factors (1 - discount)/(1 + tax) must be cast
+  //     NARROW (DECIMAL(3,2) → factor DECIMAL(4,2)): DuckDB decimal
+  //     multiply widths ADD, so (18,2)×(19,2)×(19,2) exceeds 38
+  //     digits and silently degrades to DOUBLE — a merge-order-
+  //     dependent float sum. With (18,2)×(4,2)×(4,2) = 26 digits both
+  //     engines sum the EXACT products.
+  //  2. The FINAL decimal→double cast is engine-identical only while
+  //     the UNSCALED value fits 2^53: DuckDB converts as
+  //     (double)unscaled / 10^scale (two roundings), Spark as a
+  //     correctly-rounded BigDecimal.doubleValue — at scale 6 the sf1
+  //     sum_charge (unscaled 5.2e16 > 2^53) landed 1 ulp apart. Final
+  //     scale is therefore 2 (currency cents): unscaled ≤ ~5e12 at
+  //     sf1, leaving 3 orders of magnitude of headroom; the interior
+  //     arithmetic stays exact at full product scale in both engines.
+  //  3. DuckDB's decimal→lower-scale CAST TRUNCATES (1.675 → 1.67)
+  //     while Spark's decimal cast rounds HALF_UP — so the oracle
+  //     reduces scale via ROUND(…, 2) (half-away-from-zero, = HALF_UP
+  //     for the positive sums) before a then-lossless narrow cast.
   val qAggGroupSum: Q = (s, dir) => {
     val price = dec(col("l_extendedprice"))
     val disc  = dec(col("l_discount"))
@@ -220,8 +240,8 @@ object Relational {
       .agg(
         sum(dec(col("l_quantity"))).cast("decimal(38,2)").cast("double").as("sum_qty"),
         sum(price).cast("decimal(38,2)").cast("double").as("sum_base_price"),
-        sum(price * (lit(1) - disc)).cast("decimal(38,4)").cast("double").as("sum_disc_price"),
-        sum(price * (lit(1) - disc) * (lit(1) + tax)).cast("decimal(38,6)").cast("double").as("sum_charge"),
+        sum(price * (lit(1) - disc)).cast("decimal(38,2)").cast("double").as("sum_disc_price"),
+        sum(price * (lit(1) - disc) * (lit(1) + tax)).cast("decimal(38,2)").cast("double").as("sum_charge"),
         round(avg(col("l_discount")), 6).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
@@ -679,8 +699,8 @@ object Relational {
       """SELECT l_returnflag, l_linestatus,
         |       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
         |       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_base_price,
-        |       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc_price,
-        |       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_charge,
+        |       CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))), 2) AS DECIMAL(38,2)) AS DOUBLE) AS sum_disc_price,
+        |       CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(3,2))) * (1 + CAST(l_tax AS DECIMAL(3,2)))), 2) AS DECIMAL(38,2)) AS DOUBLE) AS sum_charge,
         |       ROUND(AVG(l_discount), 6) AS avg_disc,
         |       COUNT(*) AS count_order
         |FROM lineitem
