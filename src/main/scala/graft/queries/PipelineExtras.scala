@@ -150,23 +150,36 @@ object PipelineExtras {
     * cap, so the rows stay fully hash-checked. */
   val NGRAM_POSTING_DF_CAP = 200L
 
-  /** Exact-duplicate collapse: one text-keyed window pass assigns
-    * every doc (≥ 3 words — the shingling domain) its cluster's
-    * representative `uid` = min doc_id over identical texts. Returns
-    * (memb: doc_id → uid, urep: one (doc_id, text) row per distinct
-    * text, keyed by its uid). One shuffle on text — the same
-    * magnitude the shingle explode pays anyway — and the candidate
-    * stages then run over unique texts only, where exact copies
-    * can't inflate document frequencies. Cached: memb feeds the
-    * same-cluster/expansion joins and urep feeds the core pipeline. */
+  /** Exact-duplicate collapse: assigns every doc (≥ 3 words — the
+    * shingling domain) its cluster's representative `uid` = min
+    * doc_id over identical texts. Returns (memb: doc_id → uid, urep:
+    * one (doc_id, text) row per distinct text, keyed by its uid).
+    *
+    * Shuffle shape (r13 follow-up, measured): the identity key is
+    * md5(text) — the window moves 44-byte (doc_id, md5) projections
+    * instead of full corpus rows (the first cut windowed over the
+    * raw text: ~1.4 s slower at sf0.1, and at 100 TB it would
+    * re-shuffle the whole corpus). `urep` semi-joins the base scan
+    * against the uid set (broadcast at fixture scale; id-keyed
+    * shuffle — no worse than the text shuffle it replaces — beyond).
+    * The oracles state the IDEAL text-keyed collapse (GROUP BY text);
+    * the engine keys by md5, so they diverge only on an md5 collision
+    * (~n²/2¹²⁹ — the same documented accepted-risk class as DupSpans'
+    * 64-bit shingle fingerprints, 2⁶⁴× smaller).
+    * Cached: memb feeds the same-cluster/expansion joins, the
+    * window input feeds both memb and the urep filter. */
   private[graft] def collapseExact(docs: DataFrame): (DataFrame, DataFrame) = {
-    val withUid = docs
+    val d0 = docs
       .filter(size(split(col("text"), " ")) >= 3)
       .select(col("doc_id"), col("text"))
-      .withColumn("uid", min(col("doc_id")).over(Window.partitionBy(col("text"))))
+    val withUid = d0
+      .select(col("doc_id"), md5(col("text")).as("_tk"))
+      .withColumn("uid", min(col("doc_id")).over(Window.partitionBy(col("_tk"))))
+      .select(col("doc_id"), col("uid"))
       .cache()
-    (withUid.select(col("doc_id"), col("uid")),
-      withUid.filter(col("doc_id") === col("uid")).select(col("doc_id"), col("text")))
+    val urep = d0.join(withUid.filter(col("doc_id") === col("uid"))
+        .select(col("doc_id")), Seq("doc_id"), "left_semi")
+    (withUid, urep)
   }
 
   /** All within-cluster pairs at score 1.0 — identical texts, so the

@@ -479,7 +479,59 @@ object Relational3 {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  // ---- #139 q_tpch_q21_flagship (added r13) ------------------------------
+  // The deep relational composite VERDICT r12 Next-round #8 named as
+  // the remaining obvious row beyond #93's star join: TPC-H Q21's
+  // shape ("suppliers who kept orders waiting") adapted to the
+  // fixture's columns — per supplier of 5 nations, count 'F'-status
+  // orders where the supplier shipped a RETURNED ('R') line, the
+  // order involved ANOTHER supplier (EXISTS ⇒ decorrelated LeftSemi
+  // with a non-equi residual), and NO other supplier's line on the
+  // order was returned (NOT EXISTS ⇒ LeftAnti) — top 20.
+  // What it exercises that no other row does: TWO correlated
+  // subqueries against the FACT table itself (self-semi + self-anti
+  // on the fact's join key, each with a <> residual), stacked under
+  // broadcast dim joins and a TakeOrdered — Q21 is the classic
+  // optimizer torture test for exactly this decorrelation. Plan is
+  // PlanSuite-pinned: LeftSemi + LeftAnti hash joins (never a
+  // per-row subquery or a cartesian), dims broadcast, top-k as
+  // TakeOrderedAndProject.
+  // Scale: both subqueries key on l_orderkey — the same shuffle the
+  // main fact join needs — so the whole plan is one fact-table
+  // exchange reused across semi/anti sides plus broadcast dims.
+  // Determinism: integer counts; (numwait DESC, s_name) is a total
+  // order (s_name unique), so LIMIT 20 is stable cross-engine.
+  private val tpchQ21Text =
+    """SELECT s_name, COUNT(*) AS numwait
+      |FROM lineitem l1
+      |JOIN orders   ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+      |JOIN supplier ON s_suppkey = l1.l_suppkey
+      |JOIN nation   ON n_nationkey = s_nationkey
+      | AND n_name IN ('NATION_0', 'NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+      |WHERE l1.l_returnflag = 'R'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_returnflag = 'R')
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 20""".stripMargin
+
+  val qTpchQ21Flagship: Q = (s, dir) => {
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    Tables.supplier(s, dir).createOrReplaceTempView("supplier")
+    Tables.nation(s, dir).createOrReplaceTempView("nation")
+    s.sql(tpchQ21Text)
+  }
+
+  val qTpchQ21FlagshipSql: String = tpchQ21Text
+
   val queries: Map[String, Q] = Map(
+    "q_tpch_q21_flagship" -> qTpchQ21Flagship,
     "q_win_pct_rank" -> qWinPctRank,
     "q_agg_mode" -> qAggMode,
     "q_join_asof_nearest" -> qJoinAsofNearest,
@@ -497,6 +549,7 @@ object Relational3 {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_tpch_q21_flagship" -> qTpchQ21FlagshipSql,
     "q_win_pct_rank" -> qWinPctRankSql,
     "q_agg_mode" -> qAggModeSql,
     "q_join_asof_nearest" -> qJoinAsofNearestSql,

@@ -454,6 +454,16 @@ class PlanSuite extends GraftSuite {
       s"island windows must partition by doc_id, got specs=$specs in:\n$p")
   }
 
+  test("q_tpch_q21_flagship (#139): EXISTS/NOT EXISTS decorrelate to hash semi/anti joins; dims broadcast; top-k") {
+    val p = plan(queries.Relational3.qTpchQ21Flagship(spark, sf0001))
+    assert(p.contains("LeftSemi"), s"EXISTS must plan as a semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS must plan as an anti join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the <> residuals must ride the l_orderkey equi-joins, not a loop join:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"supplier/nation dims must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 must not globally sort:\n$p")
+  }
+
   test("q_graph_pagerank (#136): edge subtree shared via ReuseExchange — not re-derived per iteration") {
     // The lineitem self-join+distinct appears in all 5 iteration
     // subtrees; the lazy single-plan shape relies on ReuseExchange to
