@@ -322,8 +322,25 @@ object LlmPipeline {
       |FROM documents JOIN embeddings ON doc_id = vec_id
       |ORDER BY doc_id""".stripMargin
 
+  // ---- #140 q_sim_graph_ann (added r13; no oracle — recall is
+  // probabilistic, the declared #55/#69/#87 class) -------------------------
+  // Graph-family ANN (api/NeighborGraphAnn — HNSW's regime as
+  // relational algebra): build the mirrored NN-descent k-NN graph
+  // over the corpus, then batched beam search for the same query set
+  // and output shape as the IVF rows (vec_id < 50, top-5:
+  // qid/rn/nid/cos_sim). Recall + structure floors in GraphAnnSuite.
+  val qSimGraphAnn: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    val graph = graft.api.NeighborGraphAnn.build(s, e, "vec_id", "embedding")
+    graft.api.NeighborGraphAnn.topK(s, graph, e, "vec_id", "embedding",
+      e.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+      k = 5)
+  }
+
   // ------------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
+    "q_sim_graph_ann" -> qSimGraphAnn,
     "q_dedup_exact_docs" -> qDedupExactDocs,
     "q_dedup_fuzzy_minhash" -> qDedupFuzzyMinhash,
     "q_sim_cosine_topk" -> qSimCosineTopk,

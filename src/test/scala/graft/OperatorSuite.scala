@@ -16,7 +16,8 @@ class OperatorSuite extends GraftSuite {
     assert(graft.SparkEntry.entry(spark).count() > 0)
     assert(graft.SparkEntry.queries.keySet == graft.SparkEntry.oracleSql.keySet ++
       Set("q_approx_hll", "q_dedup_fuzzy_minhash", "q_sim_lsh_ann",
-        "q_sim_ivf_ann", "q_approx_hll_sketch", "q_sim_ivfpq_ann"),
+        "q_sim_ivf_ann", "q_approx_hll_sketch", "q_sim_ivfpq_ann",
+        "q_sim_graph_ann"),
       "every query key needs an oracle unless declared no-oracle-by-design")
   }
 
