@@ -106,6 +106,39 @@ object NeighborGraphAnn {
       .filter(col("_r") <= 2 * k).drop("_r")
   }
 
+  /** Incremental insert — HNSW's actual insert algorithm, batched:
+    * each new vector finds its neighbors by BEAM SEARCH over the
+    * EXISTING graph (so insertion cost is search cost, never a
+    * corpus pass), takes its best k as forward edges, mirrors them,
+    * and the merged table is re-capped at degree 2k (hubs shed their
+    * worst links, exactly as in [[build]]). This is what makes the
+    * edge-TABLE representation an index you maintain instead of
+    * rebuild: at 100 TB the daily increment is a search+union+re-cap
+    * over the increment's keys, not an O(corpus) job.
+    *
+    * Contract: `newVecs` (id, vec) ids are fresh (disjoint from the
+    * corpus); edges AMONG batch members are not formed by this call —
+    * near-dup pairs arriving in ONE batch become mutually reachable
+    * via their shared corpus neighbors, and a periodic [[build]]
+    * (or NN-descent round) re-tightens the graph, the standard
+    * refresh cadence for incremental ANN indexes. Returns the
+    * updated edge table; use it with corpus = e ∪ newVecs. */
+  def insert(spark: SparkSession, graph: DataFrame, e: DataFrame,
+      idCol: String, vecCol: String, newVecs: DataFrame,
+      k: Int = 8, beam: Int = 24, hops: Int = 3, entries: Int = 16): DataFrame = {
+    val q = newVecs.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+    val found = topK(spark, graph, e, idCol, vecCol, q, k = k,
+      beam = beam, hops = hops, entries = entries)
+    val fwd = found.select(col("qid").as("id"), col("nid").as("nbr"), col("cos_sim"))
+    graph
+      .unionByName(fwd)
+      .unionByName(fwd.select(col("nbr").as("id"), col("id").as("nbr"), col("cos_sim")))
+      .groupBy(col("id"), col("nbr")).agg(max(col("cos_sim")).as("cos_sim"))
+      .withColumn("_r", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("cos_sim").desc, col("nbr"))))
+      .filter(col("_r") <= 2 * k).drop("_r")
+  }
+
   /** Batched beam search over a built graph. `queries` is (qid, qvec);
     * returns (qid, rn, nid, cos_sim), top-k per query, rn 1..k,
     * self-matches (qid == nid over a shared id space) excluded. */

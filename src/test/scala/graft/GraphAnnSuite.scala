@@ -67,6 +67,42 @@ class GraphAnnSuite extends GraftSuite {
     assert(recall >= 0.85, f"mean recall@5 $recall%.3f below floor")
   }
 
+  test("incremental insert: held-out vectors wired in by search are findable at full-build recall") {
+    val e = Tables.embeddings(spark, sf0001).cache()
+    val base = e.filter(col("vec_id") >= 100)          // 400 vectors
+    val incoming = e.filter(col("vec_id") < 100)       // the increment (includes the 50 query ids)
+    val g0 = graft.api.NeighborGraphAnn.build(spark, base, "vec_id", "embedding")
+    val g1 = graft.api.NeighborGraphAnn.insert(spark, g0, base, "vec_id", "embedding", incoming)
+    // degree cap survives the merge
+    val deg = g1.groupBy(col("id")).count().agg(max(col("count"))).head().getLong(0)
+    assert(deg <= 16, s"degree cap must survive insert, got $deg")
+    // query the standard 50 over the UPDATED graph + full corpus:
+    // recall vs brute force must match the full-build floor — i.e.
+    // inserted vectors are first-class citizens of the graph
+    val got = graft.api.NeighborGraphAnn.topK(spark, g1, e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 50)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val want = brute(e, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val recall = want.map { case (q, t) => (got(q) & t).size.toDouble / t.size }
+      .sum / want.size
+    // measured 0.944 (vs 0.912 full-build — the inserted fifth of the
+    // corpus gets edges from SEARCH, which on this geometry finds
+    // slightly better neighbors than the LSH seeding did)
+    assert(recall >= 0.85, f"post-insert recall@5 $recall%.3f below floor")
+    // and inserted vectors appear as RESULTS where they truly belong:
+    // of the true top-5 sets, the members with id < 100 must be found
+    val insertedTruth = want.toSeq.flatMap { case (q, t) => t.filter(_ < 100).map((q, _)) }
+    val insertedHit = insertedTruth.count { case (q, n) => got(q).contains(n) }
+    assert(insertedTruth.nonEmpty &&
+      insertedHit.toDouble / insertedTruth.size >= 0.75,
+      s"only $insertedHit/${insertedTruth.size} true inserted neighbors found")
+    e.unpersist()
+  }
+
   test("planted tight near-dups are found at rank 1 (the navigable regime)") {
     val sess = spark; import sess.implicits._
     val rnd = new scala.util.Random(11L)
