@@ -41,8 +41,12 @@ def main():
     json_out = None
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv):
+            sys.exit("usage: oracle_check.py [--json OUT] <sfDir> <outDir> [query ...]")
         json_out = argv[i + 1]
         del argv[i:i + 2]
+    if len(argv) < 2:
+        sys.exit("usage: oracle_check.py [--json OUT] <sfDir> <outDir> [query ...]")
     sf_dir, out_dir = argv[0], argv[1]
     only = set(argv[2:])
     results = {}

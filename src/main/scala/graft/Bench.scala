@@ -109,6 +109,12 @@ object Bench {
     val errJson = errors.map { case (k, m) => jstr(k) + ":" + jstr(m) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"failed":${errors.size},"errors":$errJson,"noise_ratio_median":${f3(pct(0.5))},"noise_ratio_p90":${f3(pct(0.9))},"spread_file":"$spreadPath","queries":$qs,"sf":"$sfDir"}""")
+    // Second, COMPACT summary line (<200 bytes) printed LAST: at 137+
+    // queries the full line above is ~3.5 KB, but the driver's tail
+    // capture keeps only the final ~2 KB of stdout — r12/r13 records
+    // came back "parsed": null because the head (metric/value/failed)
+    // was truncated away. The tail always contains this whole line.
+    println(s"""{"metric":"total_summary","value":${f3(total)},"unit":"sec","n_queries":${mins.size},"reps":$reps,"failed":${errors.size},"noise_ratio_median":${f3(pct(0.5))},"noise_ratio_p90":${f3(pct(0.9))},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -30,13 +30,14 @@ object DupSpans {
     *
     * r12 sf1-probe optimizations (24.5 s → single-digit at the 10×
     * dataset, output unchanged):
-    *  - shingles travel as a 64-bit `xxhash64` over the word SLICE —
-    *    no per-shingle string is ever built, and the corpus-wide
-    *    shuffle carries 8-byte keys instead of ~50-char strings.
-    *    Fingerprint collisions (≈ n²/2⁶⁵ — ~10⁻⁷ even at 2.4M
-    *    shingles) are the standard exact-substring-dedup trade
-    *    (hash-based shingle matching) and would only ever ADD a
-    *    spurious marked position, never lose one.
+    *  - shingles travel as a TWO-SEED 128-bit `xxhash64` pair over
+    *    the word SLICE (r14, retiring the r13 accepted-risk) — no
+    *    per-shingle string is ever built, and the corpus-wide shuffle
+    *    carries 16-byte keys instead of ~50-char strings. Pair
+    *    collisions (≈ n²/2¹²⁹) are negligible at ANY corpus size —
+    *    the same guarantee class as the md5 exact-dup collapse — and
+    *    a collision would only ever ADD a spurious marked position,
+    *    never lose one.
     *  - ONE shingle explode: occurrences group by fingerprint into a
     *    collected list (groups are tiny — shingle multiplicity), the
     *    ≥2-distinct-docs filter is per-group array logic, and marked
@@ -51,8 +52,12 @@ object DupSpans {
       .filter(size(col("ws")) >= k)
     val sh = ws
       .select(col("doc_id"), explode(expr(
+        // the second hash prepends a constant discriminator so the two
+        // 64-bit lanes are independent functions of the same slice
         s"""transform(sequence(1, size(ws) - ${k - 1}),
-           |  i -> struct(i AS pos, xxhash64(slice(ws, i, $k)) AS h))""".stripMargin)).as("e"))
+           |  i -> struct(i AS pos,
+           |    struct(xxhash64(slice(ws, i, $k)) AS h1,
+           |           xxhash64('graft-h2', slice(ws, i, $k)) AS h2) AS h))""".stripMargin)).as("e"))
       .select(col("doc_id"), col("e.pos").as("pos"), col("e.h").as("h"))
     val marked = sh.groupBy("h")
       .agg(collect_list(struct(col("doc_id"), col("pos"))).as("occs"))

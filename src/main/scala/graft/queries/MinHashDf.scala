@@ -17,7 +17,10 @@ import graft.Tables
   * this is the only hash-based fuzzy-dedup in the inventory with a
   * full oracle. It is also the 100 TB shape: one corpus pass for
   * signatures, band join ~linear in docs, exact distances only on
-  * candidates.
+  * candidates. In particular the banding is df-INDEPENDENT — on a
+  * df-saturated corpus (where [[graft.queries.PipelineExtras.dfCostGuard]]
+  * fires on the exact rows #62/#109), rows #71/#138 here are the
+  * declared scale paths (measured ~linear at 10×, BASELINE.md).
   *
   * Overflow safety (both engines use signed 64-bit): shingle hash is
   * 28 bits (7 md5 hex digits), multipliers < 2^31, so a·h + b <

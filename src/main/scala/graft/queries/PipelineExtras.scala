@@ -15,7 +15,7 @@ import graft.Tables
   * (integer scores) or produced by one deterministic arithmetic step
   * before round().
   */
-object PipelineExtras {
+object PipelineExtras extends org.apache.spark.internal.Logging {
   type Q = (SparkSession, String) => DataFrame
 
   /** Per-word 32-bit hash: first 8 hex digits of md5 — engine-portable
@@ -150,6 +150,53 @@ object PipelineExtras {
     * cap, so the rows stay fully hash-checked. */
   val NGRAM_POSTING_DF_CAP = 200L
 
+  /** Guard threshold for [[dfCostGuard]]: estimated candidate pairs
+    * per unique document above which the exact inverted-index rows
+    * are declared df-saturated. Calibrated against the fixtures: the
+    * driver corpora (zipfian-ish vocabulary, sf0.001–0.1) sit well
+    * under it; the 10× GenScale corpus (trigram vocabulary saturated
+    * — 29,769 of 29,791 shingles hot, where the r13 probe PROVED no
+    * df cap can bind) sits well over. */
+  val DF_GUARD_CAND_PER_DOC = 512L
+
+  /** r14 pre-flight Σ df² cost guard (VERDICT r13 Next-round #5).
+    *
+    * Before the inverted-index joins of [[containmentPairsUnique]] /
+    * [[jaccardPairsUnique]] enumerate candidates, ONE cheap aggregate
+    * over the (already-computed, cached) postings estimates the
+    * candidate-pair volume those joins are about to pay:
+    * Σ_sh c·(c−1)/2 with c = min(df, [[NGRAM_POSTING_DF_CAP]]) — an
+    * upper bound on capped equi-join output. When the estimate
+    * exceeds [[DF_GUARD_CAND_PER_DOC]] × corpus size, the corpus is
+    * df-saturated (generic shingles shared corpus-wide) and the EXACT
+    * rows are the wrong tool: the guard logs a warning routing the
+    * caller to the df-INDEPENDENT banded scale paths —
+    * [[graft.queries.MinHashDf]] rows #71 `q_dedup_minhash_df`
+    * (Jaccard regime) and #138 `q_dedup_contain_minhash` (containment
+    * regime), both measured ~linear at 10×. The guard itself costs
+    * O(postings) — one groupBy on a frame the pipeline shuffles
+    * anyway, reduced to two scalars — never pairs, and it changes no
+    * output (routing advice, not behavior: the exact result is still
+    * computed and still exact).
+    *
+    * @return (estimated candidate pairs, unique docs, fired) */
+  private[graft] def dfCostGuard(sh: DataFrame, label: String): (Long, Long, Boolean) = {
+    val est = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .agg(sum(expr(
+        s"CAST(least(df, $NGRAM_POSTING_DF_CAP) * (least(df, $NGRAM_POSTING_DF_CAP) - 1) / 2 AS BIGINT)"))
+        .as("cand"))
+      .head.get(0) match { case null => 0L; case v => v.asInstanceOf[Long] }
+    val nDocs = sh.agg(countDistinct(col("doc_id"))).head.getLong(0)
+    val fired = nDocs > 0 && est > DF_GUARD_CAND_PER_DOC * nDocs
+    if (fired) logWarning(
+      s"$label: df-saturated corpus — estimated ~$est candidate pairs over " +
+        s"$nDocs unique docs (> $DF_GUARD_CAND_PER_DOC/doc). The exact " +
+        "inverted-index join is Σ df²-bound here; prefer the df-independent " +
+        "banded scale paths: q_dedup_minhash_df (#71, Jaccard) / " +
+        "q_dedup_contain_minhash (#138, containment).")
+    (est, nDocs, fired)
+  }
+
   /** Exact-duplicate collapse: assigns every doc (≥ 3 words — the
     * shingling domain) its cluster's representative `uid` = min
     * doc_id over identical texts. Returns (memb: doc_id → uid, urep:
@@ -176,7 +223,10 @@ object PipelineExtras {
       .select(col("doc_id"), md5(col("text")).as("_tk"))
       .withColumn("uid", min(col("doc_id")).over(Window.partitionBy(col("_tk"))))
       .select(col("doc_id"), col("uid"))
-      .cache()
+      // localCheckpoint(lazy), not cache(): blocks reclaimed by the
+      // ContextCleaner when the plan goes out of scope, so repeated
+      // query invocations don't pin an ever-growing cache (ADVICE r13)
+      .localCheckpoint(false)
     val urep = d0.join(withUid.filter(col("doc_id") === col("uid"))
         .select(col("doc_id")), Seq("doc_id"), "left_semi")
     (withUid, urep)
@@ -236,6 +286,7 @@ object PipelineExtras {
   private[graft] def containmentPairsUnique(docs: DataFrame): DataFrame = {
     val sh = containShingles(docs)
       .cache() // consumed 4× (prefix source, candidate probe, recount both sides)
+    dfCostGuard(sh, "q_dedup_containment") // r14 pre-flight (routing advice only)
     val shDf = sh
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz")).cache()
@@ -291,6 +342,7 @@ object PipelineExtras {
         "transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))")))
         .as("sh"))
       .cache() // consumed 4× (df, postings⋈df, recount both sides)
+    dfCostGuard(sh, "q_dedup_ngram_jaccard") // r14 pre-flight (routing advice only)
     // document frequency as ONE window pass: partitionBy(sh) shuffles
     // the postings once, where the old groupBy(sh)+join-back shape
     // shuffled them twice (aggregate, then re-join on the string key)

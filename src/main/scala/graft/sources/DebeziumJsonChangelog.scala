@@ -38,7 +38,15 @@ import org.apache.spark.unsafe.types.UTF8String
 object DebeziumEnvelope {
   private val mapper = new ObjectMapper()
 
-  def parseLine(line: String, keyField: String): Option[PgCdcSim.CdcRow] = {
+  /** Junk tolerance is part of the contract: a live directory feed
+    * contains torn/partial last lines (a writer mid-append), and one
+    * malformed line must not fail the whole executor task or stream —
+    * anything unparseable is skipped exactly like blanks/tombstones. */
+  def parseLine(line: String, keyField: String): Option[PgCdcSim.CdcRow] =
+    try parseLineStrict(line, keyField)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  private def parseLineStrict(line: String, keyField: String): Option[PgCdcSim.CdcRow] = {
     if (line == null || line.trim.isEmpty) return None
     val root0 = mapper.readTree(line)
     if (root0 == null || root0.isNull) return None
@@ -53,9 +61,14 @@ object DebeziumEnvelope {
     val src = if (root.has("source") && !root.get("source").isNull) root.get("source") else root
     val seqNode = if (src.has("lsn")) src.get("lsn") else root.get("lsn")
     if (seqNode == null || seqNode.isNull) return None
-    val tsMs =
-      if (root.has("ts_ms") && !root.get("ts_ms").isNull) root.get("ts_ms").asLong()
-      else src.get("ts_ms").asLong()
+    // ts_ms may live on the envelope or on source — and a truncated
+    // event can carry neither; that line is incomplete, skip it
+    // (don't NPE the task).
+    val tsNode =
+      if (root.has("ts_ms") && !root.get("ts_ms").isNull) root.get("ts_ms")
+      else src.get("ts_ms")
+    if (tsNode == null || tsNode.isNull) return None
+    val tsMs = tsNode.asLong()
     val img = if (op == "D") root.get("before") else root.get("after")
     if (img == null || img.isNull) return None
     val keyNode = img.get(keyField)
@@ -71,8 +84,27 @@ object DebeziumEnvelope {
     Some(PgCdcSim.CdcRow(seqNode.asLong(), keyNode.asLong(), op, tsMs * 1000L, et, v))
   }
 
-  private[sources] def readLines(file: String): Iterator[String] =
-    Files.readAllLines(Paths.get(file), StandardCharsets.UTF_8).asScala.iterator
+  /** Streams lines with a BufferedReader instead of materializing the
+    * whole file (`Files.readAllLines` holds every line of a multi-GB
+    * archive segment in heap at once). The reader closes itself when
+    * the iterator is exhausted — every caller (horizon poll, slice
+    * reader flatMap) drains it fully. */
+  private[sources] def readLines(file: String): Iterator[String] = {
+    val br = Files.newBufferedReader(Paths.get(file), StandardCharsets.UTF_8)
+    new Iterator[String] {
+      private var nextLine: String = br.readLine()
+      private var closed = false
+      override def hasNext: Boolean = {
+        if (nextLine == null && !closed) { closed = true; br.close() }
+        nextLine != null
+      }
+      override def next(): String = {
+        val l = nextLine
+        nextLine = br.readLine()
+        l
+      }
+    }
+  }
 }
 
 /** One planned slice of the feed: the file list is CAPTURED at plan
@@ -128,8 +160,13 @@ final class DebeziumReaderFactory(keyField: String) extends PartitionReaderFacto
 final class DebeziumJsonChangelog(dir: String, keyField: String,
     numPartitions: Int) extends CdcChangelog {
 
-  // (path, size, mtimeMs) → (maxDataSeq, maxAllSeq); driver-side only
-  private val horizonMemo = mutable.HashMap.empty[(String, Long, Long), (Long, Long)]
+  // path → ((size, mtimeMs) fingerprint, (maxDataSeq, maxAllSeq)).
+  // Keying by PATH (with the fingerprint as part of the value) means a
+  // file that grows replaces its stale entry instead of accumulating
+  // one memo row per observed (size, mtime) — an append-heavy feed
+  // polls thousands of times per file and must not grow the driver
+  // map without bound.
+  private val horizonMemo = mutable.HashMap.empty[String, ((Long, Long), (Long, Long))]
 
   private def listFeed(): Seq[String] = {
     val fs = new File(dir).listFiles()
@@ -141,18 +178,22 @@ final class DebeziumJsonChangelog(dir: String, keyField: String,
 
   private def fileHorizon(path: String): (Long, Long) = {
     val f = new File(path)
-    val fp = (path, f.length(), f.lastModified())
-    horizonMemo.getOrElseUpdate(fp, {
-      var maxData = -1L
-      var maxAll = -1L
-      DebeziumEnvelope.readLines(path)
-        .flatMap(l => DebeziumEnvelope.parseLine(l, keyField))
-        .foreach { r =>
-          maxAll = math.max(maxAll, r.seq)
-          if (r.op != "D") maxData = math.max(maxData, r.seq)
-        }
-      (maxData, maxAll)
-    })
+    val fp = (f.length(), f.lastModified())
+    horizonMemo.get(path) match {
+      case Some((`fp`, h)) => h
+      case _ =>
+        var maxData = -1L
+        var maxAll = -1L
+        DebeziumEnvelope.readLines(path)
+          .flatMap(l => DebeziumEnvelope.parseLine(l, keyField))
+          .foreach { r =>
+            maxAll = math.max(maxAll, r.seq)
+            if (r.op != "D") maxData = math.max(maxData, r.seq)
+          }
+        val h = (maxData, maxAll)
+        horizonMemo.update(path, (fp, h))
+        h
+    }
   }
 
   override def pollHorizon(): (Long, Long) = {

@@ -204,6 +204,10 @@ class PgCdcSimTable(options: CaseInsensitiveStringMap)
   // primary-key column inside before/after. The offset/admission/
   // restart machinery downstream is identical for both.
   private val backend = Option(options.get("backend")).getOrElse("parquet")
+  require(backend == "parquet" || backend == "debezium-json",
+    s"pg-cdc-sim backend must be one of [parquet, debezium-json] (got " +
+      s""""$backend"): an unrecognized value silently reading the parquet """ +
+      "simulator would produce confusing empty/wrong results")
   private val keyField = Option(options.get("keyField")).getOrElse("id")
 
   override def name(): String = s"pg-cdc-sim($path)"

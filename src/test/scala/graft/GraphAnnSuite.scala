@@ -67,6 +67,40 @@ class GraphAnnSuite extends GraftSuite {
     assert(recall >= 0.85, f"mean recall@5 $recall%.3f below floor")
   }
 
+  test("persisted lifecycle: save/load roundtrip, probe-only results identical, re-save flips versions atomically") {
+    val dir = java.nio.file.Files.createTempDirectory("gann").toString
+    val e = Tables.embeddings(spark, sf0001)
+    val g = graft.api.NeighborGraphAnn.build(spark, e, "vec_id", "embedding")
+      .localCheckpoint(true) // pin one concrete build for the comparison
+    graft.api.NeighborGraphAnn.save(spark, dir, g, e, "vec_id", "embedding")
+    val (gl, vl) = graft.api.NeighborGraphAnn.load(spark, dir)
+    assert(gl.count() == g.count() &&
+      gl.exceptAll(g).isEmpty && g.exceptAll(gl).isEmpty,
+      "loaded edge table must equal the saved one")
+    assert(vl.count() == e.count(), "loaded vectors must cover the corpus")
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val mem = keyed(graft.api.NeighborGraphAnn.topK(
+      spark, g, e, "vec_id", "embedding", q, k = 5))
+    val probed = keyed(graft.api.NeighborGraphAnn.topKLoaded(spark, dir, q, k = 5))
+    assert(probed == mem,
+      "probe over the persisted index must return exactly the in-memory results")
+    // re-save publishes v2 without touching v1; load follows to the
+    // newest committed version (the Versioned atomicity contract)
+    val half = e.filter(col("vec_id") % 2 === 0)
+    val g2 = graft.api.NeighborGraphAnn.build(spark, half, "vec_id", "embedding")
+    graft.api.NeighborGraphAnn.save(spark, dir, g2, half, "vec_id", "embedding")
+    val (gl2, vl2) = graft.api.NeighborGraphAnn.load(spark, dir)
+    assert(vl2.count() == half.count() && gl2.count() == g2.count(),
+      "load must follow the newest committed version")
+    // missing index throws instead of returning empties
+    intercept[IllegalStateException] {
+      graft.api.NeighborGraphAnn.load(spark, s"$dir/nope")
+    }
+  }
+
   test("incremental insert: held-out vectors wired in by search are findable at full-build recall") {
     val e = Tables.embeddings(spark, sf0001).cache()
     val base = e.filter(col("vec_id") >= 100)          // 400 vectors
