@@ -36,17 +36,66 @@ def norm(v):
     return str(v)
 
 
+def set_compare(con, name, sql, out_dir):
+    """Order-invariant compare for corpus-sized outputs (r14 heavy-row
+    sweep): materialize both sides as DuckDB temp tables and diff them
+    with EXCEPT ALL in BOTH directions — exact multiset equality
+    (NULL-safe, duplicate-aware) without fetching millions of rows
+    into Python. Row ORDER is deliberately not checked here; use the
+    default positional path for order-sensitive small outputs."""
+    con.execute(f"CREATE OR REPLACE TEMP TABLE _exp AS ({sql})")
+    con.execute("CREATE OR REPLACE TEMP TABLE _got AS "
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+    def cols_of(t):
+        return dict(con.execute(
+            "SELECT column_name, data_type FROM information_schema.columns "
+            f"WHERE table_name = '{t}'").fetchall())
+    exp_t, got_t = cols_of("_exp"), cols_of("_got")
+    if sorted(exp_t) != sorted(got_t):
+        print(f"FAIL {name}: columns oracle={sorted(exp_t)} spark={sorted(got_t)}")
+        return "fail_schema"
+    n_exp = con.execute("SELECT count(*) FROM _exp").fetchone()[0]
+    n_got = con.execute("SELECT count(*) FROM _got").fetchone()[0]
+    if n_exp != n_got:
+        print(f"FAIL {name}: rows oracle={n_exp} spark={n_got}")
+        return "fail_rows"
+    cols = sorted(got_t)
+    # cast the oracle side to the parquet side's types so e.g. a
+    # DECIMAL-typed oracle aggregate compares against the DOUBLE the
+    # engine wrote under the same value-equality the driver uses
+    sel_exp = ", ".join(f'CAST("{c}" AS {got_t[c]}) AS "{c}"' for c in cols)
+    sel_got = ", ".join(f'"{c}"' for c in cols)
+    only_exp = con.execute(
+        f"SELECT count(*) FROM (SELECT {sel_exp} FROM _exp "
+        f"EXCEPT ALL SELECT {sel_got} FROM _got)").fetchone()[0]
+    only_got = con.execute(
+        f"SELECT count(*) FROM (SELECT {sel_got} FROM _got "
+        f"EXCEPT ALL SELECT {sel_exp} FROM _exp)").fetchone()[0]
+    if only_exp or only_got:
+        print(f"FAIL {name}: multiset diff oracle-only={only_exp} spark-only={only_got} of {n_exp}")
+        return "fail_values"
+    print(f"OK   {name}: {n_exp} rows (set-compare)")
+    return f"ok_set:{n_exp}"
+
+
 def main():
     argv = list(sys.argv[1:])
     json_out = None
+    set_names = set()
     if "--json" in argv:
         i = argv.index("--json")
         if i + 1 >= len(argv):
-            sys.exit("usage: oracle_check.py [--json OUT] <sfDir> <outDir> [query ...]")
+            sys.exit("usage: oracle_check.py [--json OUT] [--setcompare q1,q2] <sfDir> <outDir> [query ...]")
         json_out = argv[i + 1]
         del argv[i:i + 2]
+    if "--setcompare" in argv:
+        i = argv.index("--setcompare")
+        if i + 1 >= len(argv):
+            sys.exit("usage: oracle_check.py [--json OUT] [--setcompare q1,q2] <sfDir> <outDir> [query ...]")
+        set_names = set(argv[i + 1].split(","))
+        del argv[i:i + 2]
     if len(argv) < 2:
-        sys.exit("usage: oracle_check.py [--json OUT] <sfDir> <outDir> [query ...]")
+        sys.exit("usage: oracle_check.py [--json OUT] [--setcompare q1,q2] <sfDir> <outDir> [query ...]")
     sf_dir, out_dir = argv[0], argv[1]
     only = set(argv[2:])
     results = {}
@@ -64,6 +113,15 @@ def main():
     failures = 0
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
+            continue
+        if name in set_names:
+            try:
+                results[name] = set_compare(con, name, sql, out_dir)
+            except Exception as e:
+                print(f"FAIL {name}: exception {e}")
+                results[name] = "fail_exception"
+            if results[name].startswith("fail"):
+                failures += 1
             continue
         try:
             exp = con.execute(sql)

@@ -10,6 +10,16 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Fixture-scale split sizing (r14): the brief's "size
+      // maxPartitionBytes so partitions fit/parallelize at the target
+      // SF". Default 128 MB/4 MB is tuned for TB-scale scans; these
+      // corpora are 50–500 MB of HEAVILY CPU-bound bytes (md5
+      // shingling, codegen dot products), where the defaults pack the
+      // whole table into 1–2 tasks and serialize 32 cores behind one.
+      // 4 MB splits / 128 KB open cost give file-level parallelism on
+      // the sharded GenScale sets without changing any result.
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "131072")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // uniform timestamp flavor for the whole session (see Verify)

@@ -12,6 +12,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // fixture-scale split sizing — same rationale as Bench: the
+      // sharded GenScale corpora must scan in parallel, not as 1 task
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "131072")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // uniform timestamp flavor for the WHOLE session: the events

@@ -1,5 +1,7 @@
 package graft.tools
 
+import scala.util.chaining._
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -75,6 +77,18 @@ object GenScale {
     spark.read.parquet(s"$src/$t.parquet")
       .write.mode("overwrite").parquet(s"$dst/$t.parquet")
 
+  /** Sharded write for the scaled tables (r14): the fixture inputs
+    * are single-partition, and a broadcast crossJoin preserves that —
+    * so without an explicit shuffle every scaled table landed as ONE
+    * parquet file with ONE row group, which no reader can split: at
+    * the 100× dataset the whole 500k-doc corpus scan became a single
+    * task and serialized every CPU-heavy pipeline behind one core.
+    * A real N× corpus is many files; 32 shards makes the generated
+    * data splittable exactly like production layout. */
+  private val OUT_SHARDS = 32
+  private def writeSharded(df: DataFrame, path: String): Unit =
+    df.repartition(OUT_SHARDS).write.mode("overwrite").parquet(path)
+
   /** Replica-i vocabulary bijection over `vocab`, seed-derived. */
   private def vocabPerm(vocab: Array[String], i: Int): Map[String, String] = {
     val rnd = new scala.util.Random(42L * 1000003L + i)
@@ -108,7 +122,7 @@ object GenScale {
             " ")))
       .withColumn("n_chars", length(col("text")).cast("long"))
       .drop("_rep")
-      .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+      .pipe(d => writeSharded(d, s"$dst/documents.parquet"))
   }
 
   /** Signed permutation (orthogonal transform) of the DIM dims. */
@@ -132,19 +146,19 @@ object GenScale {
       .withColumn("vec_id", col("vec_id") + col("_rep").cast("long") * span)
       .withColumn("embedding", vecExpr)
       .drop("_rep")
-      .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+      .pipe(d => writeSharded(d, s"$dst/embeddings.parquet"))
   }
 
   def generate(spark: SparkSession, src: String, dst: String, f: Int): Unit = {
     require(f >= 1, s"factor must be >= 1 (got $f)")
     copyTable(spark, src, dst, "region")
     copyTable(spark, src, dst, "nation")
-    shifted(spark.read.parquet(s"$src/customer.parquet"), f, Seq("c_custkey"))
-      .write.mode("overwrite").parquet(s"$dst/customer.parquet")
-    shifted(spark.read.parquet(s"$src/supplier.parquet"), f, Seq("s_suppkey"))
-      .write.mode("overwrite").parquet(s"$dst/supplier.parquet")
-    shifted(spark.read.parquet(s"$src/part.parquet"), f, Seq("p_partkey"))
-      .write.mode("overwrite").parquet(s"$dst/part.parquet")
+    writeSharded(shifted(spark.read.parquet(s"$src/customer.parquet"), f,
+      Seq("c_custkey")), s"$dst/customer.parquet")
+    writeSharded(shifted(spark.read.parquet(s"$src/supplier.parquet"), f,
+      Seq("s_suppkey")), s"$dst/supplier.parquet")
+    writeSharded(shifted(spark.read.parquet(s"$src/part.parquet"), f,
+      Seq("p_partkey")), s"$dst/part.parquet")
     // FK consistency: orders and lineitem shift each key by ITS OWN
     // parent's span, computed from the parent table
     val spark0 = spark
@@ -161,13 +175,13 @@ object GenScale {
       .withColumn("o_orderkey", col("o_orderkey") + col("_rep").cast("long") * ordSpan)
       .withColumn("o_custkey", col("o_custkey") + col("_rep").cast("long") * custSpan)
       .drop("_rep")
-      .write.mode("overwrite").parquet(s"$dst/orders.parquet")
+      .pipe(d => writeSharded(d, s"$dst/orders.parquet"))
     spark.read.parquet(s"$src/lineitem.parquet").crossJoin(rep)
       .withColumn("l_orderkey", col("l_orderkey") + col("_rep").cast("long") * ordSpan)
       .withColumn("l_partkey", col("l_partkey") + col("_rep").cast("long") * partSpan)
       .withColumn("l_suppkey", col("l_suppkey") + col("_rep").cast("long") * suppSpan)
       .drop("_rep")
-      .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
+      .pipe(d => writeSharded(d, s"$dst/lineitem.parquet"))
     // events: keep raw schema AS THE DRIVER WROTE IT (µs timestamps) —
     // readers go through Tables.events either way
     val ev = spark.read.parquet(s"$src/events.parquet")
@@ -177,7 +191,7 @@ object GenScale {
       .withColumn("event_id", col("event_id") + col("_rep").cast("long") * evSpan)
       .withColumn("user_id", col("user_id") + col("_rep").cast("long") * userSpan)
       .drop("_rep")
-      .write.mode("overwrite").parquet(s"$dst/events.parquet")
+      .pipe(d => writeSharded(d, s"$dst/events.parquet"))
     scaleDocuments(spark, src, dst, f)
     scaleEmbeddings(spark, src, dst, f)
   }
