@@ -393,20 +393,27 @@ object Analytics {
   // DuckDB oracle: the same 5 steps UNROLLED as CTE pairs
   // (contribution aggregate, then damped update) — built
   // programmatically so both engines state one recurrence.
+  // AS MATERIALIZED on every CTE (r14): DuckDB inlines plain CTEs, so
+  // the un-hinted chain re-evaluates the multi-referenced edges/deg/
+  // nodes subtrees combinatorially down the 5-step unroll — at the
+  // 10× dataset (23.9M edges) it spilled >78 GB of temp and died.
+  // Materialized, the same statement runs in ~39 s at sf1 with
+  // bounded temp; at the driver's sf0.01 gate it is equally correct
+  // (the hint is DuckDB-only syntax, which is the oracle's dialect).
   val qGraphPagerankSql: String = {
     val head =
-      """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-        |edges AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+      """WITH li AS MATERIALIZED (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |edges AS MATERIALIZED (SELECT DISTINCT a.pk AS src, b.pk AS dst
         |          FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
-        |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
-        |nodes AS (SELECT DISTINCT src AS node FROM edges),
-        |cnt AS (SELECT COUNT(*) AS n FROM nodes),
-        |pr0 AS (SELECT node, 1.0 / n AS pr FROM nodes CROSS JOIN cnt)""".stripMargin
+        |deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+        |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+        |cnt AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),
+        |pr0 AS MATERIALIZED (SELECT node, 1.0 / n AS pr FROM nodes CROSS JOIN cnt)""".stripMargin
     val steps = (1 to 5).map { k =>
-      s"""c$k AS (SELECT e.dst AS node, SUM(p.pr / d.deg) AS c
+      s"""c$k AS MATERIALIZED (SELECT e.dst AS node, SUM(p.pr / d.deg) AS c
          |  FROM edges e JOIN pr${k - 1} p ON p.node = e.src
          |  JOIN deg d ON d.src = e.src GROUP BY e.dst),
-         |pr$k AS (SELECT n.node, 0.15 / cnt.n + 0.85 * COALESCE(c.c, 0) AS pr
+         |pr$k AS MATERIALIZED (SELECT n.node, 0.15 / cnt.n + 0.85 * COALESCE(c.c, 0) AS pr
          |  FROM nodes n CROSS JOIN cnt LEFT JOIN c$k c ON c.node = n.node)""".stripMargin
     }.mkString(",\n")
     s"""$head,

@@ -143,7 +143,13 @@ object Linkage {
     * (name1, name2, dist ≡ 1) with name1 < name2. */
   def editDistJoin(s: org.apache.spark.sql.SparkSession,
       names: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    names.select(col(names.columns.head).as("nm")).createOrReplaceTempView("ed_nm_in")
+    // distinct BEFORE the variant explode: the pair output is distinct
+    // by construction (cand dedups), but a corpus with repeated names
+    // (e.g. the replicated sf1/sf10 datasets — ~2.5 copies per sampled
+    // name) would otherwise pay k× the variant generation and k²× the
+    // candidate join for identical results
+    names.select(col(names.columns.head).as("nm")).distinct()
+      .createOrReplaceTempView("ed_nm_in")
     s.sql(
       """WITH v AS (
         |  SELECT nm, vp.variant AS variant, vp.pos AS pos
@@ -172,8 +178,16 @@ object Linkage {
   }
 
   val qJoinEditdistSql: String =
+    // DISTINCT in both the sample and the pair select: the row's
+    // contract is pairs of distinct NAME VALUES (the engine's `cand`
+    // is SELECT DISTINCT). The r14 sf1 sweep caught the multiset
+    // variant diverging — GenScale replicas repeat c_name verbatim
+    // under shifted keys, so each sampled name appears ~2.5× at sf1
+    // and an un-DISTINCT oracle join emits k₁×k₂ copies per true pair
+    // (1 666 704 vs the engine's 234 943 distinct pairs ≈ 7.09×). At
+    // the unique-name fixtures (sf0.001–0.1) both forms are identical.
     """WITH nm AS (
-      |  SELECT c_name FROM customer
+      |  SELECT DISTINCT c_name FROM customer
       |  WHERE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1) <= '3')
       |SELECT a.c_name AS name1, b.c_name AS name2,
       |       CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
