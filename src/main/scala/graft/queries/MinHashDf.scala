@@ -148,7 +148,16 @@ object MinHashDf {
 
   /** Shared CTE prefix (shingles → signatures → bands → candidates →
     * sizes → intersections) — the SQL twin of [[bandedCandidates]],
-    * spliced into both rows' oracles. */
+    * spliced into both rows' oracles.
+    *
+    * AS MATERIALIZED on the multi-referenced CTEs (r14): DuckDB
+    * inlines plain CTEs, so `sigs` (referenced 6× by the band
+    * selects) and `sh` (referenced 4×: shh, sizes, inter×2) each
+    * re-evaluate the whole 5M-doc shingle+md5 pipeline per reference
+    * at the 100× dataset — the sf10 spot sweep measured it spilling
+    * >75 GB of DuckDB temp before dying (same failure class as the
+    * pagerank oracle, fixed the same way). Hint is DuckDB-dialect
+    * (the only engine that runs oracle SQL). */
   private def bandedCandidatesCte: String = {
     val sigExprs = A.indices.map(i =>
       s"MIN((${A(i)} * h + ${B(i)}) % $P) AS sig$i").mkString(",\n         ")
@@ -157,7 +166,7 @@ object MinHashDf {
       .mkString("\n  UNION ALL ")
     s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
        |           WHERE LEN(string_split(text, ' ')) >= 3),
-       |sh AS (SELECT DISTINCT doc_id, sh FROM (
+       |sh AS MATERIALIZED (SELECT DISTINCT doc_id, sh FROM (
        |  SELECT doc_id, UNNEST(list_transform(generate_series(1, LEN(ws) - 2),
        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh FROM d)),
        |shh AS (SELECT doc_id, sh,
@@ -165,18 +174,18 @@ object MinHashDf {
        |    i -> (CAST(strpos('0123456789abcdef', substring(md5(sh), i, 1)) AS BIGINT) - 1)
        |         << (4 * (7 - i)))) AS BIGINT) AS h
        |  FROM sh),
-       |sigs AS (SELECT doc_id,
+       |sigs AS MATERIALIZED (SELECT doc_id,
        |         $sigExprs
        |      FROM shh GROUP BY doc_id),
-       |bands AS (
+       |bands AS MATERIALIZED (
        |  $bandSelects),
-       |cand AS (
+       |cand AS MATERIALIZED (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |  FROM bands x JOIN bands y
        |    ON x.band = y.band AND x.v1 = y.v1 AND x.v2 = y.v2
        |   AND x.doc_id < y.doc_id),
-       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-       |inter AS (
+       |sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+       |inter AS MATERIALIZED (
        |  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
        |  FROM cand c
        |  JOIN sh a ON a.doc_id = c.doc_a

@@ -133,11 +133,17 @@ object SearchDedup {
       .select(col("doc_id"), col("cluster").as("cluster_id"))
       .orderBy("doc_id")
 
+  // pairs/sym AS MATERIALIZED (r14, both this oracle and canonical's):
+  // DuckDB inlines plain CTEs, and `pairs` embeds the entire #71
+  // minhash pipeline — referenced 2x by sym (and sym again by the
+  // recursion), the 100x dataset re-evaluated it until DuckDB spilled
+  // >75 GB of temp; materialized, the sweep completes (the inner
+  // shingle/signature CTEs carry their own hints in MinHashDf).
   val qDedupClustersSql: String =
-    s"""WITH RECURSIVE pairs AS (
+    s"""WITH RECURSIVE pairs AS MATERIALIZED (
        |${MinHashDf.qDedupMinhashDfSql}
        |),
-       |sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |sym AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
        |        UNION ALL SELECT doc_b, doc_a FROM pairs),
        |nodes AS (SELECT DISTINCT src AS node FROM sym),
        |reach AS (
@@ -175,10 +181,10 @@ object SearchDedup {
   }
 
   val qDedupCanonicalSql: String =
-    s"""WITH RECURSIVE pairs AS (
+    s"""WITH RECURSIVE pairs AS MATERIALIZED (
        |${MinHashDf.qDedupMinhashDfSql}
        |),
-       |sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |sym AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
        |        UNION ALL SELECT doc_b, doc_a FROM pairs),
        |nodes AS (SELECT DISTINCT src AS node FROM sym),
        |reach AS (

@@ -307,9 +307,14 @@ object Streaming {
       .mkString("\n  UNION ALL ")
     val eqSum = A.indices.map(i =>
       s"CASE WHEN a.sig$i = b.sig$i THEN 1 ELSE 0 END").mkString(" + ")
+    // AS MATERIALIZED on sigs/bands (r14): sigs is referenced 6x by
+    // the band selects and 2x by the final join; DuckDB inlines plain
+    // CTEs and re-evaluates the 5M-doc shingle+md5 pipeline per
+    // reference at the 100x dataset (the failure the sf10 spot sweep
+    // measured on the shared #71 CTE — >75 GB temp spill).
     s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
        |           WHERE LEN(string_split(text, ' ')) >= 3),
-       |sh AS (SELECT DISTINCT doc_id, sh FROM (
+       |sh AS MATERIALIZED (SELECT DISTINCT doc_id, sh FROM (
        |  SELECT doc_id, UNNEST(list_transform(generate_series(1, LEN(ws) - 2),
        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh FROM d)),
        |shh AS (SELECT doc_id, sh,
@@ -317,12 +322,12 @@ object Streaming {
        |    i -> (CAST(strpos('0123456789abcdef', substring(md5(sh), i, 1)) AS BIGINT) - 1)
        |         << (4 * (7 - i)))) AS BIGINT) AS h
        |  FROM sh),
-       |sigs AS (SELECT doc_id,
+       |sigs AS MATERIALIZED (SELECT doc_id,
        |         $sigExprs
        |      FROM shh GROUP BY doc_id),
-       |bands AS (
+       |bands AS MATERIALIZED (
        |  $bandSelects),
-       |cand AS (
+       |cand AS MATERIALIZED (
        |  SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS matched_id
        |  FROM bands x JOIN bands y
        |    ON x.band = y.band AND x.v1 = y.v1 AND x.v2 = y.v2
