@@ -15,6 +15,11 @@
 set -u
 OUT=${1:-/tmp/iso}
 mkdir -p "$OUT"
+OPENS="--add-opens=java.base/java.lang=ALL-UNNAMED --add-opens=java.base/java.lang.invoke=ALL-UNNAMED --add-opens=java.base/java.lang.reflect=ALL-UNNAMED --add-opens=java.base/java.io=ALL-UNNAMED --add-opens=java.base/java.net=ALL-UNNAMED --add-opens=java.base/java.nio=ALL-UNNAMED --add-opens=java.base/java.util=ALL-UNNAMED --add-opens=java.base/java.util.concurrent=ALL-UNNAMED --add-opens=java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens=java.base/sun.nio.ch=ALL-UNNAMED --add-opens=java.base/sun.nio.cs=ALL-UNNAMED --add-opens=java.base/sun.security.action=ALL-UNNAMED --add-opens=java.base/sun.util.calendar=ALL-UNNAMED"
+# ^ Spark 4.x on JDK 17 module opens (build.sbt jdk17AddOpens twin):
+#   bare `java -cp` lacks what spark-submit/sbt inject; without them
+#   the MLlib rows (Kryo reflecting ByteBuffer/SerializedLambda) fail.
+
 CP="target/scala-2.13/classes:/opt/spark/jars/*"
 QUERIES=(q_star_join_flagship q_tpch_q21_flagship q_text_ngram_lm \
   q_dedup_substring q_dedup_embed_bucketed q_dedup_contain_minhash \
@@ -27,7 +32,7 @@ for SF in /tmp/graft_sf1 /tmp/graft_sf10; do
     SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_REPS=3 \
       SPARK_GRAFT_QUERIES="$Q" \
       SPARK_GRAFT_SPREAD_OUT="$OUT/${TAG}_${Q}.spread.json" \
-      java -cp "$CP" -Xmx64g graft.Bench \
+      java $OPENS -cp "$CP" -Xmx64g graft.Bench \
       > "$OUT/${TAG}_${Q}.log" 2>&1
     grep '"metric":"total"' "$OUT/${TAG}_${Q}.log" | head -1 \
       > "$OUT/${TAG}_${Q}.json"

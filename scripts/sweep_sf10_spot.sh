@@ -22,11 +22,16 @@ ROWS=(q_agg_group_sum q_agg_having q_agg_stats q_join_inner_hash \
   q_graph_pagerank q_decontaminate q_stream_neardup)
 SETQ="q_join_inner_hash,q_join_asof,q_join_asof_binned,q_win_topk_per_group,q_sessionize_gap,q_dedup_simhash,q_dedup_canonical,q_text_ngram_lm,q_text_langid"
 
+OPENS="--add-opens=java.base/java.lang=ALL-UNNAMED --add-opens=java.base/java.lang.invoke=ALL-UNNAMED --add-opens=java.base/java.lang.reflect=ALL-UNNAMED --add-opens=java.base/java.io=ALL-UNNAMED --add-opens=java.base/java.net=ALL-UNNAMED --add-opens=java.base/java.nio=ALL-UNNAMED --add-opens=java.base/java.util=ALL-UNNAMED --add-opens=java.base/java.util.concurrent=ALL-UNNAMED --add-opens=java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens=java.base/sun.nio.ch=ALL-UNNAMED --add-opens=java.base/sun.nio.cs=ALL-UNNAMED --add-opens=java.base/sun.security.action=ALL-UNNAMED --add-opens=java.base/sun.util.calendar=ALL-UNNAMED"
+# ^ Spark 4.x on JDK 17 module opens (build.sbt jdk17AddOpens twin):
+#   bare `java -cp` lacks what spark-submit/sbt inject; without them
+#   the MLlib rows (Kryo reflecting ByteBuffer/SerializedLambda) fail.
+
 QLIST=$(IFS=,; echo "${ROWS[*]}")
 if [ ! -d "$OUT" ]; then
   echo "== Verify (Spark) at $SF -> $OUT"
   SPARK_GRAFT_CPUS=32 SPARK_GRAFT_QUERIES="$QLIST" \
-    java -cp "target/scala-2.13/classes:/opt/spark/jars/*" -Xmx100g \
+    java $OPENS -cp "target/scala-2.13/classes:/opt/spark/jars/*" -Xmx100g \
     graft.Verify "$SF" "$OUT" 2>&1 | tail -3
 fi
 

@@ -20,11 +20,16 @@ ROWS=(q_agg_grouping_sets q_curate_flagship q_decontaminate q_dedup_canonical \
 # corpus-sized outputs (≥ ~6M rows at sf1): multiset compare in DuckDB
 SETQ="q_unpivot,q_join_broadcast,q_project_expr,q_scan_project,q_udtf_daterange,q_win_pct_rank"
 
+OPENS="--add-opens=java.base/java.lang=ALL-UNNAMED --add-opens=java.base/java.lang.invoke=ALL-UNNAMED --add-opens=java.base/java.lang.reflect=ALL-UNNAMED --add-opens=java.base/java.io=ALL-UNNAMED --add-opens=java.base/java.net=ALL-UNNAMED --add-opens=java.base/java.nio=ALL-UNNAMED --add-opens=java.base/java.util=ALL-UNNAMED --add-opens=java.base/java.util.concurrent=ALL-UNNAMED --add-opens=java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens=java.base/sun.nio.ch=ALL-UNNAMED --add-opens=java.base/sun.nio.cs=ALL-UNNAMED --add-opens=java.base/sun.security.action=ALL-UNNAMED --add-opens=java.base/sun.util.calendar=ALL-UNNAMED"
+# ^ Spark 4.x on JDK 17 module opens (build.sbt jdk17AddOpens twin):
+#   bare `java -cp` lacks what spark-submit/sbt inject; without them
+#   the MLlib rows (Kryo reflecting ByteBuffer/SerializedLambda) fail.
+
 QLIST=$(IFS=,; echo "${ROWS[*]}")
 if [ ! -d "$OUT" ]; then
   echo "== Verify (Spark) at $SF -> $OUT"
   SPARK_GRAFT_CPUS=32 SPARK_GRAFT_QUERIES="$QLIST" \
-    java -cp "target/scala-2.13/classes:/opt/spark/jars/*" -Xmx100g \
+    java $OPENS -cp "target/scala-2.13/classes:/opt/spark/jars/*" -Xmx100g \
     graft.Verify "$SF" "$OUT" 2>&1 | tail -3
 fi
 
