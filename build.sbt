@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output goes RAW to stdout, not through sbt's logger:
+// the default LoggedOutput prefixes every line with "[info] ", which
+// is why the driver's BENCH parser kept returning "parsed": null —
+// its tail capture held the summary JSON line but json-parsing a line
+// that starts with "[info] {" fails. With StdoutOutput the Bench/
+// Verify JSON lines reach the driver byte-identical to what println
+// emitted.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -15,10 +15,7 @@
 set -u
 OUT=${1:-/tmp/iso}
 mkdir -p "$OUT"
-OPENS="--add-opens=java.base/java.lang=ALL-UNNAMED --add-opens=java.base/java.lang.invoke=ALL-UNNAMED --add-opens=java.base/java.lang.reflect=ALL-UNNAMED --add-opens=java.base/java.io=ALL-UNNAMED --add-opens=java.base/java.net=ALL-UNNAMED --add-opens=java.base/java.nio=ALL-UNNAMED --add-opens=java.base/java.util=ALL-UNNAMED --add-opens=java.base/java.util.concurrent=ALL-UNNAMED --add-opens=java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens=java.base/sun.nio.ch=ALL-UNNAMED --add-opens=java.base/sun.nio.cs=ALL-UNNAMED --add-opens=java.base/sun.security.action=ALL-UNNAMED --add-opens=java.base/sun.util.calendar=ALL-UNNAMED"
-# ^ Spark 4.x on JDK 17 module opens (build.sbt jdk17AddOpens twin):
-#   bare `java -cp` lacks what spark-submit/sbt inject; without them
-#   the MLlib rows (Kryo reflecting ByteBuffer/SerializedLambda) fail.
+. "$(dirname "$0")/jdk17_opens.sh"  # defines $OPENS (build.sbt jdk17AddOpens twin)
 
 CP="target/scala-2.13/classes:/opt/spark/jars/*"
 QUERIES=(q_star_join_flagship q_tpch_q21_flagship q_text_ngram_lm \

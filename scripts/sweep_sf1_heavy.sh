@@ -20,33 +20,51 @@ ROWS=(q_agg_grouping_sets q_curate_flagship q_decontaminate q_dedup_canonical \
 # corpus-sized outputs (≥ ~6M rows at sf1): multiset compare in DuckDB
 SETQ="q_unpivot,q_join_broadcast,q_project_expr,q_scan_project,q_udtf_daterange,q_win_pct_rank"
 
-OPENS="--add-opens=java.base/java.lang=ALL-UNNAMED --add-opens=java.base/java.lang.invoke=ALL-UNNAMED --add-opens=java.base/java.lang.reflect=ALL-UNNAMED --add-opens=java.base/java.io=ALL-UNNAMED --add-opens=java.base/java.net=ALL-UNNAMED --add-opens=java.base/java.nio=ALL-UNNAMED --add-opens=java.base/java.util=ALL-UNNAMED --add-opens=java.base/java.util.concurrent=ALL-UNNAMED --add-opens=java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens=java.base/sun.nio.ch=ALL-UNNAMED --add-opens=java.base/sun.nio.cs=ALL-UNNAMED --add-opens=java.base/sun.security.action=ALL-UNNAMED --add-opens=java.base/sun.util.calendar=ALL-UNNAMED"
-# ^ Spark 4.x on JDK 17 module opens (build.sbt jdk17AddOpens twin):
-#   bare `java -cp` lacks what spark-submit/sbt inject; without them
-#   the MLlib rows (Kryo reflecting ByteBuffer/SerializedLambda) fail.
+. "$(dirname "$0")/jdk17_opens.sh"  # defines $OPENS (build.sbt jdk17AddOpens twin)
 
 QLIST=$(IFS=,; echo "${ROWS[*]}")
-if [ ! -d "$OUT" ]; then
+# Gate on a completion SENTINEL, not the dir (ADVICE r14): a crashed
+# or partial Verify run must rerun, not silently feed the oracles.
+if [ ! -f "$OUT/.verify_done" ]; then
   echo "== Verify (Spark) at $SF -> $OUT"
   SPARK_GRAFT_CPUS=32 SPARK_GRAFT_QUERIES="$QLIST" \
     java $OPENS -cp "target/scala-2.13/classes:/opt/spark/jars/*" -Xmx100g \
     graft.Verify "$SF" "$OUT" 2>&1 | tail -3
+  rc=${PIPESTATUS[0]}
+  if [ $rc -ne 0 ] || [ ! -s "$OUT/oracle_sql.json" ]; then
+    echo "Verify FAILED (rc=$rc) — not touching sentinel; rerun to retry"
+    exit 1
+  fi
+  touch "$OUT/.verify_done"
 fi
 
 mkdir -p /tmp/sweep_sf1_json
 for q in "${ROWS[@]}"; do
+  if [ ! -d "$OUT/$q" ]; then
+    echo "MISSING engine output for $q"
+    echo "{\"queries\": {\"$q\": \"missing_engine_output\"}}" > "/tmp/sweep_sf1_json/$q.json"
+    continue
+  fi
   echo "== oracle $q"
   timeout 900 python3 scripts/oracle_check.py --setcompare "$SETQ" \
     --json "/tmp/sweep_sf1_json/$q.json" "$SF" "$OUT" "$q"
   rc=$?
   if [ $rc -eq 124 ]; then echo "TIMEOUT $q"; echo "{\"queries\": {\"$q\": \"skipped_oracle_timeout\"}}" > "/tmp/sweep_sf1_json/$q.json"; fi
 done
-python3 - <<'EOF'
-import json, glob
+# Merge reports n_skipped / n_missing alongside n_fail (ADVICE r14): a
+# timeout or absent row must not inflate an "N/N green" headline.
+ROWLIST=$(IFS=,; echo "${ROWS[*]}") python3 - <<'EOF'
+import json, glob, os
 merged = {}
 for f in sorted(glob.glob('/tmp/sweep_sf1_json/*.json')):
     merged.update(json.load(open(f)).get('queries', {}))
+rows = os.environ['ROWLIST'].split(',')
 fails = {k: v for k, v in merged.items() if v.startswith('fail')}
-print(json.dumps({"n": len(merged), "n_fail": len(fails), "fails": fails,
+skipped = {k: v for k, v in merged.items()
+           if v.startswith('skipped') or v == 'missing_engine_output'}
+missing = [k for k in rows if k not in merged]
+print(json.dumps({"n": len(merged), "n_fail": len(fails),
+                  "n_skipped": len(skipped), "n_missing": len(missing),
+                  "fails": fails, "skipped": skipped, "missing": missing,
                   "queries": merged}, indent=1, sort_keys=True))
 EOF

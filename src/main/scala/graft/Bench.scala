@@ -124,7 +124,18 @@ object Bench {
     // capture keeps only the final ~2 KB of stdout — r12/r13 records
     // came back "parsed": null because the head (metric/value/failed)
     // was truncated away. The tail always contains this whole line.
-    println(s"""{"metric":"total_summary","value":${f3(total)},"unit":"sec","n_queries":${mins.size},"reps":$reps,"failed":${errors.size},"noise_ratio_median":${f3(pct(0.5))},"noise_ratio_p90":${f3(pct(0.9))},"sf":"$sfDir"}""")
+    val summaryLine = s"""{"metric":"total_summary","value":${f3(total)},"unit":"sec","n_queries":${mins.size},"reps":$reps,"failed":${errors.size},"noise_ratio_median":${f3(pct(0.5))},"noise_ratio_p90":${f3(pct(0.9))},"sf":"$sfDir"}"""
+    println(summaryLine)
+    // Belt-and-braces for the driver's bounded tail capture: the same
+    // compact summary also lands in a FILE (cwd = repo root when the
+    // driver runs `sbt runMain`), so even if stdout framing changes
+    // again the round's bench result survives machine-readably.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(sys.env.getOrElse(
+        "SPARK_GRAFT_SUMMARY_OUT", "BENCH_SUMMARY.json")),
+      (summaryLine + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] summary file write failed: ${e.getMessage}") }
     spark.stop()
   }
 }

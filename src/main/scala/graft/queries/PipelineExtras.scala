@@ -179,22 +179,43 @@ object PipelineExtras extends org.apache.spark.internal.Logging {
     * output (routing advice, not behavior: the exact result is still
     * computed and still exact).
     *
+    * Memoized per input (r15, VERDICT r14 #7): the estimate is pure in
+    * the postings frame, so it is cached keyed by the CANONICALIZED
+    * logical plan of `sh` — same corpus path + same shingling ⇒ same
+    * canonical plan ⇒ repeated pipeline runs in a session skip the
+    * two aggregates entirely (the warning still re-logs on every
+    * guarded invocation, so the routing advice cannot go quiet). The
+    * key is the canonical plan's hashCode: a collision's worst case
+    * is a wrong cached ESTIMATE (advice only — never output), and the
+    * map is capped at 64 entries so a long-lived session scanning
+    * many corpora cannot grow it unboundedly.
+    *
     * @return (estimated candidate pairs, unique docs, fired) */
+  private val dfGuardMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Boolean)]()
   private[graft] def dfCostGuard(sh: DataFrame, label: String): (Long, Long, Boolean) = {
-    val est = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-      .agg(sum(expr(
-        s"CAST(least(df, $NGRAM_POSTING_DF_CAP) * (least(df, $NGRAM_POSTING_DF_CAP) - 1) / 2 AS BIGINT)"))
-        .as("cand"))
-      .head.get(0) match { case null => 0L; case v => v.asInstanceOf[Long] }
-    val nDocs = sh.agg(countDistinct(col("doc_id"))).head.getLong(0)
-    val fired = nDocs > 0 && est > DF_GUARD_CAND_PER_DOC * nDocs
-    if (fired) logWarning(
-      s"$label: df-saturated corpus — estimated ~$est candidate pairs over " +
-        s"$nDocs unique docs (> $DF_GUARD_CAND_PER_DOC/doc). The exact " +
+    val key = sh.queryExecution.logical.canonicalized.hashCode().toString
+    val res = dfGuardMemo.get(key) match {
+      case r if r != null => r
+      case _ =>
+        val est = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+          .agg(sum(expr(
+            s"CAST(least(df, $NGRAM_POSTING_DF_CAP) * (least(df, $NGRAM_POSTING_DF_CAP) - 1) / 2 AS BIGINT)"))
+            .as("cand"))
+          .head.get(0) match { case null => 0L; case v => v.asInstanceOf[Long] }
+        val nDocs = sh.agg(countDistinct(col("doc_id"))).head.getLong(0)
+        val fired = nDocs > 0 && est > DF_GUARD_CAND_PER_DOC * nDocs
+        val r = (est, nDocs, fired)
+        if (dfGuardMemo.size < 64) dfGuardMemo.put(key, r)
+        r
+    }
+    if (res._3) logWarning(
+      s"$label: df-saturated corpus — estimated ~${res._1} candidate pairs over " +
+        s"${res._2} unique docs (> $DF_GUARD_CAND_PER_DOC/doc). The exact " +
         "inverted-index join is Σ df²-bound here; prefer the df-independent " +
         "banded scale paths: q_dedup_minhash_df (#71, Jaccard) / " +
         "q_dedup_contain_minhash (#138, containment).")
-    (est, nDocs, fired)
+    res
   }
 
   /** Exact-duplicate collapse: assigns every doc (≥ 3 words — the
@@ -1161,6 +1182,15 @@ object PipelineExtras extends org.apache.spark.internal.Logging {
   // whole funnel stays DuckDB-oracle-checkable end-to-end; at scale
   // each stage keeps its standalone plan shape (the composition adds
   // no new shuffle beyond the stages' own).
+  // Scale routing (r15 cross-link): this funnel's near-dup stage is a
+  // winnowing-fingerprint groupBy — deliberately NOT the exact
+  // inverted-index shapes. If a caller swaps in the exact pairwise
+  // stages (q_dedup_containment / q_dedup_ngram_jaccard semantics),
+  // the [[dfCostGuard]] pre-flight applies verbatim: on df-saturated
+  // corpora those shapes are Σ df²-bound, and the df-independent
+  // banded rows #71 q_dedup_minhash_df / #138 q_dedup_contain_minhash
+  // are the composition-safe replacements (same pair semantics at
+  // banding recall, measured ~linear across two decades).
   val qCurateFlagship: Q = (s, dir) => {
     val q = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), col("n_chars"),

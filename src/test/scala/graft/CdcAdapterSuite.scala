@@ -174,6 +174,110 @@ class CdcAdapterSuite extends GraftSuite {
     assert(batch.count() == DbzFeed.evs.size)
     assert(batch.selectExpr("max(seq)").head().getLong(0) == 26L)
   }
+
+  test("DebeziumEnvelope fuzz (VERDICT r14 #6): truncations/field-drops never throw; exactly the parseable subset admitted") {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    import com.fasterxml.jackson.databind.node.ObjectNode
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val mapper = new ObjectMapper()
+    def parse(l: String) = graft.sources.DebeziumEnvelope.parseLine(l, "id")
+    // structured mutation: drop ONE named field (path relative to the
+    // unwrapped core envelope); returns None if the path is absent
+    def drop(line: String, path: Seq[String]): Option[String] = {
+      val root = mapper.readTree(line).asInstanceOf[ObjectNode]
+      val core =
+        if (root.has("payload")) root.get("payload").asInstanceOf[ObjectNode] else root
+      var parent = core
+      for (f <- path.init) {
+        val c = parent.get(f)
+        if (c == null || !c.isObject) return None
+        parent = c.asInstanceOf[ObjectNode]
+      }
+      if (!parent.has(path.last)) None
+      else { parent.remove(path.last); Some(mapper.writeValueAsString(root)) }
+    }
+    val evGen: Gen[(DbzFeed.Ev, Boolean)] = for {
+      seq <- Gen.choose(0L, 1000000L)
+      key <- Gen.choose(0L, 5000L)
+      op <- Gen.oneOf("c", "r", "u", "d")
+      et <- Gen.oneOf("view", "click", "purchase", null)
+      v <- Gen.oneOf(Gen.const(null: java.lang.Double),
+        Gen.choose(-1e6, 1e6).map(d => java.lang.Double.valueOf(d)))
+      wrapped <- Gen.oneOf(true, false)
+    } yield (DbzFeed.Ev(seq, key, op,
+      if (op == "d") null else et, if (op == "d") null else v), wrapped)
+    def expected(e: DbzFeed.Ev): graft.sources.PgCdcSim.CdcRow = {
+      val op = e.op match { case "c" | "r" => "I"; case "u" => "U"; case _ => "D" }
+      graft.sources.PgCdcSim.CdcRow(e.seq, e.key, op, (1000L + e.seq) * 1000L, e.et, e.v)
+    }
+    val validLines = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (k <- 0 until 60) {
+      val (e, wrapped) = evGen.pureApply(Gen.Parameters.default, Seed(7000L + k))
+      val line = DbzFeed.line(e, wrapped)
+      validLines += line
+      val img = if (e.op == "d") "before" else "after"
+      // the untouched envelope parses to exactly the fixture semantics
+      assert(parse(line) == Some(expected(e)), s"seed $k: full line must parse")
+      // every STRICT prefix is torn JSON -> skipped, never thrown
+      val cuts = Gen.listOfN(8, Gen.choose(0, line.length - 1))
+        .pureApply(Gen.Parameters.default, Seed(8000L + k))
+      for (c <- cuts)
+        assert(parse(line.substring(0, c)).isEmpty, s"seed $k: prefix $c must skip")
+      // field-drop model: REQUIRED fields kill the line, optional
+      // fields degrade it (value/event_type -> null), noise fields
+      // change nothing. This is the junk-tolerance CONTRACT: exactly
+      // the parseable subset is admitted, nothing throws.
+      val mustSkip = Seq(Seq("op"), Seq("source"), Seq("source", "lsn"),
+        Seq(img), Seq(img, "id"))
+      for (p <- mustSkip; m <- drop(line, p))
+        assert(parse(m).isEmpty, s"seed $k: drop ${p.mkString(".")} must skip")
+      // ts_ms is redundant across envelope and source: either alone
+      // keeps the line; dropping BOTH kills it
+      for (m <- drop(line, Seq("ts_ms")))
+        assert(parse(m) == Some(expected(e)), s"seed $k: envelope ts_ms drop survives")
+      for (m <- drop(line, Seq("source", "ts_ms")))
+        assert(parse(m) == Some(expected(e)), s"seed $k: source ts_ms drop survives")
+      for (m1 <- drop(line, Seq("ts_ms")); m2 <- drop(m1, Seq("source", "ts_ms")))
+        assert(parse(m2).isEmpty, s"seed $k: both ts_ms dropped must skip")
+      for (m <- drop(line, Seq("source", "version")))
+        assert(parse(m) == Some(expected(e)), s"seed $k: noise-field drop survives")
+      if (e.op != "d") {
+        for (m <- drop(line, Seq(img, "value")))
+          assert(parse(m) == Some(expected(e).copy(value = null)),
+            s"seed $k: value drop degrades to null")
+        for (m <- drop(line, Seq(img, "event_type")))
+          assert(parse(m) == Some(expected(e).copy(eventType = null)),
+            s"seed $k: event_type drop degrades to null")
+      }
+    }
+    // unstructured garbage: random unicode soup never throws
+    for (k <- 0 until 40) {
+      val g = Gen.listOfN(30, Gen.oneOf(Gen.alphaNumChar, Gen.oneOf("{}[]\",:中ß\\ ".toSeq)))
+        .pureApply(Gen.Parameters.default, Seed(9000L + k)).mkString
+      parse(g) // must not throw; admitted either way is fine only if parseable
+    }
+    // feed-level: a directory mixing the valid lines with torn copies
+    // admits EXACTLY the valid subset through the real changelog
+    val evs = (0 until 20).map { k =>
+      val (e, w) = evGen.pureApply(Gen.Parameters.default, Seed(7100L + k))
+      (e.copy(seq = k.toLong), w) // distinct seqs for the horizon walk
+    }
+    val dir = java.nio.file.Files.createTempDirectory("dbz_fuzz").toString
+    val lines = evs.flatMap { case (e, w) =>
+      val l = DbzFeed.line(e, w)
+      Seq(l, l.substring(0, l.length / 2)) // each valid line + a torn twin
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "part-000.jsonl"),
+      lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val cl = new graft.sources.DebeziumJsonChangelog(dir, "id", numPartitions = 2)
+    val got = readAll(cl, cl.planSlices(Long.MinValue, Long.MaxValue)).toSet
+    val want = evs.map { case (e, _) =>
+      val x = expected(e); (x.seq, x.key, x.op, x.tsUs)
+    }.toSet
+    assert(got == want, s"feed must admit exactly the valid subset; " +
+      s"missing=${(want diff got).take(3)} extra=${(got diff want).take(3)}")
+  }
 }
 
 /** Fixture feed for the on-disk Debezium adapter tests: a
