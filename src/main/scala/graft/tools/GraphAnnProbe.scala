@@ -39,6 +39,15 @@ object GraphAnnProbe {
     val q = e.filter(col("vec_id") < nQ)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       .localCheckpoint(true) // query-set prep is not probe cost
+    // Decomposition baseline (r15, VERDICT r14 #3): one bare scan of
+    // the two persisted index tables — the irreducible I/O floor a
+    // probe must pay at least once. probe_sec near scan_sec ⇒ the
+    // search joins are cheap and the cost is the index read; probe
+    // growing like N× scan_sec ⇒ the hops are re-scanning.
+    val (edges, vecs) = NeighborGraphAnn.load(spark, indexDir)
+    val s0 = System.nanoTime()
+    edges.count(); vecs.count()
+    val scanSec = (System.nanoTime() - s0) / 1e9
     val probes = (1 to 3).map { _ =>
       val p0 = System.nanoTime()
       NeighborGraphAnn.topKLoaded(spark, indexDir, q, k = 5).count()
@@ -46,7 +55,7 @@ object GraphAnnProbe {
       spark.catalog.clearCache()
       t
     }
-    println(f"""{"probe":"graph_ann","data":"$dataDir","n_vectors":$n,"n_queries":$nQ,"build_save_sec":$buildSec%.3f,"probe_sec_min3":${probes.min}%.3f,"probe_reps":[${probes.map(t => f"$t%.3f").mkString(",")}]}""")
+    println(f"""{"probe":"graph_ann","data":"$dataDir","n_vectors":$n,"n_queries":$nQ,"build_save_sec":$buildSec%.3f,"scan_sec":$scanSec%.3f,"probe_sec_min3":${probes.min}%.3f,"probe_reps":[${probes.map(t => f"$t%.3f").mkString(",")}]}""")
     spark.stop()
   }
 }

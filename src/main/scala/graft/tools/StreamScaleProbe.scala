@@ -1,0 +1,136 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming throughput/state probe (VERDICT r14 Next-round #4): the
+  * batch rows have two measured decades in BASELINE.md; this drives
+  * the STREAMING duals at a given scale on the RocksDB state store
+  * and records rows/s plus end-of-run state size, so the streaming
+  * axis gets the same decade curves.
+  *
+  * Stages, each its own JSON line on stdout:
+  *  - `neardup_ttl0`   — [[graft.api.NearDupStream.nearDupStream]]
+  *    (#124) over the documents table re-sharded into 32 id-ranged
+  *    files and streamed file-at-a-time; unbounded state (every doc's
+  *    signatures retained — the batch-dual-equal setting).
+  *  - `neardup_ttl60s` — same, ttlMs=60000: entries older than the
+  *    trailing window expire as micro-batches advance the pinned
+  *    batch clock, so end-of-run state is bounded by ingest rate ×
+  *    window, not corpus size — the #124 state-size-vs-TTL evidence.
+  *    (A run that finishes inside the window legitimately shows no
+  *    expiry; the sf1 run spans several windows.)
+  *  - `cdc_upsert`     — the `pg-cdc-sim` source (deletes on) into
+  *    [[graft.api.StreamzOps]]'s sinkUpsert: quantum-limited
+  *    snapshot-then-poll replay into the bucketed keyed table.
+  *  - `retract_agg`    — the same changelog through
+  *    [[graft.api.StreamzStateOps.retractAggStream]] (#130's
+  *    streaming dual): O(1)-per-key ValueState, signed deltas to a
+  *    noop sink.
+  *
+  * rows/s is source rows over wall time of the whole AvailableNow
+  * run (JVM-warm session, cold stream); state size is the LAST
+  * progress's stateOperators numRowsTotal plus the RocksDB SST-file
+  * bytes custom metric when present.
+  *
+  * Usage: `runMain graft.tools.StreamScaleProbe [sfDir] [workDir]`
+  * (scripts/stream_scale_probe.sh runs it at sf0.1 and sf1 in
+  * isolated JVMs, same protocol as bench_scale_probe.sh).
+  */
+object StreamScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val workDir = args.lift(1).getOrElse(
+      java.nio.file.Files.createTempDirectory("stream_probe").toString)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "131072")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def emit(stage: String, rows: Long, wallSec: Double, q: StreamingQuery,
+        extra: String = ""): Unit = {
+      val so = Option(q.lastProgress).toSeq
+        .flatMap(_.stateOperators.toSeq)
+      val stateRows = so.map(_.numRowsTotal).sum
+      val sst = so.flatMap(o =>
+          Option(o.customMetrics.get("rocksdbSstFileSize")).map(_.longValue()))
+        .sum
+      val nBatches = q.recentProgress.count(_.numInputRows > 0)
+      println(f"""{"probe":"stream_scale","stage":"$stage","sf":"$sfDir","rows":$rows,"wall_sec":$wallSec%.2f,"rows_per_sec":${rows / math.max(wallSec, 1e-9)}%.0f,"n_batches":$nBatches,"state_rows":$stateRows,"rocksdb_sst_bytes":$sst$extra}""")
+    }
+
+    // ---- docs, re-sharded into 32 id-ranged files (file-at-a-time
+    // micro-batches; roughly id-ordered, matching ingestion order) ----
+    val docsIn = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val nDocs = docsIn.count()
+    val docsDir = s"$workDir/docs"
+    docsIn.repartitionByRange(32, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(docsDir)
+    val docsSchema = docsIn.schema
+
+    for ((stage, ttl) <- Seq(("neardup_ttl0", 0L), ("neardup_ttl60s", 60000L))) {
+      val t0 = System.nanoTime()
+      val stream = spark.readStream.schema(docsSchema)
+        .option("maxFilesPerTrigger", "1").parquet(docsDir)
+      val q = graft.api.NearDupStream.nearDupStream(stream, "doc_id", "text",
+          minSim = 0.5, ttlMs = ttl)
+        .writeStream.format("noop")
+        .option("checkpointLocation", s"$workDir/cp_$stage")
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(1800000)
+      emit(stage, nDocs, (System.nanoTime() - t0) / 1e9, q,
+        s""","ttl_ms":$ttl""")
+    }
+
+    // ---- CDC: quantum-limited replay of the events changelog ----
+    val evPath = s"$sfDir/events.parquet"
+    val nChanges = spark.read.format("pg-cdc-sim")
+      .option("path", evPath).option("deletes", "true").load().count()
+    val quantum = math.max(nChanges / 12L, 1L) // ~12 poll batches + snapshot
+    locally {
+      import graft.api.StreamzOps._
+      val t0 = System.nanoTime()
+      val q = spark.readStream.format("pg-cdc-sim")
+        .option("path", evPath).option("deletes", "true")
+        .option("batchSize", quantum.toString)
+        .option("snapshotSeq", (quantum - 1L).toString)
+        .load()
+        .sinkUpsert(s"$workDir/upsert_state", Seq("key"), "seq",
+          s"$workDir/cp_upsert", opCol = Some("op"))
+      q.awaitTermination(1800000)
+      val wall = (System.nanoTime() - t0) / 1e9
+      val live = graft.api.StreamzOps
+        .readUpsertTable(spark, s"$workDir/upsert_state").count()
+      emit("cdc_upsert", nChanges, wall, q, s""","live_keys":$live""")
+    }
+
+    locally {
+      val t0 = System.nanoTime()
+      val changes = spark.readStream.format("pg-cdc-sim")
+        .option("path", evPath).option("deletes", "false")
+        .option("batchSize", quantum.toString)
+        .option("snapshotSeq", (quantum - 1L).toString)
+        .load()
+        .withColumn("cents", round(coalesce(col("value"), lit(0.0)) * 100).cast("long"))
+        .withColumn("grp", coalesce(col("event_type"), lit("?")))
+      val q = graft.api.StreamzStateOps.retractAggStream(
+          changes, "key", "seq", "grp", "cents")
+        .writeStream.format("noop")
+        .option("checkpointLocation", s"$workDir/cp_retract")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(1800000)
+      emit("retract_agg", nChanges, (System.nanoTime() - t0) / 1e9, q)
+    }
+    spark.stop()
+  }
+}
