@@ -1,20 +1,27 @@
 #!/bin/bash
 # r15 sf10 (100x) FULL oracle sweep (VERDICT r14 Next-round #1): the
-# 107 oracled rows not covered by the r14 spot sweep — together they
-# bring sf10 coverage to 131/133 oracled rows. Excluded BY DESIGN: the
-# two declared-quadratic exact-shingle rows (q_dedup_containment,
-# q_dedup_ngram_jaccard) whose sf10 cost is root-caused (Ω(Σ df²),
-# r13) and runtime-guarded, not unknown. Rows are ordered cheap-first
-# (ascending sf0.1 output rows) so most coverage lands early; the six
-# corpus-dump projections (≥6M rows at sf10) run last via
-# oracle_check.py --setcompare (DuckDB EXCEPT ALL multiset diff).
+# oracled rows not covered by the r14 spot sweep. Together with the
+# spot 24 this brings sf10 coverage to 130/133 oracled rows.
 #
-# Resume protocol (ADVICE r14): the Spark Verify step is gated on a
-# completion SENTINEL ($OUT/.verify_done, touched only after Verify
-# exits 0), not on the output dir existing — a crashed Verify reruns
-# instead of silently feeding partial output to the oracles. Rows
-# whose engine parquet is absent are recorded explicitly as
-# missing_engine_output, and the merge reports n_skipped / n_missing
+# Excluded BY DESIGN (documented, pre-seeded as skips, not silent):
+#  - q_dedup_containment, q_dedup_ngram_jaccard: declared-quadratic
+#    exact-shingle rows; sf10 cost is root-caused (Ω(Σ df²), r13) and
+#    runtime-guarded, not unknown.
+#  - q_join_interval_overlap: already a DuckDB-cost skip at sf1 (the
+#    oracle's interval join, not the engine — the engine output at
+#    sf10 is 42M rows produced fine); at sf10 the oracle is hopeless
+#    within any budget, so neither side is run.
+#
+# Protocol (r15): the Spark Verify runs in the BACKGROUND and the
+# DuckDB loop polls each row's _SUCCESS marker, checking rows as
+# their engine output lands — the two phases overlap instead of
+# serializing. The six corpus-dump projections (>= ~2M rows at sf10)
+# are compared order-invariantly (--setcompare, DuckDB EXCEPT ALL)
+# and written UNCOALESCED (SPARK_GRAFT_UNCOALESCED) so their terminal
+# sort+write parallelizes instead of funneling through coalesce(1)'s
+# single task (observed 40+ min for one 42M-row output).
+# Rows whose engine output never appears are recorded explicitly as
+# missing_engine_output; the merge reports n_skipped / n_missing
 # alongside n_fail so a timeout or crash can never inflate the
 # headline.
 #
@@ -44,46 +51,82 @@ ROWS=(q_set_except q_agg_theta_sketch q_funnel q_agg_corr \
   q_join_asof_nearest q_join_asof_tolerance q_join_theta_range q_sort_multi \
   q_str_funcs q_str_funcs2 q_udf_scalar q_stream_stream_join_left \
   q_win_sliding_rows q_scan_filter_pushdown q_twap q_stream_tumbling \
-  q_stream_watermark_late q_join_interval_overlap q_gapfill q_json_funcs \
+  q_stream_watermark_late q_gapfill q_json_funcs \
   q_subquery_scalar q_filter_complex q_stream_session q_cdc_scd2 \
   q_map_funcs q_win_distinct_count q_win_lag_lead q_bitwise \
   q_cond_funcs q_date_funcs q_math_funcs q_regex_funcs \
   q_win_range_frame q_win_rank q_win_rank_stats q_win_running \
   q_win_value_funcs q_join_broadcast q_project_expr q_scan_project \
   q_udtf_daterange q_win_pct_rank q_unpivot)
-# corpus-sized outputs (≥ ~2M rows at sf10): multiset compare in DuckDB
-SETQ="q_join_broadcast,q_project_expr,q_scan_project,q_udtf_daterange,q_unpivot,q_win_pct_rank"
+# corpus-sized outputs (>= ~2M rows at sf10, i.e. >= 2000 at the
+# driver's sf0.01 correctness record — sf10 is 1000x that): multiset
+# compare in DuckDB (EXCEPT ALL both ways, bounded memory/spill) and
+# written uncoalesced by Verify. Below the cut, the positional Python
+# compare's two row-list copies stay ~<5 GB peak next to the 100g
+# Spark JVM; above it they would not.
+SETQ="q_bitwise,q_cdc_scd2,q_cond_funcs,q_date_funcs,q_filter_complex,q_gapfill,q_join_broadcast,q_json_funcs,q_map_funcs,q_math_funcs,q_project_expr,q_regex_funcs,q_scan_filter_pushdown,q_scan_project,q_sort_multi,q_str_funcs,q_str_funcs2,q_stream_session,q_stream_stream_join_left,q_stream_tumbling,q_stream_watermark_late,q_subquery_scalar,q_twap,q_udf_scalar,q_udtf_daterange,q_unpivot,q_win_distinct_count,q_win_lag_lead,q_win_pct_rank,q_win_range_frame,q_win_rank,q_win_rank_stats,q_win_running,q_win_sliding_rows,q_win_value_funcs"
 
 . scripts/jdk17_opens.sh   # defines $OPENS (build.sbt jdk17AddOpens twin)
 
+mkdir -p "$JSONDIR"
+echo '{"queries": {"q_join_interval_overlap": "skipped_oracle_cost_sf1_precedent"}}' \
+  > "$JSONDIR/q_join_interval_overlap.json"
+
 QLIST=$(IFS=,; echo "${ROWS[*]}")
+VPID=""
+# Gate on a completion SENTINEL, not the dir (ADVICE r14): a crashed
+# or partial Verify run must rerun, not silently feed the oracles.
 if [ ! -f "$OUT/.verify_done" ]; then
-  echo "== Verify (Spark) at $SF -> $OUT"
-  SPARK_GRAFT_CPUS=32 SPARK_GRAFT_QUERIES="$QLIST" \
-    java $OPENS -cp "target/scala-2.13/classes:/opt/spark/jars/*" -Xmx100g \
-    graft.Verify "$SF" "$OUT" 2>&1 | tail -5
-  rc=${PIPESTATUS[0]}
-  if [ $rc -ne 0 ] || [ ! -s "$OUT/oracle_sql.json" ]; then
-    echo "Verify FAILED (rc=$rc) — not touching sentinel; rerun to retry"
-    exit 1
-  fi
-  touch "$OUT/.verify_done"
+  echo "== Verify (Spark, background) at $SF -> $OUT"
+  ( SPARK_GRAFT_CPUS=32 SPARK_GRAFT_QUERIES="$QLIST" \
+      SPARK_GRAFT_UNCOALESCED="$SETQ" \
+      java $OPENS -cp "target/scala-2.13/classes:/opt/spark/jars/*" -Xmx100g \
+      graft.Verify "$SF" "$OUT" > /tmp/sweep_sf10_verify.log 2>&1 \
+    && [ -s "$OUT/oracle_sql.json" ] && touch "$OUT/.verify_done" ) &
+  VPID=$!
 fi
 
-mkdir -p "$JSONDIR"
-for q in "${ROWS[@]}"; do
-  [ -s "$JSONDIR/$q.json" ] && { echo "skip $q (done)"; continue; }
-  if [ ! -d "$OUT/$q" ]; then
-    echo "MISSING engine output for $q"
-    echo "{\"queries\": {\"$q\": \"missing_engine_output\"}}" > "$JSONDIR/$q.json"
-    continue
+# Oracle loop: check whichever rows have landed (_SUCCESS present),
+# repeat until every row has a JSON record or Verify is gone and no
+# output can still appear.
+while :; do
+  progress=0
+  pending=0
+  for q in "${ROWS[@]}"; do
+    [ -s "$JSONDIR/$q.json" ] && continue
+    if [ -f "$OUT/$q/_SUCCESS" ] && [ -s "$OUT/oracle_sql.json" ]; then
+      echo "== oracle $q $(date +%H:%M:%S)"
+      timeout 2700 python3 scripts/oracle_check.py --setcompare "$SETQ" \
+        --json "$JSONDIR/$q.json" "$SF" "$OUT" "$q"
+      rc=$?
+      if [ $rc -eq 124 ]; then echo "TIMEOUT $q"; echo "{\"queries\": {\"$q\": \"skipped_oracle_timeout\"}}" > "$JSONDIR/$q.json"; fi
+      progress=1
+    else
+      pending=$((pending+1))
+    fi
+  done
+  [ "$pending" -eq 0 ] && break
+  if [ -z "$VPID" ] || ! kill -0 "$VPID" 2>/dev/null; then
+    # Verify finished (or was never started because the sentinel
+    # exists): one final pass happened above; anything still pending
+    # has no output coming -> record it explicitly.
+    if [ "$progress" -eq 0 ]; then
+      for q in "${ROWS[@]}"; do
+        [ -s "$JSONDIR/$q.json" ] && continue
+        if [ ! -f "$OUT/$q/_SUCCESS" ]; then
+          echo "MISSING engine output for $q"
+          echo "{\"queries\": {\"$q\": \"missing_engine_output\"}}" > "$JSONDIR/$q.json"
+        fi
+      done
+    fi
+  else
+    [ "$progress" -eq 0 ] && sleep 30
   fi
-  echo "== oracle $q $(date +%H:%M:%S)"
-  timeout 2700 python3 scripts/oracle_check.py --setcompare "$SETQ" \
-    --json "$JSONDIR/$q.json" "$SF" "$OUT" "$q"
-  rc=$?
-  if [ $rc -eq 124 ]; then echo "TIMEOUT $q"; echo "{\"queries\": {\"$q\": \"skipped_oracle_timeout\"}}" > "$JSONDIR/$q.json"; fi
 done
+[ -n "$VPID" ] && wait "$VPID" 2>/dev/null
+
+# Merge reports n_skipped / n_missing alongside n_fail (ADVICE r14): a
+# timeout or absent row must not inflate an "N/N green" headline.
 ROWLIST=$(IFS=,; echo "${ROWS[*]}") python3 - <<'EOF'
 import json, glob, os
 merged = {}

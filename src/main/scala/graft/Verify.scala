@@ -32,13 +32,17 @@ object Verify {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None => SparkEntry.queries
     }
-    selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
+    // Queries listed here write WITHOUT coalesce(1) (r15): for the
+    // corpus-dump rows at the 100x scale, coalesce(1) executes the
+    // terminal global sort + write of tens of millions of rows in ONE
+    // task (observed: 40+ min single-threaded for a 42M-row output
+    // while 31 cores idle). Those rows are compared order-invariantly
+    // (DuckDB EXCEPT ALL multiset diff), so multi-file output is fine;
+    // the default stays coalesce(1) because the positional driver
+    // compare wants one file. Local pre-check sweeps only — the
+    // driver sets nothing.
+    val uncoalesced = sys.env.get("SPARK_GRAFT_UNCOALESCED")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -53,7 +57,20 @@ object Verify {
     } + "\""
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    // written BEFORE the query loop (r15): it depends only on the
+    // static oracleSql map, and the sweep scripts' overlapped oracle
+    // loop gates each row on its presence — writing it last would
+    // serialize the two phases for no reason.
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    selected.foreach { case (name, fn) =>
+      try {
+        val df = fn(spark, sfDir)
+        (if (uncoalesced(name)) df else df.coalesce(1))
+          .write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      }
+    }
     spark.stop()
   }
 }
