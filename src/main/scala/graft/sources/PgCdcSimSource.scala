@@ -480,6 +480,34 @@ class ChangelogReader(slice: ChangelogSlice, hadoopConf: Configuration)
       .getOrElse((raw: Long) => raw / 1000L)
   }
 
+  /** Spark's DEFAULT parquet timestamp output is INT96 (julian-day +
+    * nanos-of-day, no logical annotation) — any Spark-written
+    * changelog (e.g. the GenScale 10× events set, or a real pipeline
+    * re-materializing the feed) carries it, while the driver fixture
+    * uses annotated INT64. Caught by the r15 streaming scale probe:
+    * `getLong("ts")` on an INT96 column throws ClassCastException in
+    * the executor. Physical type is read from the footer once. */
+  private lazy val tsIsInt96: Boolean = changelogSchema.exists { s =>
+    s.containsField("ts") && {
+      val t = s.getType(s.getFieldIndex("ts"))
+      t.isPrimitive && t.asPrimitiveType().getPrimitiveTypeName ==
+        org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT96
+    }
+  }
+
+  /** ts of `g` in µs since epoch, handling both physical encodings. */
+  private def tsMicrosOf(g: Group): Long =
+    if (tsIsInt96) {
+      // INT96 layout: 8 bytes nanos-of-day + 4 bytes julian day, both
+      // little-endian (the layout every parquet writer emits and
+      // Spark's own ParquetRowConverter decodes)
+      val buf = java.nio.ByteBuffer.wrap(g.getInt96("ts", 0).getBytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val nanosOfDay = buf.getLong
+      val julianDay = buf.getInt
+      (julianDay - 2440588L) * 86400000000L + nanosOfDay / 1000L
+    } else tsRawToMicros(g.getLong("ts", 0))
+
   /** One filtered, column-projected pass over the changelog. */
   private def scanPass(cols: Seq[String], pred: FilterPredicate)
       (f: Group => Unit): Unit =
@@ -553,7 +581,7 @@ class ChangelogReader(slice: ChangelogSlice, hadoopConf: Configuration)
           FilterApi.ltEq(seqCol, Long.box(slice.end)))) { g =>
       val key = g.getLong("user_id", 0)
       if (mineKey(key)) {
-        val tsUs = tsRawToMicros(g.getLong("ts", 0))
+        val tsUs = tsMicrosOf(g)
         val et = if (g.getFieldRepetitionCount("event_type") == 0) null
                  else g.getString("event_type", 0)
         val v: java.lang.Double =
@@ -585,7 +613,7 @@ class ChangelogReader(slice: ChangelogSlice, hadoopConf: Configuration)
               FilterApi.ltEq(keyCol, Long.box(kHi)))) { g =>
           val key = g.getLong("user_id", 0)
           if (mineKey(key) && PgCdcSim.isDeletedKey(key)) {
-            val tsUs = tsRawToMicros(g.getLong("ts", 0))
+            val tsUs = tsMicrosOf(g)
             maxTsUs.updateWith(key)(p =>
               Some(math.max(p.getOrElse(Long.MinValue), tsUs)))
           }

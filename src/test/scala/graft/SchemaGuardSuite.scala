@@ -100,4 +100,29 @@ class SchemaGuardSuite extends GraftSuite {
     assert(us == rowsUs.map(r => (r._1, r._2)),
       "raw int64 must be interpreted per the footer's timestamp unit")
   }
+
+  test("pg-cdc-sim raw reader handles Spark's INT96 timestamp output (r15: GenScale-shaped changelog)") {
+    // Spark's DEFAULT parquet timestamp physical type is INT96
+    // (julian day + nanos-of-day, unannotated) — the r15 streaming
+    // scale probe crashed the executor with ClassCastException the
+    // first time the CDC source met a Spark-WRITTEN changelog (the
+    // GenScale 10× events). Pin: a Spark INT96 file round-trips to
+    // the identical µs instants through the raw parquet-mr reader.
+    val root = java.nio.file.Files.createTempDirectory("schema_guard_i96").toString
+    val sess = spark; import sess.implicits._
+    val df = rowsUs.toDF("event_id", "ts_us", "user_id", "event_type", "value")
+      .select(col("event_id"), expr("timestamp_micros(ts_us)").as("ts"),
+        col("user_id"), col("event_type"), col("value"),
+        concat(lit("{\"k\": "), col("event_id"), lit("}")).as("props"))
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+    try df.coalesce(1).write.mode("overwrite").parquet(s"$root/events.parquet")
+    finally spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    val got = spark.read.format("pg-cdc-sim")
+      .option("path", s"$root/events.parquet").load()
+      .orderBy("seq")
+      .select(col("seq"), unix_micros(col("ts")).as("ts_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == rowsUs.map(r => (r._1, r._2)),
+      "INT96 julian-day+nanos must decode to the same µs instants")
+  }
 }
