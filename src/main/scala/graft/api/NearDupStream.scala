@@ -83,26 +83,45 @@ object NearDupStream {
     * the micro-batch's own timestamp by streaming execution and
     * persisted in the offset log, so a batch REPLAYED after a failure
     * sees the same clock and expires the same entries —
-    * replay-deterministic, unlike executor wall clock, and without
-    * the ProcessingTime time mode whose empty timer batches never let
-    * `processAllAvailable` settle). Expiry itself is handler-managed
-    * rather than via TTLConfig because the match must consult the
-    * live subset at read time anyway — entries are dropped and the
-    * bucket compacted the next time it is touched,
-    * so docs dedup only against the trailing window — the standard
-    * production trade (an old enough duplicate re-enters the corpus)
-    * that keeps total state proportional to ingest rate × window
-    * instead of corpus size. Cold buckets hold ≤ their historical
-    * population either way; the band-key space itself is bounded by
-    * observed signatures. */
-  class NearDupProcessor(minSim: Double, ttlMs: Long = 0L)
+    * replay-deterministic, unlike executor wall clock). Expiry has
+    * two tiers, both on the same pinned batch clock:
+    *
+    *  - handler-managed (always on when `ttlMs > 0`): the read-time
+    *    filter + touch-time compaction give the exact trailing-window
+    *    MATCHING semantics — but they only reclaim a bucket when it
+    *    is touched again, and on a realistic corpus most band buckets
+    *    are touched ONCE (their doc has no near-dup), so COLD-bucket
+    *    state still grows with corpus size, not with the window
+    *    (measured by the r15 streaming scale probe: 274k state rows
+    *    at sf1 with ttl=10s, identical to unbounded).
+    *  - store-side `TTLConfig` (`storeTtl = true`): the store itself
+    *    evicts expired entries each batch via its expiry index,
+    *    reclaiming cold buckets WITHOUT a touch — state becomes
+    *    ∝ ingest rate × window, the bound an unbounded stream needs.
+    *    This requires `TimeMode.ProcessingTime`, whose forced
+    *    TTL-cleanup batches keep the query alive forever: AvailableNow
+    *    never terminates and `processAllAvailable` never settles
+    *    (measured: 211 empty epochs in 3 min on a 500-doc corpus), so
+    *    it is an explicit opt-in for CONTINUOUS queries driven by a
+    *    ProcessingTime trigger and stopped by the operator. */
+  class NearDupProcessor(minSim: Double, ttlMs: Long = 0L,
+      storeTtl: Boolean = false)
       extends StatefulProcessor[String, BandDoc, NearDupMatch] {
     @transient private var seen:
       org.apache.spark.sql.streaming.ListState[(Long, Seq[Long], Long)] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      // storeTtl → TTLConfig on the list state: the store's expiry
+      // index evicts entries each batch even when their bucket is
+      // never touched again (the cold-bucket reclaim the handler
+      // filter below cannot do); the handler filter stays as the
+      // exact live-subset matching semantics. Requires the
+      // ProcessingTime time mode — see the class scaladoc for the
+      // termination trade.
       seen = getHandle.getListState[(Long, Seq[Long], Long)]("seen",
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Seq[Long], Long)](),
-        org.apache.spark.sql.streaming.TTLConfig.NONE)
+        if (storeTtl && ttlMs > 0)
+          org.apache.spark.sql.streaming.TTLConfig(java.time.Duration.ofMillis(ttlMs))
+        else org.apache.spark.sql.streaming.TTLConfig.NONE)
     override def handleInputRows(key: String, rows: Iterator[BandDoc],
         tv: TimerValues): Iterator[NearDupMatch] = {
       val band = key.takeWhile(_ != ':').toInt
@@ -145,11 +164,17 @@ object NearDupStream {
     * per pair per shared band — see the dedup note above). Assumes
     * ids arrive in increasing order across batches (ingestion order);
     * within a batch, order is handled internally. `ttlMs > 0` caps
-    * state at the trailing window (see [[NearDupProcessor]]) — the
-    * required setting for a genuinely unbounded stream; 0 (default)
-    * keeps every doc, matching the batch dual exactly. */
+    * the MATCHING window at the trailing `ttlMs` (see
+    * [[NearDupProcessor]]); 0 (default) keeps every doc, matching the
+    * batch dual exactly. `storeTtl = true` additionally bounds the
+    * STORE to the same window (cold-bucket eviction via `TTLConfig`)
+    * — the required setting for a genuinely unbounded stream, at the
+    * cost of a query that only suits continuous ProcessingTime
+    * triggers (forced TTL-cleanup batches never let AvailableNow /
+    * `processAllAvailable` settle; see the processor scaladoc). */
   def nearDupStream(df: DataFrame, idCol: String, textCol: String,
-      minSim: Double = 0.5, ttlMs: Long = 0L): DataFrame = {
+      minSim: Double = 0.5, ttlMs: Long = 0L,
+      storeTtl: Boolean = false): DataFrame = {
     implicit val inEnc = Encoders.product[BandDoc]
     implicit val outEnc = Encoders.product[NearDupMatch]
     implicit val keyEnc = Encoders.STRING
@@ -160,9 +185,13 @@ object NearDupStream {
       bandRows(signatures(df, idCol, textCol)).select(
         col("key"), col("id"), col("sigs"),
         unix_millis(current_timestamp()).as("bt")).as[BandDoc]
+    // ProcessingTime mode is REQUIRED for TTLConfig (and only then:
+    // it makes the engine force empty cleanup batches forever, so it
+    // must not leak into the default handler-managed mode)
     typed.groupByKey(_.key)
-      .transformWithState(new NearDupProcessor(minSim, ttlMs),
-        TimeMode.None(), OutputMode.Update())
+      .transformWithState(new NearDupProcessor(minSim, ttlMs, storeTtl),
+        if (storeTtl && ttlMs > 0) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Update())
       .toDF("doc_id", "matched_id", "band", "est_sim")
   }
 

@@ -15,12 +15,15 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *    (#124) over the documents table re-sharded into 32 id-ranged
   *    files and streamed file-at-a-time; unbounded state (every doc's
   *    signatures retained — the batch-dual-equal setting).
-  *  - `neardup_ttl60s` — same, ttlMs=60000: entries older than the
-  *    trailing window expire as micro-batches advance the pinned
-  *    batch clock, so end-of-run state is bounded by ingest rate ×
-  *    window, not corpus size — the #124 state-size-vs-TTL evidence.
-  *    (A run that finishes inside the window legitimately shows no
-  *    expiry; the sf1 run spans several windows.)
+  *  - `neardup_store_ttl{N}ms` — same, `ttlMs=N, storeTtl=true`
+  *    (env `GRAFT_PROBE_TTL_MS`, default 10000): the store's expiry
+  *    index evicts entries older than the trailing window each batch
+  *    — including COLD buckets never touched again — so end-of-run
+  *    state is bounded by ingest rate × window, not corpus size: the
+  *    #124 state-size-vs-TTL evidence. Driven production-style
+  *    (continuous trigger, listener-tracked drain, grace, stop)
+  *    because TTL's forced cleanup batches never terminate on their
+  *    own.
   *  - `cdc_upsert`     — the `pg-cdc-sim` source (deletes on) into
   *    [[graft.api.StreamzOps]]'s sinkUpsert: quantum-limited
   *    snapshot-then-poll replay into the bucketed keyed table.
@@ -78,18 +81,59 @@ object StreamScaleProbe {
       .write.mode("overwrite").parquet(docsDir)
     val docsSchema = docsIn.schema
 
-    for ((stage, ttl) <- Seq(("neardup_ttl0", 0L), ("neardup_ttl60s", 60000L))) {
+    // stage 1: unbounded state (batch-dual-equal setting), AvailableNow
+    locally {
       val t0 = System.nanoTime()
       val stream = spark.readStream.schema(docsSchema)
         .option("maxFilesPerTrigger", "1").parquet(docsDir)
       val q = graft.api.NearDupStream.nearDupStream(stream, "doc_id", "text",
-          minSim = 0.5, ttlMs = ttl)
+          minSim = 0.5, ttlMs = 0L)
         .writeStream.format("noop")
-        .option("checkpointLocation", s"$workDir/cp_$stage")
+        .option("checkpointLocation", s"$workDir/cp_neardup_ttl0")
         .outputMode("update").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination(1800000)
-      emit(stage, nDocs, (System.nanoTime() - t0) / 1e9, q,
-        s""","ttl_ms":$ttl""")
+      emit("neardup_ttl0", nDocs, (System.nanoTime() - t0) / 1e9, q,
+        s""","ttl_ms":0""")
+    }
+
+    // stage 2: storeTtl — the unbounded-stream setting. TTLConfig's
+    // forced cleanup batches mean the query never terminates on its
+    // own (see NearDupStream scaladoc), so this drives it the way
+    // production would: continuous trigger, drain tracked by a
+    // listener, then a grace period so the store's expiry index
+    // evicts the (cold) trailing window, then stop. The TTL is
+    // tunable and defaults SHORTER than the expected drain so expiry
+    // is observable mid-run, not just at the end.
+    locally {
+      val ttl = sys.env.getOrElse("GRAFT_PROBE_TTL_MS", "10000").toLong
+      val stage = s"neardup_store_ttl${ttl}ms"
+      val drained = new java.util.concurrent.atomic.AtomicLong(0L)
+      val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+          drained.addAndGet(e.progress.numInputRows)
+        override def onQueryTerminated(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      }
+      spark.streams.addListener(listener)
+      val t0 = System.nanoTime()
+      val stream = spark.readStream.schema(docsSchema)
+        .option("maxFilesPerTrigger", "1").parquet(docsDir)
+      val q = graft.api.NearDupStream.nearDupStream(stream, "doc_id", "text",
+          minSim = 0.5, ttlMs = ttl, storeTtl = true)
+        .writeStream.format("noop")
+        .option("checkpointLocation", s"$workDir/cp_$stage")
+        .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
+      // nDocs source rows shrink to band rows AFTER the stateful op;
+      // numInputRows counts SOURCE rows, so drain == all docs read
+      val deadline = System.nanoTime() + 1800L * 1000000000L
+      while (drained.get() < nDocs && System.nanoTime() < deadline)
+        Thread.sleep(200)
+      val drainSec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(ttl + 5000) // grace: let the expiry index evict the tail
+      q.stop()
+      spark.streams.removeListener(listener)
+      emit(stage, nDocs, drainSec, q,
+        s""","ttl_ms":$ttl,"mode":"store_ttl","grace_ms":${ttl + 5000}""")
     }
 
     // ---- CDC: quantum-limited replay of the events changelog ----

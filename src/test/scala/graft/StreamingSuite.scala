@@ -755,6 +755,57 @@ class StreamingSuite extends GraftSuite {
     }
   }
 
+  test("q_stream_neardup (#124): storeTtl evicts COLD buckets without a touch — state bounded by the window, not the corpus") {
+    // The r15 streaming scale probe showed handler-managed TTL never
+    // reclaims buckets that are not touched again — on a realistic
+    // corpus that is MOST buckets, so state grew with corpus size.
+    // storeTtl=true adds a store-side TTLConfig whose expiry index
+    // evicts per batch without a touch. This pins exactly that: a
+    // wave of mutually-dissimilar docs (every band bucket cold
+    // forever after) must leave an EMPTY store once the TTL passes.
+    // Note: TTLConfig forces endless empty cleanup batches, so the
+    // test drives the query production-style (continuous trigger,
+    // poll the store through the state data source, manual stop) —
+    // processAllAvailable would never settle here.
+    withRocksDb {
+      val sess = spark
+      import sess.implicits._
+      implicit val sqlCtx = sess.sqlContext
+      val docs = (1L to 12L).map(i =>
+        (i, s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i"))
+      val ms = MemoryStream[(Long, String)]
+      val ckpt = java.nio.file.Files.createTempDirectory("neardup_cold_ck").toString
+      val q = graft.api.NearDupStream
+        .nearDupStream(ms.toDF().toDF("doc_id", "text"), "doc_id", "text",
+          minSim = 0.5, ttlMs = 1000L, storeTtl = true)
+        .writeStream.format("memory").queryName("neardup_cold")
+        .option("checkpointLocation", ckpt)
+        .outputMode("update").trigger(Trigger.ProcessingTime(100)).start()
+      ms.addData(docs: _*)
+      def storeElems(): Long =
+        scala.util.Try(spark.read.format("statestore")
+          .option("path", ckpt).option("stateVarName", "seen").load().count())
+          .getOrElse(-1L) // a batch may be mid-commit; retry next poll
+      // phase 1: ingest lands — the store must first FILL (12 docs ×
+      // 6 bands = 72 list elements) so the later 0 is a real eviction
+      val deadline = System.nanoTime() + 90L * 1000000000L
+      var filled = 0L
+      while (filled < 72L && System.nanoTime() < deadline) {
+        Thread.sleep(300); filled = math.max(filled, storeElems())
+      }
+      assert(filled == 72L, s"store must fill before eviction, saw $filled")
+      // phase 2: TTL passes with NO further input — cold buckets must
+      // drain to zero purely via the store's expiry index
+      var left = filled
+      while (left != 0L && System.nanoTime() < deadline) {
+        Thread.sleep(300); val n = storeElems(); if (n >= 0) left = n
+      }
+      q.stop()
+      assert(left == 0L,
+        s"store-side TTL must evict cold buckets without a touch, $left elements remain")
+    }
+  }
+
   test("q_stream_neardup (#124): bucket state survives a checkpoint restart — matches still equal the batch dual") {
     withRocksDb {
       val sess = spark
