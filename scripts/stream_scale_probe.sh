@@ -5,14 +5,18 @@
 # set on RocksDB, one fresh JVM per scale (same isolation rationale as
 # bench_scale_probe.sh), recording rows/s + state size per decade.
 #
-# Usage: scripts/stream_scale_probe.sh [outDir]
+# Usage: scripts/stream_scale_probe.sh [outDir] [sfDir ...]
+#   sfDir args (default sf0.1 + the GenScale sf1 set) let a later run
+#   add the 100x decade: scripts/stream_scale_probe.sh /tmp/out /tmp/graft_sf10
 set -u
 cd "$(dirname "$0")/.."
 OUT=${1:-/tmp/stream_probe}
+shift || true
+SFS=${*:-"/root/testdata/sf0.1 /tmp/graft_sf1"}
 mkdir -p "$OUT"
 . scripts/jdk17_opens.sh   # defines $OPENS (build.sbt jdk17AddOpens twin)
 CP="target/scala-2.13/classes:/opt/spark/jars/*"
-for SF in /root/testdata/sf0.1 /tmp/graft_sf1; do
+for SF in $SFS; do
   TAG=$(basename "$SF")
   [ -s "$OUT/$TAG.json" ] && { echo "skip $TAG (done)"; continue; }
   echo "== $TAG $(date +%H:%M:%S)"
