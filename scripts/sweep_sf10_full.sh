@@ -7,10 +7,12 @@
 #  - q_dedup_containment, q_dedup_ngram_jaccard: declared-quadratic
 #    exact-shingle rows; sf10 cost is root-caused (Ω(Σ df²), r13) and
 #    runtime-guarded, not unknown.
-#  - q_join_interval_overlap: already a DuckDB-cost skip at sf1 (the
-#    oracle's interval join, not the engine — the engine output at
-#    sf10 is 42M rows produced fine); at sf10 the oracle is hopeless
-#    within any budget, so neither side is run.
+# q_join_interval_overlap (a skip until r15) is now checked two ways:
+# the shipped oracle SQL states the overlap join through the bin
+# decomposition (DuckDB hash-joins it instead of timing out on the
+# no-equi-key shape), and because the sf10 OUTPUT is 4.15B rows —
+# past any materialized compare — the row goes through the
+# cross-engine digest (QueryDigest + digest_check.py) after the loop.
 #
 # Protocol (r15): the Spark Verify runs in the BACKGROUND and the
 # DuckDB loop polls each row's _SUCCESS marker, checking rows as
@@ -69,8 +71,6 @@ SETQ="q_bitwise,q_cdc_scd2,q_cond_funcs,q_date_funcs,q_filter_complex,q_gapfill,
 . scripts/jdk17_opens.sh   # defines $OPENS (build.sbt jdk17AddOpens twin)
 
 mkdir -p "$JSONDIR"
-echo '{"queries": {"q_join_interval_overlap": "skipped_oracle_cost_sf1_precedent"}}' \
-  > "$JSONDIR/q_join_interval_overlap.json"
 
 QLIST=$(IFS=,; echo "${ROWS[*]}")
 VPID=""
@@ -124,6 +124,28 @@ while :; do
   fi
 done
 [ -n "$VPID" ] && wait "$VPID" 2>/dev/null
+
+# q_join_interval_overlap (r15): no longer a skip. Its sf10 output is
+# 4.15 BILLION rows — far past the EXCEPT-ALL compare — so it goes
+# through the order-invariant cross-engine DIGEST instead
+# (graft.tools.QueryDigest + scripts/digest_check.py: count + sum of
+# 60-bit md5 row prefixes, computed live in both engines, nothing
+# materialized). Runs after Verify so $OUT/oracle_sql.json exists.
+if [ ! -s "$JSONDIR/q_join_interval_overlap.json" ]; then
+  echo "== digest q_join_interval_overlap $(date +%H:%M:%S)"
+  SPARK_GRAFT_CPUS=32 java $OPENS -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
+    -Xmx80g graft.tools.QueryDigest "$SF" q_join_interval_overlap 2>/dev/null \
+    | grep '"query"' > /tmp/iv_digest_sf10.json
+  if [ -s /tmp/iv_digest_sf10.json ] && timeout 2700 python3 scripts/digest_check.py \
+       "$SF" q_join_interval_overlap /tmp/iv_digest_sf10.json "$OUT/oracle_sql.json"; then
+    n=$(python3 -c "import json;print(json.load(open('/tmp/iv_digest_sf10.json'))['rows'])")
+    echo "{\"queries\": {\"q_join_interval_overlap\": \"ok_digest:$n\"}}" \
+      > "$JSONDIR/q_join_interval_overlap.json"
+  else
+    echo '{"queries": {"q_join_interval_overlap": "fail_digest"}}' \
+      > "$JSONDIR/q_join_interval_overlap.json"
+  fi
+fi
 
 # Merge reports n_skipped / n_missing alongside n_fail (ADVICE r14): a
 # timeout or absent row must not inflate an "N/N green" headline.

@@ -13,12 +13,18 @@ ROWS=(q_agg_grouping_sets q_curate_flagship q_decontaminate q_dedup_canonical \
   q_dedup_clusters q_dedup_containment q_dedup_embed_bucketed q_dedup_embed_cosine \
   q_dedup_minhash_df q_dedup_ngram_jaccard q_dedup_substring q_funnel \
   q_graph_pagerank q_join_asof_binned q_join_broadcast q_join_editdist \
+  q_join_interval_overlap \
   q_join_lateral q_profile_stats q_profile_stats_fast q_profile_table \
   q_project_expr q_scan_project q_seq_transitions q_sim_cosine_topk \
   q_star_join_flagship q_stream_neardup q_text_langid q_text_repetition \
   q_udtf_daterange q_unpivot q_win_pct_rank)
-# corpus-sized outputs (≥ ~6M rows at sf1): multiset compare in DuckDB
-SETQ="q_unpivot,q_join_broadcast,q_project_expr,q_scan_project,q_udtf_daterange,q_win_pct_rank"
+# corpus-sized outputs (≥ ~6M rows at sf1): multiset compare in DuckDB.
+# q_join_interval_overlap joined the list in r15: its oracle now
+# states the overlap join through the bin decomposition, which DuckDB
+# hash-joins (7 s at sf1) instead of timing out on the no-equi-key
+# naive shape — the old skipped_oracle_timeout is retired (41.5M-row
+# multiset compare, green).
+SETQ="q_unpivot,q_join_broadcast,q_join_interval_overlap,q_project_expr,q_scan_project,q_udtf_daterange,q_win_pct_rank"
 
 . "$(dirname "$0")/jdk17_opens.sh"  # defines $OPENS (build.sbt jdk17AddOpens twin)
 

@@ -221,16 +221,35 @@ object Relational3 {
       .orderBy("purchase_id", "click_id")
   }
 
+  // Oracle note (r15): the semantic statement is the naive overlap
+  // join `p JOIN c ON p_lo <= c_hi AND c_lo <= p_hi` — but DuckDB
+  // cannot evaluate that shape past sf0.1 (no equi key; >9 min at
+  // sf1, the reason for the old sf1/sf10 oracle skips). The shipped
+  // oracle states the SAME relation through the bin decomposition in
+  // plain SQL (explode both interval sets to 30-min bins, equi-join
+  // on bin, keep each pair only in the bin holding the overlap start
+  // — dedup by construction, exactly RangeBinJoin's argument), which
+  // DuckDB hash-joins: sf1 in 7 s instead of timing out. Equivalence
+  // to the naive form verified as a zero EXCEPT ALL multiset diff in
+  // DuckDB itself at sf0.01 AND sf0.1 (415 099 rows) before shipping.
   val qJoinIntervalOverlapSql: String = EV +
     """, p AS (SELECT event_id AS purchase_id, epoch_us(ts) AS p_lo,
       |               epoch_us(ts) + 1800000000 AS p_hi
       |        FROM e WHERE event_type = 'purchase'),
       |c AS (SELECT event_id AS click_id, epoch_us(ts) AS c_lo,
       |             epoch_us(ts) + 900000000 AS c_hi
-      |      FROM e WHERE event_type = 'click')
+      |      FROM e WHERE event_type = 'click'),
+      |pb AS (SELECT purchase_id, p_lo, p_hi,
+      |              unnest(range(p_lo // 1800000000, p_hi // 1800000000 + 1)) AS bin
+      |       FROM p),
+      |cb AS (SELECT click_id, c_lo, c_hi,
+      |              unnest(range(c_lo // 1800000000, c_hi // 1800000000 + 1)) AS bin
+      |       FROM c)
       |SELECT purchase_id, click_id,
       |       LEAST(p_hi, c_hi) - GREATEST(p_lo, c_lo) AS overlap_us
-      |FROM p JOIN c ON p_lo <= c_hi AND c_lo <= p_hi
+      |FROM pb JOIN cb USING (bin)
+      |WHERE p_lo <= c_hi AND c_lo <= p_hi
+      |  AND GREATEST(p_lo, c_lo) // 1800000000 = bin
       |ORDER BY purchase_id, click_id""".stripMargin
 
   // ---- #112 q_join_asof_binned -------------------------------------------

@@ -1,0 +1,55 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Order-invariant cross-engine digest for outputs too large to
+  * materialize and EXCEPT-ALL diff (r15; first user is
+  * q_join_interval_overlap at sf10, whose output is 4.15 BILLION
+  * rows — the sweep's multiset compare tops out around tens of
+  * millions). Instead of writing the rows, BOTH engines compute the
+  * same two aggregates over the live result:
+  *
+  *   rows   = COUNT(*)
+  *   digest = SUM( hex_to_int( substr( md5( concat_ws(',', cols in
+  *            sorted-name order cast to string) ), 1, 15 ) ) )
+  *
+  * — a sum of per-row 60-bit md5 prefixes as an exact DECIMAL(38,0).
+  * md5 on the canonical comma-joined string is engine-portable
+  * (DuckDB: `CAST(concat('0x', substr(md5(s),1,15)) AS BIGINT)`,
+  * scripts/digest_check.py), addition is commutative so row order
+  * is irrelevant, and equal multisets give equal digests while a
+  * differing multiset collides with probability ~n²/2⁶⁰ (≈ 10⁻⁵ for
+  * 4 B rows). Column-name sort mirrors the driver's hash-compare
+  * convention; NULLs would need an explicit sentinel (concat_ws
+  * drops them) — every current user has non-null output columns.
+  *
+  * Usage: `QueryDigest <sfDir> <queryName>` → one JSON line
+  * `{"query":…,"rows":N,"digest":"D"}` on stdout.
+  */
+object QueryDigest {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, name) = args
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "131072")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.Tables.setEventsReadConfs(spark)
+    val df = graft.SparkEntry.queries(name)(spark, sfDir)
+    val cols = df.columns.sorted
+    val rowStr = concat_ws(",", cols.map(c => col(c).cast("string")): _*)
+    val rowHash = conv(substring(md5(rowStr), 1, 15), 16, 10)
+      .cast("decimal(38,0)")
+    val r = df.select(
+      count(lit(1)).as("rows"),
+      sum(rowHash).as("digest")).head()
+    println(s"""{"query":"$name","rows":${r.getLong(0)},"digest":"${r.getDecimal(1)}"}""")
+    spark.stop()
+  }
+}
