@@ -12,6 +12,11 @@
 # at sf10 the ~4 s JVM+session warmup is noise.
 #
 # Usage: scripts/bench_scale_probe.sh [outDir]
+#   Env overrides (r15, for the 1000x leg): GRAFT_PROBE_SFS (space-
+#   separated scale dirs), GRAFT_PROBE_QS (space-separated query
+#   keys), GRAFT_PROBE_REPS (min-of-N; 1 is reasonable at sf100 where
+#   per-query runtimes of minutes amortize shared-box noise and 3 reps
+#   would triple an hour-long sweep), GRAFT_PROBE_XMX (heap).
 set -u
 OUT=${1:-/tmp/iso}
 mkdir -p "$OUT"
@@ -21,15 +26,18 @@ CP="target/scala-2.13/classes:/opt/spark/jars/*"
 QUERIES=(q_star_join_flagship q_tpch_q21_flagship q_text_ngram_lm \
   q_dedup_substring q_dedup_embed_bucketed q_dedup_contain_minhash \
   q_dedup_minhash_df q_dedup_clusters q_curate_flagship)
-for SF in /tmp/graft_sf1 /tmp/graft_sf10; do
+[ -n "${GRAFT_PROBE_QS:-}" ] && read -ra QUERIES <<< "$GRAFT_PROBE_QS"
+REPS=${GRAFT_PROBE_REPS:-3}
+XMX=${GRAFT_PROBE_XMX:-64g}
+for SF in ${GRAFT_PROBE_SFS:-"/tmp/graft_sf1 /tmp/graft_sf10"}; do
   TAG=$(basename "$SF")
   for Q in "${QUERIES[@]}"; do
     [ -s "$OUT/${TAG}_${Q}.json" ] && { echo "skip $TAG $Q (done)"; continue; }
     echo "== $TAG $Q $(date +%H:%M:%S)"
-    SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_REPS=3 \
+    SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_REPS=$REPS \
       SPARK_GRAFT_QUERIES="$Q" \
       SPARK_GRAFT_SPREAD_OUT="$OUT/${TAG}_${Q}.spread.json" \
-      java $OPENS -cp "$CP" -Xmx64g graft.Bench \
+      java $OPENS -cp "$CP" -Xmx$XMX graft.Bench \
       > "$OUT/${TAG}_${Q}.log" 2>&1
     grep '"metric":"total"' "$OUT/${TAG}_${Q}.log" | head -1 \
       > "$OUT/${TAG}_${Q}.json"

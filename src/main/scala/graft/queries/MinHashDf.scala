@@ -22,9 +22,11 @@ import graft.Tables
   * fires on the exact rows #62/#109), rows #71/#138 here are the
   * declared scale paths (measured ~linear at 10×, BASELINE.md).
   *
-  * Overflow safety (both engines use signed 64-bit): shingle hash is
-  * 28 bits (7 md5 hex digits), multipliers < 2^31, so a·h + b <
-  * 2^59 < Long.Max.
+  * Overflow safety (both engines use signed 64-bit): shingles are
+  * carried as a 60-bit md5 prefix (15 hex digits, r15 — compact
+  * shuffle keys; see bandedCandidates); the SIGNATURE hash is its
+  * top 28 bits (h >> 32 = digits 1-7, the historical value),
+  * multipliers < 2^31, so a·h₂₈ + b < 2^59 < Long.Max.
   */
 object MinHashDf {
   type Q = (SparkSession, String) => DataFrame
@@ -42,26 +44,46 @@ object MinHashDf {
 
   /** Shared candidate pipeline: shingles (with 28-bit md5 hash) →
     * one-pass signatures+sizes → r=2 bands → banded candidate pairs.
-    * Returns (sh postings, sigs, cand) — #71 scores candidates by
-    * exact Jaccard, #138 by exact CONTAINMENT; the subtrees are
-    * byte-identical so the two rows can never drift apart. */
+    * Returns (candidate-doc postings, sigs, cand) — #71 scores
+    * candidates by exact Jaccard, #138 by exact CONTAINMENT; the
+    * subtrees are byte-identical so the two rows can never drift
+    * apart. The returned postings are pre-pruned to candidate docs
+    * (broadcast semi-join below) — identical join results, corpus-
+    * independent shuffle volume. */
   private[graft] def bandedCandidates(docs: DataFrame)
       : (DataFrame, DataFrame, DataFrame) = {
-    // distinct 3-shingles with a 28-bit md5-derived hash; the dedup is
-    // per-doc array_distinct BEFORE the explode — identical to a
-    // global distinct on (doc_id, sh), minus its full shuffle
+    // distinct 3-shingles, carried as a 60-BIT md5 prefix from the
+    // explode on (r15, third finding of the 1000× probe): the shingle
+    // STRING must never reach a shuffle — at sf100 the postings are
+    // ~500M rows and every string-keyed stage (cache spill, collect,
+    // intersection joins) multiplied into a >55 GB cumulative shuffle
+    // footprint that filled the box. The 60-bit prefix is the same
+    // deterministic md5 arithmetic both engines already share, so the
+    // DuckDB oracle computes the identical key; the 28-bit signature
+    // hash is EXACTLY its top bits (digits 1-7 of 1-15 ⇒ h >> 32), so
+    // every signature value is bit-identical to the old code. Shingle
+    // identity becomes 60-bit-key identity: two DISTINCT shingles of
+    // one pair colliding would perturb an intersection count with
+    // probability ~|union|²/2⁶¹ ≈ 1e-14 per pair — and identically in
+    // both engines, so oracle parity is preserved by construction.
+    // The per-doc dedup is array_distinct on STRINGS before the
+    // explode — identical to a global distinct on (doc_id, sh), minus
+    // its full shuffle; `sz` therefore counts distinct strings,
+    // unchanged.
     val sh = docs
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 3)
       .select(col("doc_id"), explode(array_distinct(expr(
         "transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))")))
         .as("sh"))
-      .withColumn("h", expr("CAST(conv(substring(md5(sh), 1, 7), 16, 10) AS BIGINT)"))
-      .cache() // consumed 4× (signatures, sizes, both intersection sides)
+      .select(col("doc_id"),
+        expr("CAST(conv(substring(md5(sh), 1, 15), 16, 10) AS BIGINT)").as("h"))
+      .cache() // consumed 2× (signatures+sizes, intersection postings); 16 B/row
     // k signatures AND the doc's shingle count in ONE aggregation pass
-    // (sizes ride along — no second groupBy over the postings)
+    // (sizes ride along — no second groupBy over the postings);
+    // (h >> 32) is the historical 28-bit hash, bit-for-bit
     val sigCols = A.indices.map(i =>
-      min(expr(s"(${A(i)}L * h + ${B(i)}L) % ${P}L")).as(s"sig$i")) :+
+      min(expr(s"(${A(i)}L * (h >> 32) + ${B(i)}L) % ${P}L")).as(s"sig$i")) :+
       count(lit(1)).as("sz")
     val sigs = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
       .cache() // consumed 2× (bands + sizes)
@@ -71,13 +93,87 @@ object MinHashDf {
     val bands = sigs.select(col("doc_id"),
         explode(expr(s"array(${bandStructs.mkString(", ")})")).as("b"))
       .select(col("doc_id"), col("b.band"), col("b.v1"), col("b.v2"))
-    // candidate pairs: same band values, deduped
-    val cand = bands.as("x").join(bands.as("y"),
+    // OPTIONAL band-bucket cap (spark.graft.minhash.maxBucket, r15;
+    // default 0 = off, exact semantics, oracle untouched): the 1000×
+    // probe exposed the regime where banding itself stops being
+    // linear — a corpus whose shingle space does NOT grow with it
+    // (GenScale's fixed 31-word vocabulary: 29.8k possible shingles
+    // under 5M docs) saturates the signature space, and band buckets
+    // go hot (measured: 578M pre-distinct candidate pairs at sf100 vs
+    // the 7.1M a structure-preserving corpus would give; max bucket
+    // 7 627 docs ⇒ 29M pairs from ONE bucket). No rescore plan
+    // survives a candidate set that is itself quadratic, so the
+    // production safeguard is the standard LSH trade: drop buckets
+    // larger than the cap (they carry almost no precision — a bucket
+    // that big is signature-space exhaustion, not similarity) and
+    // keep everything else exact. One cheap aggregate over bands +
+    // a broadcast anti-join on the (few) hot keys when enabled.
+    val maxBucket = docs.sparkSession.conf
+      .getOption("spark.graft.minhash.maxBucket").map(_.toLong).getOrElse(0L)
+    val bandsEff = if (maxBucket > 0) {
+      val hot = bands.groupBy(col("band"), col("v1"), col("v2"))
+        .agg(count(lit(1)).as("n")).filter(col("n") > maxBucket)
+        .select(col("band"), col("v1"), col("v2"))
+      bands.join(broadcast(hot), Seq("band", "v1", "v2"), "left_anti")
+    } else bands
+    // candidate pairs: same band values, deduped. Cached — consumed
+    // 3× downstream (candidate-doc set, intersection probe, final
+    // left join) and pairs-sized by construction, so the cache is
+    // cheap and saves re-running the band self-join.
+    val cand = bandsEff.as("x").join(bandsEff.as("y"),
         col("x.band") === col("y.band") && col("x.v1") === col("y.v1") &&
           col("x.v2") === col("y.v2") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    (sh, sigs, cand)
+      .cache()
+    // Intersection postings pruned to CANDIDATE DOCS ONLY (r15, found
+    // by the 1000× probe): the exact-rescore joins are the only
+    // consumers of `sh` after the signature pass, and they can only
+    // match postings of docs that appear in some candidate pair — but
+    // without an explicit filter Spark shuffles the ENTIRE postings
+    // table (doc_id + shingle STRING per row) through both
+    // intersection joins: ~500M rows / >50 GB of shuffle write at
+    // sf100, which filled the box's disk and killed the row while the
+    // logical result needed ~10% of it. The candidate-doc set is
+    // output-sized (∝ duplicate pairs, NOT corpus — the same df-free
+    // banding argument that makes this the scale path), so a
+    // broadcast left-semi prunes postings WITHOUT re-shuffling them:
+    // at 100 TB the candidate set is exactly what a driver can still
+    // broadcast while the corpus is exactly what it cannot shuffle
+    // twice.
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val shCand = sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+    (shCand, sigs, cand)
+  }
+
+  /** Exact per-pair shingle-intersection counts for the candidate
+    * pairs. Shape (r15, second finding of the 1000× probe): the old
+    * relational recount — join cand to postings of doc_a, join THAT
+    * to postings on (doc_b, sh), groupBy pair — materializes a
+    * pairs × shingles-per-doc intermediate and shuffles it twice
+    * (~400M (pair, shingle-string) rows / >55 GB transient shuffle at
+    * sf100 — it filled the box's disk even after the candidate-doc
+    * pruning). This shape collects each CANDIDATE doc's distinct
+    * shingle set once (one shuffle of candidate postings, array rows
+    * after), joins the two arrays onto each pair, and counts the
+    * intersection inside a codegen projection
+    * (`size(array_intersect)`) — exact string-set intersection,
+    * bit-identical counts, but shuffle volume ∝ candidate docs +
+    * pairs instead of pairs × doc length. Every cand pair is present
+    * (inter ≥ 0), a superset of the old matched-only rows — callers'
+    * LEFT join + coalesce semantics are unchanged. */
+  private def exactIntersections(cand: DataFrame, shCand: DataFrame): DataFrame = {
+    // collect_set: dedups the (collision-only) repeated h per doc, so
+    // size(array_intersect) counts DISTINCT common keys — the same
+    // quantity the oracle's DISTINCT-postings join counts
+    val sets = shCand.groupBy(col("doc_id"))
+      .agg(collect_set(col("h")).as("shs"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("sha")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("shb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sha"), col("shb"))).cast("long").as("inter"))
   }
 
   // ---- #71 q_dedup_minhash_df --------------------------------------------
@@ -85,10 +181,7 @@ object MinHashDf {
     val (sh, sigs, cand) = bandedCandidates(Tables.documents(s, dir))
     // exact Jaccard, computed only for candidates
     val sizes = sigs.select(col("doc_id"), col("sz"))
-    val inter = cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    val inter = exactIntersections(cand, sh)
     cand
       .join(inter, Seq("doc_a", "doc_b"), "left")
       .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sa")), "doc_a")
@@ -131,10 +224,7 @@ object MinHashDf {
   private[graft] def containMinhashPairs(docs: DataFrame): DataFrame = {
     val (sh, sigs, cand) = bandedCandidates(docs)
     val sizes = sigs.select(col("doc_id"), col("sz"))
-    val inter = cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    val inter = exactIntersections(cand, sh)
     cand
       .join(inter, Seq("doc_a", "doc_b"), "left")
       .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sa")), "doc_a")
@@ -159,8 +249,11 @@ object MinHashDf {
     * pagerank oracle, fixed the same way). Hint is DuckDB-dialect
     * (the only engine that runs oracle SQL). */
   private def bandedCandidatesCte: String = {
+    // (h >> 32) restores the historical 28-bit hash (hex digits 1-7
+    // of the 60-bit key) — signature values are bit-identical to the
+    // pre-r15 oracle
     val sigExprs = A.indices.map(i =>
-      s"MIN((${A(i)} * h + ${B(i)}) % $P) AS sig$i").mkString(",\n         ")
+      s"MIN((${A(i)} * (h >> 32) + ${B(i)}) % $P) AS sig$i").mkString(",\n         ")
     val bandSelects = (0 until NUM_BANDS).map(bi =>
       s"SELECT doc_id, $bi AS band, sig${2 * bi} AS v1, sig${2 * bi + 1} AS v2 FROM sigs")
       .mkString("\n  UNION ALL ")
@@ -169,10 +262,10 @@ object MinHashDf {
        |sh AS MATERIALIZED (SELECT DISTINCT doc_id, sh FROM (
        |  SELECT doc_id, UNNEST(list_transform(generate_series(1, LEN(ws) - 2),
        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh FROM d)),
-       |shh AS (SELECT doc_id, sh,
-       |  CAST(list_sum(list_transform(generate_series(1, 7),
+       |shh AS MATERIALIZED (SELECT DISTINCT doc_id,
+       |  CAST(list_sum(list_transform(generate_series(1, 15),
        |    i -> (CAST(strpos('0123456789abcdef', substring(md5(sh), i, 1)) AS BIGINT) - 1)
-       |         << (4 * (7 - i)))) AS BIGINT) AS h
+       |         << (4 * (15 - i)))) AS BIGINT) AS h
        |  FROM sh),
        |sigs AS MATERIALIZED (SELECT doc_id,
        |         $sigExprs
@@ -188,8 +281,8 @@ object MinHashDf {
        |inter AS MATERIALIZED (
        |  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
        |  FROM cand c
-       |  JOIN sh a ON a.doc_id = c.doc_a
-       |  JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+       |  JOIN shh a ON a.doc_id = c.doc_a
+       |  JOIN shh b ON b.doc_id = c.doc_b AND b.h = a.h
        |  GROUP BY 1, 2)""".stripMargin
   }
 

@@ -443,6 +443,40 @@ class ExtrasSuite extends GraftSuite {
       "subset quote must NOT band-collide (declared #138 semantics; #109's territory)")
   }
 
+  test("minhash maxBucket cap: off by default (exact), on it drops only saturated band buckets") {
+    val sess = spark; import sess.implicits._
+    // The r15 1000× probe found the regime where banding itself goes
+    // quadratic: a corpus whose shingle space does not grow with it
+    // saturates the signature space and band buckets go hot (578M
+    // candidate pairs at sf100 on GenScale's 31-word vocabulary).
+    // spark.graft.minhash.maxBucket is the production safeguard: drop
+    // buckets larger than the cap, keep everything else exact.
+    // Planted: a 40-doc IDENTICAL mega-cluster (one hot bucket per
+    // band) next to 3 normal near-dup pairs.
+    val words = (1 to 40).map(i => s"zz${i * 7 % 89}v$i")
+    val docs = ((0 until 40).map(i => (9000L + i, words.mkString(" "))) ++
+      (0 until 3).flatMap { i =>
+        val w = (1 to 40).map(j => s"pair${i}_${j * 11 % 83}u$j")
+        Seq((9500L + 2 * i, w.mkString(" ")),
+          (9501L + 2 * i, w.updated(20, s"alt$i").mkString(" ")))
+      }).toDF("doc_id", "text")
+    def pairs() = graft.queries.MinHashDf.containMinhashPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = pairs()
+    assert(uncapped.count { case (a, b) => a >= 9000L && b < 9100L } == 40 * 39 / 2,
+      "cap off: the mega-cluster contributes all-pairs (exact semantics)")
+    spark.conf.set("spark.graft.minhash.maxBucket", "10")
+    try {
+      val capped = pairs()
+      assert(!capped.exists { case (a, b) => a >= 9000L && b < 9100L },
+        "cap on: saturated-bucket pairs dropped")
+      (0 until 3).foreach { i =>
+        assert(capped.contains((9500L + 2 * i, 9501L + 2 * i)),
+          s"cap on: normal near-dup pair $i must survive")
+      }
+    } finally spark.conf.unset("spark.graft.minhash.maxBucket")
+  }
+
   test("ngramContainmentPairs: an ALL-HOT doc inside a rare-rich container is still found (prefix-filter recall)") {
     // The case Jaccard's rare-shingle candidate indexes cannot see at
     // all (and the reason containment has its own PPJoin-style prefix
