@@ -26,8 +26,12 @@ def main():
     # the subquery makes DuckDB SORT the full output before the
     # aggregate — at 4.15B rows that spilled >67 GB of temp and died.
     # Strip the terminal ORDER BY (never semantically load-bearing
-    # under an ungrouped aggregate).
-    sql = re.sub(r"ORDER BY[^)]*$", "", sql, flags=re.IGNORECASE)
+    # under an ungrouped aggregate) — UNLESS a LIMIT follows it
+    # (ORDER BY ... LIMIT N is a top-N, where the order IS the
+    # semantics; r16, ADVICE r15 #1 — the old pattern ate the LIMIT
+    # too and digested the full result, a false FAIL on every
+    # top-N-shaped oracle).
+    sql = re.sub(r"ORDER BY(?:(?!LIMIT)[^)])*$", "", sql, flags=re.IGNORECASE)
     eng = json.loads(open(engine_json).read().strip())
     assert eng["query"] == query, f"engine json is for {eng['query']}"
 
@@ -47,14 +51,20 @@ def main():
 
     cols = [d[0] for d in con.execute(
         f"SELECT * FROM ({sql}) LIMIT 0").description]
+    # NULL sentinel per column (r16, ADVICE r15 #4): concat_ws DROPS
+    # NULL arguments in both engines, so ('a', NULL) and ('a', '')
+    # would canonicalize identically. chr(1) mirrors QueryDigest's
+    # "" — a byte no fixture value contains.
     joined = "concat_ws(',', " + ", ".join(
-        f'CAST("{c}" AS VARCHAR)' for c in sorted(cols)) + ")"
+        f'coalesce(CAST("{c}" AS VARCHAR), chr(1))' for c in sorted(cols)) + ")"
     # 60-bit md5 prefix, exactly QueryDigest's conv(substr(md5,1,15),16,10)
     rowhash = f"CAST(concat('0x', substr(md5({joined}), 1, 15)) AS BIGINT)"
     t0 = time.time()
     rows, digest = con.execute(
-        f"SELECT count(*), sum(CAST({rowhash} AS HUGEINT)) FROM ({sql})"
+        f"SELECT count(*), coalesce(sum(CAST({rowhash} AS HUGEINT)), 0) FROM ({sql})"
     ).fetchone()
+    # coalesce ↑ mirrors QueryDigest: an EMPTY result digests as "0"
+    # on both sides instead of NULL-vs-None comparing unequal.
     ok = rows == eng["rows"] and str(digest) == eng["digest"]
     print(json.dumps({
         "query": query, "oracle_rows": rows, "oracle_digest": str(digest),

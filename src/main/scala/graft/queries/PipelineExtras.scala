@@ -185,16 +185,23 @@ object PipelineExtras extends org.apache.spark.internal.Logging {
     * canonical plan ⇒ repeated pipeline runs in a session skip the
     * two aggregates entirely (the warning still re-logs on every
     * guarded invocation, so the routing advice cannot go quiet). The
-    * key is the canonical plan's hashCode: a collision's worst case
-    * is a wrong cached ESTIMATE (advice only — never output), and the
-    * map is capped at 64 entries so a long-lived session scanning
-    * many corpora cannot grow it unboundedly.
+    * key is the canonicalized plan OBJECT under structural equality
+    * (r16, ADVICE r15 #5 — the earlier hashCode key could silently
+    * return another corpus's estimate on a collision; the full plan
+    * STRING is no better, since a LocalRelation prints only its
+    * schema and two in-memory corpora would alias): LogicalPlan
+    * equality is exact, so collisions are impossible by construction.
+    * The map is capped at 64 entries so a long-lived session scanning
+    * many corpora cannot grow it unboundedly. The memo assumes corpus
+    * paths are immutable within a session: regenerating data under
+    * the SAME path keeps the same canonical plan and returns the
+    * stale estimate (advice only — never output).
     *
     * @return (estimated candidate pairs, unique docs, fired) */
-  private val dfGuardMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Boolean)]()
+  private val dfGuardMemo = new java.util.concurrent.ConcurrentHashMap[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, (Long, Long, Boolean)]()
   private[graft] def dfCostGuard(sh: DataFrame, label: String): (Long, Long, Boolean) = {
-    val key = sh.queryExecution.logical.canonicalized.hashCode().toString
+    val key = sh.queryExecution.logical.canonicalized
     val res = dfGuardMemo.get(key) match {
       case r if r != null => r
       case _ =>

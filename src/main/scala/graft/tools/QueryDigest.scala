@@ -21,8 +21,12 @@ import org.apache.spark.sql.functions._
   * is irrelevant, and equal multisets give equal digests while a
   * differing multiset collides with probability ~n²/2⁶⁰ (≈ 10⁻⁵ for
   * 4 B rows). Column-name sort mirrors the driver's hash-compare
-  * convention; NULLs would need an explicit sentinel (concat_ws
-  * drops them) — every current user has non-null output columns.
+  * convention. NULL columns carry an explicit 0x01-byte sentinel (r16,
+  * ADVICE r15 #4 — concat_ws drops NULL args in both engines, so a
+  * NULL and an empty string would otherwise canonicalize the same
+  * row text), and an EMPTY result digests as "0" on both sides (SUM
+  * over zero rows is NULL; the Python side's None stringifies
+  * differently — coalesced on both).
   *
   * Usage: `QueryDigest <sfDir> <queryName>` → one JSON line
   * `{"query":…,"rows":N,"digest":"D"}` on stdout.
@@ -43,12 +47,15 @@ object QueryDigest {
     graft.Tables.setEventsReadConfs(spark)
     val df = graft.SparkEntry.queries(name)(spark, sfDir)
     val cols = df.columns.sorted
-    val rowStr = concat_ws(",", cols.map(c => col(c).cast("string")): _*)
+    // 0x01 NULL sentinel — digest_check.py wraps with chr(1) identically
+    val rowStr = concat_ws(",",
+      cols.map(c => coalesce(col(c).cast("string"), lit("\u0001"))): _*)
     val rowHash = conv(substring(md5(rowStr), 1, 15), 16, 10)
       .cast("decimal(38,0)")
     val r = df.select(
       count(lit(1)).as("rows"),
-      sum(rowHash).as("digest")).head()
+      coalesce(sum(rowHash), lit(java.math.BigDecimal.ZERO)
+        .cast("decimal(38,0)")).as("digest")).head()
     println(s"""{"query":"$name","rows":${r.getLong(0)},"digest":"${r.getDecimal(1)}"}""")
     spark.stop()
   }
