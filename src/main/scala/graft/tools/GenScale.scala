@@ -49,8 +49,12 @@ import org.apache.spark.sql.functions._
   * projection + crossJoin with a tiny replica range — no shuffles
   * except the output write.
   *
-  * Usage: `runMain graft.tools.GenScale [srcDir] [dstDir] [factor]`
-  * (defaults: /root/testdata/sf0.1 → /tmp/graft_sf1 × 10).
+  * Usage: `runMain graft.tools.GenScale [srcDir] [dstDir] [factor]
+  * [vocabMode]` (defaults: /root/testdata/sf0.1 → /tmp/graft_sf1 × 10,
+  * vocabMode `perm`). vocabMode `grow` makes the documents vocabulary
+  * scale with the corpus (see [[vocabGrow]] and [[generate]]) — the
+  * mode to use beyond sf10, where the fixed fixture vocabulary
+  * saturates the shingle space (r15 boundary).
   */
 object GenScale {
 
@@ -96,17 +100,78 @@ object GenScale {
     vocab.zip(shuffled).toMap
   }
 
-  private def scaleDocuments(spark: SparkSession, src: String, dst: String, f: Int): Unit = {
+  /** Fraction of the vocabulary each grow-mode replica rewrites to a
+    * replica-unique token (hash-selected per (word, replica)). */
+  val GROW_SELECT_FRAC = 0.75
+
+  /** Replica-i GROW map (r16, VERDICT r15 Next-round #1): a
+    * deterministic ~[[GROW_SELECT_FRAC]] of words get a
+    * replica-unique suffix (`w` → `w~i`); the rest keep their
+    * original form. Selection hashes (word, replica) jointly, so
+    * each replica rewrites a DIFFERENT three-quarters of the
+    * vocabulary.
+    *
+    * Why this shape:
+    *  - **Per-replica duplicate-pair bijection is preserved** — the
+    *    map is INJECTIVE on the vocabulary (suffixed images are
+    *    pairwise distinct; an unsuffixed word can only collide with a
+    *    suffixed image if `w2~i` already existed as a word, which is
+    *    asserted against below), so within a replica every document's
+    *    shingle SET is transformed by an injective shingle map:
+    *    intersections, unions, Jaccards, containments, and distinct
+    *    counts are preserved EXACTLY, and the planted dup/near-dup
+    *    structure replicates at exactly f× — the same proof the perm
+    *    mode carries, candidate counts provably ~f×.
+    *  - **Vocabulary grows ∝ corpus** — each replica contributes
+    *    ~0.75·V brand-new tokens, so |vocab(f)| ≈ V·(1 + 0.75(f−1)):
+    *    linear in f, the way real corpora behave, which keeps the
+    *    shingle/signature space from saturating (the r15 sf100
+    *    boundary: the FIXED 31-word vocab capped possible 3-shingles
+    *    at 29.8k under 5M docs and banding itself went quadratic).
+    *  - **Cross-replica similarity decays to noise** — a word keeps
+    *    its original form in two given replicas with probability
+    *    (1−0.75)² = 1/16, a 3-shingle survives identically in both
+    *    with (1/16)³ ≈ 2.4e-4, so even the same base doc in two
+    *    replicas shares ~0.01 expected shingles (J ≈ 1e-4): at 6
+    *    bands of r=2 the accidental band-collision rate is ~6·J² ≈
+    *    1e-7 per cross-replica pair — a few hundred extra candidates
+    *    across ALL 2.5e9 same-base-doc replica pairs at f=1000,
+    *    structure-linear noise, not a quadratic cluster. */
+  private def vocabGrow(vocab: Array[String], i: Int): Map[String, String] = {
+    val vocabSet = vocab.toSet
+    val md = java.security.MessageDigest.getInstance("MD5")
+    vocab.iterator.flatMap { w =>
+      val h = md.digest(s"gs-grow:$i:$w".getBytes("UTF-8"))(0) & 0xff
+      if (h < (GROW_SELECT_FRAC * 256).toInt) {
+        val img = s"$w~$i"
+        // injectivity guard (matters only when chaining grow runs):
+        // a suffixed image must not equal an existing plain word
+        require(!vocabSet.contains(img),
+          s"grow-mode image '$img' collides with an existing vocab word")
+        Some(w -> img)
+      } else None
+    }.toMap
+  }
+
+  private def scaleDocuments(spark: SparkSession, src: String, dst: String,
+      f: Int, vocabMode: String): Unit = {
     val d = spark.read.parquet(s"$src/documents.parquet")
     val span = d.agg(max(col("doc_id"))).head.getLong(0) + 1L
     // corpus vocabulary: small by construction (FIXTURES.md — shared
-    // data-engineering terms), so the per-replica bijections fit in
-    // one broadcast map keyed by "rep:word"
+    // data-engineering terms; grow-mode outputs stay ≤ ~25k words at
+    // f=1000), so the per-replica bijections fit in one broadcast map
+    // keyed by "rep:word"
     val vocab = d.select(explode(split(col("text"), " ")).as("w"))
       .distinct().collect().map(_.getString(0)).sorted
+    val perReplica: Int => Map[String, String] = vocabMode match {
+      case "perm" => vocabPerm(vocab, _) // legacy: fixed vocab, shuffled
+      case "grow" => vocabGrow(vocab, _) // vocab ∝ corpus (see scaladoc)
+      case other => throw new IllegalArgumentException(
+        s"vocabMode must be perm or grow, got '$other'")
+    }
     val lookup: Map[String, String] =
       (1 until f).flatMap { i =>
-        vocabPerm(vocab, i).map { case (w, w2) => s"$i:$w" -> w2 }
+        perReplica(i).map { case (w, w2) => s"$i:$w" -> w2 }
       }.toMap
     val lookupCol = typedlit(lookup)
     val rep = broadcast(reps(spark, f))
@@ -149,7 +214,15 @@ object GenScale {
       .pipe(d => writeSharded(d, s"$dst/embeddings.parquet"))
   }
 
-  def generate(spark: SparkSession, src: String, dst: String, f: Int): Unit = {
+  /** `vocabMode` governs how replica texts are rewritten (documents
+    * table only — every other table is mode-independent):
+    * `perm` (legacy) keeps the source vocabulary and shuffles it per
+    * replica — fine through sf10, but a FIXED vocab saturates the
+    * shingle space around sf100 (the r15 boundary); `grow` suffixes a
+    * hash-selected 3/4 of words per replica so vocabulary scales with
+    * the corpus like real text does — see [[vocabGrow]]. */
+  def generate(spark: SparkSession, src: String, dst: String, f: Int,
+      vocabMode: String = "perm"): Unit = {
     require(f >= 1, s"factor must be >= 1 (got $f)")
     copyTable(spark, src, dst, "region")
     copyTable(spark, src, dst, "nation")
@@ -192,7 +265,7 @@ object GenScale {
       .withColumn("user_id", col("user_id") + col("_rep").cast("long") * userSpan)
       .drop("_rep")
       .pipe(d => writeSharded(d, s"$dst/events.parquet"))
-    scaleDocuments(spark, src, dst, f)
+    scaleDocuments(spark, src, dst, f, vocabMode)
     scaleEmbeddings(spark, src, dst, f)
   }
 
@@ -200,6 +273,7 @@ object GenScale {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val dst = args.lift(1).getOrElse("/tmp/graft_sf1")
     val f = args.lift(2).map(_.toInt).getOrElse(10)
+    val vocabMode = args.lift(3).getOrElse("perm")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -209,8 +283,8 @@ object GenScale {
     spark.sparkContext.setLogLevel("WARN")
     graft.Tables.setEventsReadConfs(spark)
     val t0 = System.nanoTime()
-    generate(spark, src, dst, f)
-    println(f"GenScale: $src x$f -> $dst in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    generate(spark, src, dst, f, vocabMode)
+    println(f"GenScale: $src x$f ($vocabMode) -> $dst in ${(System.nanoTime() - t0) / 1e9}%.1f s")
     spark.stop()
   }
 }
