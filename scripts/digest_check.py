@@ -49,14 +49,24 @@ def main():
         if glob.glob(src) or os.path.isfile(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
 
-    cols = [d[0] for d in con.execute(
-        f"SELECT * FROM ({sql}) LIMIT 0").description]
-    # NULL sentinel per column (r16, ADVICE r15 #4): concat_ws DROPS
-    # NULL arguments in both engines, so ('a', NULL) and ('a', '')
-    # would canonicalize identically. chr(1) mirrors QueryDigest's
-    # "" — a byte no fixture value contains.
+    coltypes = {r[0]: r[1] for r in con.execute(
+        f"DESCRIBE SELECT * FROM ({sql}) LIMIT 0").fetchall()}
+    # Canonical per-column rendering - byte-identical to QueryDigest's:
+    #  - DOUBLE/FLOAT (r16): native double->string rules differ across
+    #    engines (and printf tie-rounding differs), so decompose with
+    #    pure IEEE arithmetic: floor(x) ':' floor((x-floor(x))*1e18+0.5)
+    #    - every op is bit-deterministic and identical on both sides.
+    #  - NULL sentinel per column (ADVICE r15 #4): concat_ws DROPS NULL
+    #    arguments in both engines, so ('a', NULL) and ('a', '') would
+    #    canonicalize identically. chr(1) mirrors QueryDigest's 0x01.
+    def canon(c):
+        if coltypes[c].upper() in ("DOUBLE", "FLOAT", "REAL"):
+            d = f'CAST("{c}" AS DOUBLE)'
+            return (f"concat(CAST(CAST(floor({d}) AS BIGINT) AS VARCHAR), ':', "
+                    f"CAST(CAST(floor(({d} - floor({d})) * 1e18 + 0.5) AS BIGINT) AS VARCHAR))")
+        return f'CAST("{c}" AS VARCHAR)'
     joined = "concat_ws(',', " + ", ".join(
-        f'coalesce(CAST("{c}" AS VARCHAR), chr(1))' for c in sorted(cols)) + ")"
+        f"coalesce({canon(c)}, chr(1))" for c in sorted(coltypes)) + ")"
     # 60-bit md5 prefix, exactly QueryDigest's conv(substr(md5,1,15),16,10)
     rowhash = f"CAST(concat('0x', substr(md5({joined}), 1, 15)) AS BIGINT)"
     t0 = time.time()

@@ -47,9 +47,33 @@ object QueryDigest {
     graft.Tables.setEventsReadConfs(spark)
     val df = graft.SparkEntry.queries(name)(spark, sfDir)
     val cols = df.columns.sorted
+    val dtypes = df.schema.fields.map(f => f.name -> f.dataType.typeName).toMap
+    // Canonical per-column rendering (must be byte-identical to
+    // digest_check.py's):
+    //  - DOUBLE/FLOAT (r16): the engines' native double-to-string
+    //    rules differ (Spark: Java scientific notation at 1e7+;
+    //    DuckDB: shortest plain), and printf-style rounding differs
+    //    on exact ties (Java HALF_UP vs C round-half-even). So
+    //    doubles are decomposed with PURE IEEE arithmetic instead:
+    //    hi = floor(x) and lo = floor((x - floor(x)) * 1e18 + 0.5).
+    //    Identical operations on identical bits give identical
+    //    integers in any IEEE-754 engine (no decimal-rendering rule
+    //    involved), and the pair carries the exact integer part plus
+    //    18 fractional digits - at least full double precision.
+    //    Assumes finite values with |x| < 2^62 (every current output
+    //    qualifies).
+    //  - everything else: CAST AS VARCHAR/string.
+    //  - NULL: 0x01 sentinel (concat_ws drops NULL args).
+    def canon(c: String): org.apache.spark.sql.Column = dtypes(c) match {
+      case "double" | "float" =>
+        val d = col(c).cast("double")
+        concat(floor(d).cast("string"), lit(":"),
+          floor((d - floor(d)) * lit(1e18) + lit(0.5)).cast("string"))
+      case _ => col(c).cast("string")
+    }
     // 0x01 NULL sentinel — digest_check.py wraps with chr(1) identically
     val rowStr = concat_ws(",",
-      cols.map(c => coalesce(col(c).cast("string"), lit("\u0001"))): _*)
+      cols.map(c => coalesce(canon(c), lit("\u0001"))): _*)
     val rowHash = conv(substring(md5(rowStr), 1, 15), 16, 10)
       .cast("decimal(38,0)")
     val r = df.select(
