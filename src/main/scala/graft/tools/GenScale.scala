@@ -50,8 +50,9 @@ import org.apache.spark.sql.functions._
   * except the output write.
   *
   * Usage: `runMain graft.tools.GenScale [srcDir] [dstDir] [factor]
-  * [vocabMode]` (defaults: /root/testdata/sf0.1 → /tmp/graft_sf1 × 10,
-  * vocabMode `perm`). vocabMode `grow` makes the documents vocabulary
+  * [vocabMode] [tables]` (defaults: /root/testdata/sf0.1 →
+  * /tmp/graft_sf1 × 10, vocabMode `perm`, all tables; `tables` is a
+  * comma list for resuming a partial generation). vocabMode `grow` makes the documents vocabulary
   * scale with the corpus (see [[vocabGrow]] and [[generate]]) — the
   * mode to use beyond sf10, where the fixed fixture vocabulary
   * saturates the shingle space (r15 boundary).
@@ -155,36 +156,63 @@ object GenScale {
 
   private def scaleDocuments(spark: SparkSession, src: String, dst: String,
       f: Int, vocabMode: String): Unit = {
+    // repartition BEFORE the crossJoin (r16): the fixture input is a
+    // single parquet file = ONE partition, and a broadcast crossJoin
+    // preserves that — so at f=1000 the whole 5M-doc text rewrite ran
+    // as a single task on one core. 32-way input ⇒ 32-way rewrite.
     val d = spark.read.parquet(s"$src/documents.parquet")
+      .repartition(OUT_SHARDS)
     val span = d.agg(max(col("doc_id"))).head.getLong(0) + 1L
-    // corpus vocabulary: small by construction (FIXTURES.md — shared
-    // data-engineering terms; grow-mode outputs stay ≤ ~25k words at
-    // f=1000), so the per-replica bijections fit in one broadcast map
-    // keyed by "rep:word"
-    val vocab = d.select(explode(split(col("text"), " ")).as("w"))
-      .distinct().collect().map(_.getString(0)).sorted
-    val perReplica: Int => Map[String, String] = vocabMode match {
-      case "perm" => vocabPerm(vocab, _) // legacy: fixed vocab, shuffled
-      case "grow" => vocabGrow(vocab, _) // vocab ∝ corpus (see scaladoc)
+    val rep = broadcast(reps(spark, f))
+    val textExpr = vocabMode match {
+      case "perm" =>
+        // legacy: per-replica vocabulary permutation via a broadcast
+        // map. The corpus vocabulary is small by construction
+        // (FIXTURES.md — 31 shared data-engineering terms), so the
+        // f−1 bijections fit one literal map keyed by "rep:word".
+        // NOTE the literal-map lookup is a linear scan per token —
+        // fine at 31·f entries, which is why grow mode (unbounded
+        // vocab) uses closed-form arithmetic instead.
+        val vocab = d.select(explode(split(col("text"), " ")).as("w"))
+          .distinct().collect().map(_.getString(0)).sorted
+        val lookup: Map[String, String] =
+          (1 until f).flatMap { i =>
+            vocabPerm(vocab, i).map { case (w, w2) => s"$i:$w" -> w2 }
+          }.toMap
+        val lookupCol = typedlit(lookup)
+        array_join(
+          transform(split(col("text"), " "),
+            w => coalesce(
+              element_at(lookupCol, concat(col("_rep").cast("string"), lit(":"), w)),
+              w)),
+          " ")
+      case "grow" =>
+        // vocab ∝ corpus, NO map (r16): selection and image are
+        // closed-form md5 arithmetic per (word, replica) — the exact
+        // function [[vocabGrow]] specifies (identical md5 input
+        // string, identical byte threshold), evaluated inside codegen
+        // instead of via an O(|vocab·f|) literal-map scan per token.
+        // The r15-style map path rewrote 5M docs in hours on one
+        // core; this is minutes on 32.
+        val guard = d.filter(col("text").contains("~")).limit(1).count()
+        require(guard == 0L,
+          "grow mode requires a base corpus whose words contain no '~' " +
+            "(chain by regenerating from the fixture at a larger factor)")
+        array_join(
+          transform(split(col("text"), " "), w =>
+            when(conv(substring(md5(concat(lit("gs-grow:"),
+                col("_rep").cast("string"), lit(":"), w)), 1, 2), 16, 10)
+                .cast("int") < lit((GROW_SELECT_FRAC * 256).toInt),
+              concat(w, lit("~"), col("_rep").cast("string")))
+              .otherwise(w)),
+          " ")
       case other => throw new IllegalArgumentException(
         s"vocabMode must be perm or grow, got '$other'")
     }
-    val lookup: Map[String, String] =
-      (1 until f).flatMap { i =>
-        perReplica(i).map { case (w, w2) => s"$i:$w" -> w2 }
-      }.toMap
-    val lookupCol = typedlit(lookup)
-    val rep = broadcast(reps(spark, f))
     d.crossJoin(rep)
       .withColumn("doc_id", col("doc_id") + col("_rep").cast("long") * span)
       .withColumn("text",
-        when(col("_rep") === 0, col("text")).otherwise(
-          array_join(
-            transform(split(col("text"), " "),
-              w => coalesce(
-                element_at(lookupCol, concat(col("_rep").cast("string"), lit(":"), w)),
-                w)),
-            " ")))
+        when(col("_rep") === 0, col("text")).otherwise(textExpr))
       .withColumn("n_chars", length(col("text")).cast("long"))
       .drop("_rep")
       .pipe(d => writeSharded(d, s"$dst/documents.parquet"))
@@ -201,18 +229,41 @@ object GenScale {
 
   private def scaleEmbeddings(spark: SparkSession, src: String, dst: String, f: Int): Unit = {
     val e = spark.read.parquet(s"$src/embeddings.parquet")
+      .repartition(OUT_SHARDS) // single-file source → parallel rewrite
     val span = e.agg(max(col("vec_id"))).head.getLong(0) + 1L
     val rep = broadcast(reps(spark, f))
-    val vecExpr = (1 until f).foldLeft(
-        when(col("_rep") === 0, col("embedding"))) { (acc, i) =>
-      acc.when(col("_rep") === i, signedPerm(col("embedding"), i))
-    }
+    // Per-replica transform: f ≤ MAX_PERM_REPLICAS keeps the seeded
+    // SIGNED PERMUTATION (a CASE branch per replica — bit-compatible
+    // with every prior generated dataset); above it the branch chain
+    // itself becomes the bottleneck (a 999-way CASE over 64-wide
+    // arrays defeats codegen), so large f switches to a closed-form
+    // deterministic SIGN FLIP per (replica, dim) — a diagonal ±1
+    // matrix, still orthogonal: within-replica dot products and norms
+    // are preserved EXACTLY (signs cancel pairwise) while
+    // cross-replica cosines become ~N(0, Σv_j⁴) noise, the same
+    // structural contract as the permutation.
+    val vecExpr =
+      if (f <= MAX_PERM_REPLICAS)
+        (1 until f).foldLeft(
+            when(col("_rep") === 0, col("embedding"))) { (acc, i) =>
+          acc.when(col("_rep") === i, signedPerm(col("embedding"), i))
+        }
+      else
+        when(col("_rep") === 0, col("embedding")).otherwise(expr(
+          "transform(embedding, (x, j) -> IF(CAST(conv(substring(md5(" +
+            "concat('gs-emb:', CAST(_rep AS STRING), ':', CAST(j AS STRING))" +
+            "), 1, 2), 16, 10) AS INT) < 128, x, -x))"))
     e.crossJoin(rep)
       .withColumn("vec_id", col("vec_id") + col("_rep").cast("long") * span)
       .withColumn("embedding", vecExpr)
       .drop("_rep")
       .pipe(d => writeSharded(d, s"$dst/embeddings.parquet"))
   }
+
+  /** Above this factor [[scaleEmbeddings]] switches from the per-
+    * replica signed permutation (CASE chain) to the closed-form sign
+    * flip — see the comment at the switch. */
+  val MAX_PERM_REPLICAS = 128
 
   /** `vocabMode` governs how replica texts are rewritten (documents
     * table only — every other table is mode-independent):
@@ -221,16 +272,23 @@ object GenScale {
     * shingle space around sf100 (the r15 boundary); `grow` suffixes a
     * hash-selected 3/4 of words per replica so vocabulary scales with
     * the corpus like real text does — see [[vocabGrow]]. */
+  val ALL_TABLES: Set[String] = Set("region", "nation", "customer",
+    "supplier", "part", "orders", "lineitem", "events", "documents",
+    "embeddings")
+
   def generate(spark: SparkSession, src: String, dst: String, f: Int,
-      vocabMode: String = "perm"): Unit = {
+      vocabMode: String = "perm", tables: Set[String] = ALL_TABLES): Unit = {
     require(f >= 1, s"factor must be >= 1 (got $f)")
-    copyTable(spark, src, dst, "region")
-    copyTable(spark, src, dst, "nation")
-    writeSharded(shifted(spark.read.parquet(s"$src/customer.parquet"), f,
+    require(tables.subsetOf(ALL_TABLES),
+      s"unknown tables: ${tables -- ALL_TABLES}")
+    def want(t: String) = tables.contains(t)
+    if (want("region")) copyTable(spark, src, dst, "region")
+    if (want("nation")) copyTable(spark, src, dst, "nation")
+    if (want("customer")) writeSharded(shifted(spark.read.parquet(s"$src/customer.parquet"), f,
       Seq("c_custkey")), s"$dst/customer.parquet")
-    writeSharded(shifted(spark.read.parquet(s"$src/supplier.parquet"), f,
+    if (want("supplier")) writeSharded(shifted(spark.read.parquet(s"$src/supplier.parquet"), f,
       Seq("s_suppkey")), s"$dst/supplier.parquet")
-    writeSharded(shifted(spark.read.parquet(s"$src/part.parquet"), f,
+    if (want("part")) writeSharded(shifted(spark.read.parquet(s"$src/part.parquet"), f,
       Seq("p_partkey")), s"$dst/part.parquet")
     // FK consistency: orders and lineitem shift each key by ITS OWN
     // parent's span, computed from the parent table
@@ -244,12 +302,14 @@ object GenScale {
     val suppSpan = spark0.read.parquet(s"$src/supplier.parquet")
       .agg(max(col("s_suppkey"))).head.getLong(0) + 1L
     val rep = broadcast(reps(spark, f))
-    spark.read.parquet(s"$src/orders.parquet").crossJoin(rep)
+    if (want("orders")) spark.read.parquet(s"$src/orders.parquet")
+      .repartition(OUT_SHARDS).crossJoin(rep)
       .withColumn("o_orderkey", col("o_orderkey") + col("_rep").cast("long") * ordSpan)
       .withColumn("o_custkey", col("o_custkey") + col("_rep").cast("long") * custSpan)
       .drop("_rep")
       .pipe(d => writeSharded(d, s"$dst/orders.parquet"))
-    spark.read.parquet(s"$src/lineitem.parquet").crossJoin(rep)
+    if (want("lineitem")) spark.read.parquet(s"$src/lineitem.parquet")
+      .repartition(OUT_SHARDS).crossJoin(rep)
       .withColumn("l_orderkey", col("l_orderkey") + col("_rep").cast("long") * ordSpan)
       .withColumn("l_partkey", col("l_partkey") + col("_rep").cast("long") * partSpan)
       .withColumn("l_suppkey", col("l_suppkey") + col("_rep").cast("long") * suppSpan)
@@ -257,16 +317,19 @@ object GenScale {
       .pipe(d => writeSharded(d, s"$dst/lineitem.parquet"))
     // events: keep raw schema AS THE DRIVER WROTE IT (µs timestamps) —
     // readers go through Tables.events either way
-    val ev = spark.read.parquet(s"$src/events.parquet")
-    val evSpan = ev.agg(max(col("event_id"))).head.getLong(0) + 1L
-    val userSpan = ev.agg(max(col("user_id"))).head.getLong(0) + 1L
-    ev.crossJoin(rep)
-      .withColumn("event_id", col("event_id") + col("_rep").cast("long") * evSpan)
-      .withColumn("user_id", col("user_id") + col("_rep").cast("long") * userSpan)
-      .drop("_rep")
-      .pipe(d => writeSharded(d, s"$dst/events.parquet"))
-    scaleDocuments(spark, src, dst, f, vocabMode)
-    scaleEmbeddings(spark, src, dst, f)
+    if (want("events")) {
+      val ev = spark.read.parquet(s"$src/events.parquet")
+        .repartition(OUT_SHARDS)
+      val evSpan = ev.agg(max(col("event_id"))).head.getLong(0) + 1L
+      val userSpan = ev.agg(max(col("user_id"))).head.getLong(0) + 1L
+      ev.crossJoin(rep)
+        .withColumn("event_id", col("event_id") + col("_rep").cast("long") * evSpan)
+        .withColumn("user_id", col("user_id") + col("_rep").cast("long") * userSpan)
+        .drop("_rep")
+        .pipe(d => writeSharded(d, s"$dst/events.parquet"))
+    }
+    if (want("documents")) scaleDocuments(spark, src, dst, f, vocabMode)
+    if (want("embeddings")) scaleEmbeddings(spark, src, dst, f)
   }
 
   def main(args: Array[String]): Unit = {
@@ -274,6 +337,8 @@ object GenScale {
     val dst = args.lift(1).getOrElse("/tmp/graft_sf1")
     val f = args.lift(2).map(_.toInt).getOrElse(10)
     val vocabMode = args.lift(3).getOrElse("perm")
+    val tables = args.lift(4).map(_.split(",").map(_.trim).toSet)
+      .getOrElse(ALL_TABLES)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -283,7 +348,7 @@ object GenScale {
     spark.sparkContext.setLogLevel("WARN")
     graft.Tables.setEventsReadConfs(spark)
     val t0 = System.nanoTime()
-    generate(spark, src, dst, f, vocabMode)
+    generate(spark, src, dst, f, vocabMode, tables)
     println(f"GenScale: $src x$f ($vocabMode) -> $dst in ${(System.nanoTime() - t0) / 1e9}%.1f s")
     spark.stop()
   }
