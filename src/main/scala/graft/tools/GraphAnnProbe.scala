@@ -46,13 +46,29 @@ object GraphAnnProbe {
       .config("spark.sql.files.openCostInBytes", "131072")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // search-parameter overrides for experiments (defaults mirror the
+    // API defaults); GRAFT_GANN_REUSE=1 skips the build when the index
+    // dir already has a committed version (probe search params against
+    // one build without paying the build each time)
+    val pBeam = sys.env.get("GRAFT_GANN_BEAM").map(_.toInt)
+    val pHops = sys.env.get("GRAFT_GANN_HOPS").map(_.toInt)
+    val pEntries = sys.env.get("GRAFT_GANN_ENTRIES").map(_.toInt)
     val e = spark.read.parquet(s"$dataDir/embeddings.parquet")
     val n = e.count()
+    val reuse = sys.env.get("GRAFT_GANN_REUSE").contains("1") &&
+      NeighborGraphAnn.hasIndex(spark, indexDir)
     val t0 = System.nanoTime()
-    val graph = NeighborGraphAnn.build(spark, e, "vec_id", "embedding")
-    NeighborGraphAnn.save(spark, indexDir, graph, e, "vec_id", "embedding")
+    if (!reuse) {
+      val graph = NeighborGraphAnn.build(spark, e, "vec_id", "embedding")
+      NeighborGraphAnn.save(spark, indexDir, graph, e, "vec_id", "embedding")
+    }
     val buildSec = (System.nanoTime() - t0) / 1e9
     spark.catalog.clearCache()
+    def searched(q: org.apache.spark.sql.DataFrame, k: Int) =
+      NeighborGraphAnn.topKLoaded(spark, indexDir, q, k = k,
+        beam = pBeam.getOrElse(24),
+        hops = pHops.getOrElse(NeighborGraphAnn.defaultHops(n)),
+        entries = pEntries.getOrElse(0)) // 0 = auto (defaultEntries)
     // Decomposition baseline (r15, VERDICT r14 #3): one bare scan of
     // the two persisted index tables — the irreducible I/O floor a
     // probe must pay at least once. probe_sec near scan_sec ⇒ the
@@ -69,7 +85,7 @@ object GraphAnnProbe {
         .localCheckpoint(true) // query-set prep is not probe cost
       val probes = (1 to 3).map { _ =>
         val p0 = System.nanoTime()
-        NeighborGraphAnn.topKLoaded(spark, indexDir, q, k = 5).count()
+        searched(q, 5).count()
         val t = (System.nanoTime() - p0) / 1e9
         spark.catalog.clearCache()
         t
@@ -79,10 +95,35 @@ object GraphAnnProbe {
     if (recallSample > 0) {
       graft.functions.FloatVecDot.register(spark)
       val k = 5
-      val q = e.filter(col("vec_id") < recallSample)
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val recallMode = args.lift(4).getOrElse("plant")
+      // "plant" (default; the standard ANN-benchmark protocol): each
+      // query is a CORPUS VECTOR deterministically perturbed to
+      // cos ≈ 0.95 of its source, so ground truth contains a real
+      // near neighbor and the probe measures NAVIGATION. "iid" uses
+      // raw corpus vectors as queries — on THIS fixture that is the
+      // no-locality adversarial regime (measured r16: zero pairs
+      // above cosine 0.7 in the whole base corpus; the true top-5 of
+      // an iid query are noise maxima at cos ≈ 0.5, which no
+      // sublinear method can find — recall there measures the
+      // impossibility of the regime, not the quality of the index).
+      val qBase = e.filter(col("vec_id") < recallSample)
+      // planted qids are offset out of the corpus id space: the
+      // search's qid != nid self-exclusion is for shared-id queries,
+      // and here the SOURCE vector is the true answer, not a self-hit
+      val q = (if (recallMode == "plant")
+        qBase.select((col("vec_id") + lit(1000000000000L)).as("qid"), expr(
+          // eps = 0.07 on uniform[-1,1] md5-noise ⇒ cos(q, src) ≈ 0.95
+          """transform(embedding, (x, j) ->
+             x + CAST(0.07 * (CAST(conv(substring(md5(concat('gann-q:',
+               CAST(vec_id AS STRING), ':', CAST(j AS STRING))), 1, 8), 16, 10) AS DOUBLE)
+               / 2147483648.0 - 1.0) AS FLOAT))""").as("_raw"))
+          .select(col("qid"), expr(
+            "transform(_raw, x -> CAST(x / sqrt(aggregate(_raw, CAST(0.0 AS DOUBLE), (a, v) -> a + v * v)) AS FLOAT))")
+            .as("qvec"))
+      else
+        qBase.select(col("vec_id").as("qid"), col("embedding").as("qvec")))
         .localCheckpoint(true)
-      val got = NeighborGraphAnn.topKLoaded(spark, indexDir, q, k = k)
+      val got = searched(q, k)
         .select(col("qid"), col("nid")).collect()
         .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
       // exact top-k: one broadcast pass over the corpus
@@ -95,12 +136,20 @@ object GraphAnnProbe {
           org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
             .orderBy(col("cos_sim").desc, col("nid"))))
         .filter(col("rn") <= k)
-        .select(col("qid"), col("nid")).collect()
-        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
-      val recalls = want.toSeq.map { case (qid, t) =>
+        .select(col("qid"), col("nid"), col("rn")).collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(r => (r.getLong(1), r.getInt(2))).toSet).toMap
+      val want1 = want.view.mapValues(s => s.minBy(_._2)._1).toMap
+      val wantIds = want.view.mapValues(_.map(_._1)).toMap
+      val recalls = wantIds.toSeq.map { case (qid, t) =>
         (got.getOrElse(qid, Set.empty) & t).size.toDouble / t.size }
       val mean = recalls.sum / recalls.size
-      println(f"""{"probe":"graph_ann_recall","data":"$dataDir","n_vectors":$n,"sample":$recallSample,"k":$k,"mean_recall":$mean%.4f,"min_recall":${recalls.min}%.4f}""")
+      // recall@1: the TRUE nearest (brute rank 1) found anywhere in
+      // the returned top-k — in plant mode this is "did navigation
+      // reach the planted source", the claim the index exists for
+      val top1 = want1.toSeq.map { case (qid, t1) =>
+        if (got.getOrElse(qid, Set.empty).contains(t1)) 1.0 else 0.0 }
+      val r1 = top1.sum / top1.size
+      println(f"""{"probe":"graph_ann_recall","data":"$dataDir","n_vectors":$n,"sample":$recallSample,"k":$k,"mode":"$recallMode","mean_recall":$mean%.4f,"min_recall":${recalls.min}%.4f,"recall_at_1":$r1%.4f}""")
     }
     spark.stop()
   }

@@ -28,15 +28,28 @@ class GraphAnnSuite extends GraftSuite {
   test("neighbor graph: structural invariants — no self-loops, bounded degree, mirrored edges, true cosines") {
     val e = Tables.embeddings(spark, sf0001)
     val g = graft.api.NeighborGraphAnn.build(spark, e, "vec_id", "embedding").cache()
-    val rows = g.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-    assert(rows.nonEmpty && rows.forall { case (a, b, _) => a != b }, "no self-loops")
+    val all = g.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    val rows = all.filter(!_._4).map(r => (r._1, r._2, r._3)) // short (capped) edges
+    val longs = all.filter(_._4)
+    assert(all.nonEmpty && all.forall { case (a, b, _, _) => a != b }, "no self-loops")
+    assert(all.map(r => (r._1, r._2)).distinct.length == all.length,
+      "(id, nbr) must be unique across short + long edges")
     val deg = rows.groupBy(_._1).view.mapValues(_.size)
-    assert(deg.values.max <= 16, s"out-degree must be <= 2k = 16, got ${deg.values.max}")
-    assert(deg.size == e.count(), "every vector must have out-edges")
-    // after the degree cap, symmetry is best-effort (a hub may have
-    // dropped its reverse of a spoke's edge) — require it to hold for
-    // the overwhelming majority
-    val edgeSet = rows.map(r => (r._1, r._2)).toSet
+    assert(deg.values.max <= 16, s"short out-degree must be <= 2k = 16, got ${deg.values.max}")
+    assert(deg.size == e.count(), "every vector must have short out-edges")
+    // long-range overlay (r16): present, mirrored exactly, bounded
+    // (~2L per node on average; per-node fan-in bounded by hub math)
+    val L = graft.api.NeighborGraphAnn.LONG_EDGES_PER_NODE
+    assert(longs.nonEmpty && longs.length <= e.count() * 2 * L,
+      s"overlay must be <= 2L rows per node, got ${longs.length}")
+    val longSet = longs.map(r => (r._1, r._2)).toSet
+    assert(longs.forall { case (a, b, _, _) => longSet.contains((b, a)) ||
+        rows.exists(r => r._1 == b && r._2 == a) },
+      "every long edge must be walkable in reverse (overlay mirror)")
+    // after the degree cap, SHORT-edge symmetry is best-effort (a hub
+    // may have dropped its reverse of a spoke's edge) — require it to
+    // hold for the overwhelming majority
+    val edgeSet = rows.map(r => (r._1, r._2)).toSet ++ longSet
     val sym = rows.count { case (a, b, _) => edgeSet.contains((b, a)) }
     assert(sym.toDouble / rows.length >= 0.85,
       s"only $sym/${rows.length} edges have a reverse after the degree cap")
@@ -107,9 +120,13 @@ class GraphAnnSuite extends GraftSuite {
     val incoming = e.filter(col("vec_id") < 100)       // the increment (includes the 50 query ids)
     val g0 = graft.api.NeighborGraphAnn.build(spark, base, "vec_id", "embedding")
     val g1 = graft.api.NeighborGraphAnn.insert(spark, g0, base, "vec_id", "embedding", incoming)
-    // degree cap survives the merge
-    val deg = g1.groupBy(col("id")).count().agg(max(col("count"))).head().getLong(0)
-    assert(deg <= 16, s"degree cap must survive insert, got $deg")
+    // degree cap survives the merge (short edges — the long-range
+    // overlay is cap-exempt by design, r16)
+    val deg = g1.filter(!col("is_long"))
+      .groupBy(col("id")).count().agg(max(col("count"))).head().getLong(0)
+    assert(deg <= 16, s"short-edge degree cap must survive insert, got $deg")
+    // the overlay also survives (insert must not re-cap it away)
+    assert(g1.filter(col("is_long")).count() > 0, "overlay must survive insert")
     // query the standard 50 over the UPDATED graph + full corpus:
     // recall vs brute force must match the full-build floor — i.e.
     // inserted vectors are first-class citizens of the graph
