@@ -32,17 +32,22 @@ object MinHashDf {
   type Q = (SparkSession, String) => DataFrame
 
   /** Storage level for the corpus-sized shingle-postings cache —
-    * `spark.graft.minhash.postingsStorage` ∈ {MEMORY_AND_DISK
-    * (default), DISK_ONLY}. See the persist site in
-    * [[bandedCandidates]] for the trade. */
+    * `spark.graft.minhash.postingsStorage` ∈ {DISK_ONLY (default,
+    * r16), MEMORY_AND_DISK}. Measured both at three scales (fresh
+    * JVMs; BASELINE.md r16 postings-storage note): DISK_ONLY is
+    * equal-or-faster everywhere (sf0.1 2.01 vs 2.09 s; g10 min 15.0
+    * vs 16.2 s; g100 42.6 vs 46.4 s — sequential columnar re-read
+    * beats holding 16 B/row rows on a pressured heap) and, decisive
+    * at 100 TB, keeps the ONE corpus-sized cache in this engine out
+    * of executor memory entirely. */
   private[graft] def postingsStorage(s: SparkSession)
       : org.apache.spark.storage.StorageLevel =
     s.conf.getOption("spark.graft.minhash.postingsStorage")
       .map(_.toUpperCase) match {
-      case None | Some("MEMORY_AND_DISK") =>
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-      case Some("DISK_ONLY") =>
+      case None | Some("DISK_ONLY") =>
         org.apache.spark.storage.StorageLevel.DISK_ONLY
+      case Some("MEMORY_AND_DISK") =>
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       case Some(other) => throw new IllegalArgumentException(
         s"spark.graft.minhash.postingsStorage must be MEMORY_AND_DISK or DISK_ONLY, got '$other'")
     }
@@ -97,12 +102,10 @@ object MinHashDf {
       // consumed 2× (signatures+sizes, intersection postings); 16 B/row
       // after the r15 integer keys — but still CORPUS-sized, the one
       // cache here that grows with data. Storage level is configurable
-      // (r16, VERDICT r15 what's-wrong #3): DISK_ONLY keeps a 100 TB
-      // corpus' postings out of executor memory entirely at the cost
-      // of a disk round-trip for the second consumer; the measured
-      // default stays MEMORY_AND_DISK (see BASELINE.md r16 postings-
-      // storage note — identical wall time at sf10 within noise, so
-      // memory-pressure-sensitive deployments can flip it free).
+      // (r16, VERDICT r15 what's-wrong #3): the measured default is
+      // DISK_ONLY — equal-or-faster at sf0.1/g10/g100 AND it keeps
+      // the engine's one corpus-sized cache out of executor memory;
+      // see postingsStorage above for the numbers.
       .persist(postingsStorage(docs.sparkSession))
     // k signatures AND the doc's shingle count in ONE aggregation pass
     // (sizes ride along — no second groupBy over the postings);
