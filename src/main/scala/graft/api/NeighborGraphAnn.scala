@@ -105,10 +105,10 @@ object NeighborGraphAnn {
   def hubCount(n: Long): Long = math.max(1024L, n / 64L)
 
   /** Deterministic long-range overlay (r16): L = [[LONG_EDGES_PER_NODE]]
-    * edges from every node to hash-chosen HUB nodes (hubs = the
-    * [[hubCount]] min-md5 ids — a uniform deterministic sample),
-    * mirrored, tagged `is_long = true`, and EXEMPT from the degree
-    * cap.
+    * edges from every node to hash-chosen HUB nodes (hubs = a
+    * deterministic ~[[hubCount]]-sized Bernoulli sample of ids, see
+    * [[hubTables]]), mirrored, tagged `is_long = true`, and EXEMPT
+    * from the degree cap.
     *
     * Why it must exist — measured this round, not hypothesized: on a
     * CLUSTERED corpus (the regime ANN indexes exist for) every one of
@@ -127,19 +127,68 @@ object NeighborGraphAnn {
   private def longRangeEdges(e: DataFrame, idCol: String, vecCol: String,
       n: Long): DataFrame = {
     val ids = e.select(col(idCol).as("id"))
-    val hubs = ids
-      .orderBy(md5(concat(lit("gann-hub:"), col("id").cast("string"))))
-      .limit(hubCount(n).toInt)
-      .withColumn("_hidx", row_number().over(
-        Window.orderBy(md5(concat(lit("gann-hub:"), col("id").cast("string"))))) - 1)
-      .select(col("_hidx"), col("id").as("_hub"))
+    val (hubs, sizes, buckets) = hubTables(ids, n)
+    drawHubEdges(ids, hubs, sizes, buckets)
+  }
+
+  /** Hub table + bucket sizes for the overlay, FULLY DISTRIBUTED
+    * (r16b — the first shape funneled n/64 rows through ONE task):
+    *
+    *  - selection: id is a hub iff its salted 48-bit md5 prefix is
+    *    below hubCount(n)/n · 2⁴⁸ — a deterministic Bernoulli sample
+    *    of ~hubCount(n) ids (± √h binomial noise, which the overlay's
+    *    guarantees never depended on), computed scan-side with NO
+    *    global sort and NO limit;
+    *  - addressing: the draw join needs each hub reachable by a
+    *    uniform random index, which previously meant a contiguous
+    *    0..h-1 rank from a PARTITION-LESS window (single task, linear
+    *    in the corpus — the exact anti-pattern the PlanSuite source
+    *    audit exists to catch). Two-level addressing removes it:
+    *    hubs land in B ≈ h/128 md5-buckets, ranked by a window
+    *    PARTITIONED on the bucket (~128 rows each), and a draw picks
+    *    (bucket, rank mod bucket-size) via a broadcast of the B-row
+    *    size table. Bucket-size variance (~Poisson(128)) skews hub
+    *    pick probability by ≲ 10% — irrelevant to connectivity, which
+    *    needs only "every node reaches some shared hub core".
+    *
+    * Empty buckets (possible only at tiny h, P ≈ e⁻¹²⁸ otherwise)
+    * drop that draw via the inner join — a node loses one of its L
+    * edges, harmless. */
+  private def hubTables(ids: DataFrame, n: Long)
+      : (DataFrame, DataFrame, Int) = {
     val h = math.min(hubCount(n), n)
-    val fwd = ids
+    val buckets = math.max(1L, h / 128L).toInt
+    def md48(salt: String) = conv(substring(
+      md5(concat(lit(salt), col("id").cast("string"))), 1, 12), 16, 10)
+      .cast("long")
+    // h = n ⇒ threshold 2^48 > every 48-bit prefix ⇒ all ids are hubs
+    val threshold = (h.toDouble / n * (1L << 48).toDouble).toLong
+    val hubs = ids
+      .filter(md48("gann-hub:") < threshold)
+      .withColumn("_b", (md48("gann-hubb:") % buckets).cast("int"))
+      .withColumn("_r", row_number().over(
+        Window.partitionBy(col("_b"))
+          .orderBy(md48("gann-hub:"), col("id"))) - 1)
+      .select(col("_b"), col("_r"), col("id").as("_hub"))
+    val sizes = hubs.groupBy(col("_b"))
+      .agg(count(lit(1)).cast("int").as("_cnt"))
+    (hubs, sizes, buckets)
+  }
+
+  /** L md5-derived draws per node → (bucket, rank) → hub, mirrored.
+    * `sizes` is B ≈ h/128 rows — broadcast; the hub join is an
+    * id-distributed equi-join on (_b, _r). */
+  private def drawHubEdges(nodeIds: DataFrame, hubs: DataFrame,
+      sizes: DataFrame, buckets: Int): DataFrame = {
+    val fwd = nodeIds
       .select(col("id"), explode(expr(
         s"sequence(0, ${LONG_EDGES_PER_NODE - 1})")).as("_l"))
-      .withColumn("_hidx", expr(
-        s"CAST(conv(substring(md5(concat('gann-long:', CAST(id AS STRING), ':', CAST(_l AS STRING))), 1, 12), 16, 10) % ${h}L AS INT)"))
-      .join(hubs, "_hidx")
+      .withColumn("_b", expr(
+        s"CAST(CAST(conv(substring(md5(concat('gann-longb:', CAST(id AS STRING), ':', CAST(_l AS STRING))), 1, 12), 16, 10) AS BIGINT) % ${buckets}L AS INT)"))
+      .join(broadcast(sizes), "_b")
+      .withColumn("_r", expr(
+        "CAST(CAST(conv(substring(md5(concat('gann-longr:', CAST(id AS STRING), ':', CAST(_l AS STRING))), 1, 12), 16, 10) AS BIGINT) % _cnt AS INT)"))
+      .join(hubs, Seq("_b", "_r"))
       .filter(col("id") =!= col("_hub"))
       .select(col("id"), col("_hub").as("nbr"))
     fwd.unionByName(fwd.select(col("nbr").as("id"), col("id").as("nbr")))
@@ -265,22 +314,8 @@ object NeighborGraphAnn {
     // new batch), so the overlay stays one consistent hub set
     val hubsSrc = e.select(col(idCol).as("id"))
     val newIds = newVecs.select(col(idCol).as("id"))
-    val hubs = hubsSrc
-      .orderBy(md5(concat(lit("gann-hub:"), col("id").cast("string"))))
-      .limit(hubCount(nCorpus).toInt)
-      .withColumn("_hidx", row_number().over(
-        Window.orderBy(md5(concat(lit("gann-hub:"), col("id").cast("string"))))) - 1)
-      .select(col("_hidx"), col("id").as("_hub"))
-    val h = math.min(hubCount(nCorpus), nCorpus)
-    val nf = newIds
-      .select(col("id"), explode(expr(
-        s"sequence(0, ${LONG_EDGES_PER_NODE - 1})")).as("_l"))
-      .withColumn("_hidx", expr(
-        s"CAST(conv(substring(md5(concat('gann-long:', CAST(id AS STRING), ':', CAST(_l AS STRING))), 1, 12), 16, 10) % ${h}L AS INT)"))
-      .join(hubs, "_hidx")
-      .filter(col("id") =!= col("_hub"))
-      .select(col("id"), col("_hub").as("nbr"))
-    val nfm = nf.unionByName(nf.select(col("nbr").as("id"), col("id").as("nbr"))).distinct()
+    val (hubs, sizes, buckets) = hubTables(hubsSrc, nCorpus)
+    val nfm = drawHubEdges(newIds, hubs, sizes, buckets)
     val scoredNewLongs = nfm
       .join(evAll.select(col("_vid").as("id"), col("_v").as("_va")), "id")
       .join(evAll.select(col("_vid").as("nbr"), col("_v").as("_vb")), "nbr")

@@ -291,15 +291,18 @@ object GenScale {
     if (want("part")) writeSharded(shifted(spark.read.parquet(s"$src/part.parquet"), f,
       Seq("p_partkey")), s"$dst/part.parquet")
     // FK consistency: orders and lineitem shift each key by ITS OWN
-    // parent's span, computed from the parent table
+    // parent's span, computed from the parent table. LAZY (r16b): a
+    // table-subset run (resume, or a docs-only regen for a dedup
+    // probe) must not require the unrelated parent tables to exist in
+    // the source dir.
     val spark0 = spark
-    val custSpan = spark0.read.parquet(s"$src/customer.parquet")
+    lazy val custSpan = spark0.read.parquet(s"$src/customer.parquet")
       .agg(max(col("c_custkey"))).head.getLong(0) + 1L
-    val ordSpan = spark0.read.parquet(s"$src/orders.parquet")
+    lazy val ordSpan = spark0.read.parquet(s"$src/orders.parquet")
       .agg(max(col("o_orderkey"))).head.getLong(0) + 1L
-    val partSpan = spark0.read.parquet(s"$src/part.parquet")
+    lazy val partSpan = spark0.read.parquet(s"$src/part.parquet")
       .agg(max(col("p_partkey"))).head.getLong(0) + 1L
-    val suppSpan = spark0.read.parquet(s"$src/supplier.parquet")
+    lazy val suppSpan = spark0.read.parquet(s"$src/supplier.parquet")
       .agg(max(col("s_suppkey"))).head.getLong(0) + 1L
     val rep = broadcast(reps(spark, f))
     if (want("orders")) spark.read.parquet(s"$src/orders.parquet")

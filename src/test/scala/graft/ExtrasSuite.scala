@@ -477,6 +477,35 @@ class ExtrasSuite extends GraftSuite {
     } finally spark.conf.unset("spark.graft.minhash.maxBucket")
   }
 
+  test("r16 config guards: malformed maxBucket / postingsStorage fail loudly, defaults hold") {
+    val sess = spark; import sess.implicits._
+    val docs = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
+    // ADVICE r15 #3: a junk cap value must be a clear error, not an
+    // unguarded NumberFormatException deep in a job
+    spark.conf.set("spark.graft.minhash.maxBucket", "fifty")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        graft.queries.MinHashDf.containMinhashPairs(docs).collect()
+      }
+      assert(e.getMessage.contains("maxBucket"), s"got: ${e.getMessage}")
+    } finally spark.conf.unset("spark.graft.minhash.maxBucket")
+    // r16 postings-cache storage knob: DISK_ONLY default, explicit
+    // values honored, junk rejected by name
+    import org.apache.spark.storage.StorageLevel
+    assert(graft.queries.MinHashDf.postingsStorage(spark) == StorageLevel.DISK_ONLY,
+      "default postings storage must be the measured DISK_ONLY choice")
+    spark.conf.set("spark.graft.minhash.postingsStorage", "memory_and_disk")
+    try assert(graft.queries.MinHashDf.postingsStorage(spark) == StorageLevel.MEMORY_AND_DISK)
+    finally spark.conf.unset("spark.graft.minhash.postingsStorage")
+    spark.conf.set("spark.graft.minhash.postingsStorage", "OFF_HEAP")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        graft.queries.MinHashDf.postingsStorage(spark)
+      }
+      assert(e.getMessage.contains("postingsStorage"), s"got: ${e.getMessage}")
+    } finally spark.conf.unset("spark.graft.minhash.postingsStorage")
+  }
+
   test("ngramContainmentPairs: an ALL-HOT doc inside a rare-rich container is still found (prefix-filter recall)") {
     // The case Jaccard's rare-shingle candidate indexes cannot see at
     // all (and the reason containment has its own PPJoin-style prefix
