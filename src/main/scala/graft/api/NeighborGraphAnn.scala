@@ -1,5 +1,6 @@
 package graft.api
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -157,7 +158,9 @@ object NeighborGraphAnn {
   private def hubTables(ids: DataFrame, n: Long)
       : (DataFrame, DataFrame, Int) = {
     val h = math.min(hubCount(n), n)
-    val buckets = math.max(1L, h / 128L).toInt
+    // clamp, don't truncate (ADVICE r16): h/128 > Int.MaxValue (only
+    // beyond ~1.76e13 ids) must not wrap negative and void the overlay
+    val buckets = math.min(Int.MaxValue.toLong, math.max(1L, h / 128L)).toInt
     def md48(salt: String) = conv(substring(
       md5(concat(lit(salt), col("id").cast("string"))), 1, 12), 16, 10)
       .cast("long")
@@ -346,16 +349,54 @@ object NeighborGraphAnn {
       graph.write.parquet(s"$vdir/edges")
       e.select(col(idCol).as("id"), col(vecCol).as("vec"))
         .write.parquet(s"$vdir/vectors")
+      val out = Versioned.fs(spark, indexDir).create(new Path(vdir, FormatFile), true)
+      try out.write(s"$FORMAT_VERSION".getBytes("UTF-8")) finally out.close()
     }
 
-  /** True when `indexDir` holds a committed index version. */
-  def hasIndex(spark: SparkSession, indexDir: String): Boolean =
-    Versioned.current(spark, indexDir).isDefined
+  /** Algorithm/format version stamped into every committed index
+    * version (ADVICE r16 #2). Bump whenever a code change alters the
+    * deterministic hub/overlay derivation — [[insert]] against an
+    * index built by an OLDER derivation would wire new vectors into a
+    * hub set the stored overlay doesn't use, silently degrading
+    * connectivity. v2 = the r16b Bernoulli-sampled hubs with
+    * two-level (bucket, rank) addressing. Unstamped dirs are pre-r16b
+    * (top-h min-md5 hubs): rebuild before use. */
+  val FORMAT_VERSION = 2
+  private val FormatFile = "_graft_gann_format"
 
-  /** (edge table, vectors) of the current committed version. */
+  /** Stamped format of `vdir`, None when unstamped (pre-r16b). */
+  private def stampedFormat(spark: SparkSession, vdir: String): Option[Int] = {
+    val f = Versioned.fs(spark, vdir)
+    val p = new Path(vdir, FormatFile)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try {
+        val buf = new Array[Byte](32)
+        val n = in.read(buf)
+        new String(buf, 0, math.max(n, 0), "UTF-8").trim.toIntOption
+      } finally in.close()
+    }
+  }
+
+  /** True when `indexDir` holds a committed index version AT THE
+    * CURRENT format. A stale-format index reads as absent so callers
+    * (GraphAnnProbe) rebuild instead of tripping [[load]]'s guard. */
+  def hasIndex(spark: SparkSession, indexDir: String): Boolean =
+    Versioned.current(spark, indexDir)
+      .exists(vdir => stampedFormat(spark, vdir).contains(FORMAT_VERSION))
+
+  /** (edge table, vectors) of the current committed version. Refuses
+    * an unstamped or other-format index: its overlay was derived by a
+    * different hub algorithm than this code's [[insert]] would use. */
   def load(spark: SparkSession, indexDir: String): (DataFrame, DataFrame) = {
     val vdir = Versioned.current(spark, indexDir).getOrElse(throw
       new IllegalStateException(s"no committed neighbor-graph index under $indexDir"))
+    val fmt = stampedFormat(spark, vdir)
+    if (!fmt.contains(FORMAT_VERSION)) throw new IllegalStateException(
+      s"neighbor-graph index at $vdir has format ${fmt.getOrElse("<unstamped, pre-r16b>")}; " +
+        s"this build reads/extends format $FORMAT_VERSION only — rebuild the index " +
+        "(its long-range hub overlay was derived by a different algorithm)")
     (spark.read.parquet(s"$vdir/edges"), spark.read.parquet(s"$vdir/vectors"))
   }
 

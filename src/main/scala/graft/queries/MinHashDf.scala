@@ -142,7 +142,7 @@ object MinHashDf {
     // the capped oracle twin (cappedOracleSql below, r16).
     val maxBucket = docs.sparkSession.conf
       .getOption("spark.graft.minhash.maxBucket")
-      .map(s => s.toLongOption.getOrElse(throw new IllegalArgumentException(
+      .map(s => s.toLongOption.filter(_ >= 0L).getOrElse(throw new IllegalArgumentException(
         s"spark.graft.minhash.maxBucket must be a non-negative integer, got '$s'")))
       .getOrElse(0L)
     val bandsEff = if (maxBucket > 0) {

@@ -40,15 +40,35 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * Usage: `runMain graft.tools.StreamScaleProbe [sfDir] [workDir]`
   * (scripts/stream_scale_probe.sh runs it at sf0.1 and sf1 in
   * isolated JVMs, same protocol as bench_scale_probe.sh).
+  *
+  * r17 (VERDICT r16 Next-round #4 — isolate the g100 per-row rise):
+  *  - `GRAFT_PROBE_STAGES` (csv of neardup_ttl0, neardup_ttl,
+  *    cdc_upsert, retract_agg; default all) runs a subset, so the
+  *    CDC shard sweep doesn't pay the ~15 min neardup legs per point;
+  *  - `GRAFT_PROBE_SHUFFLE` sets spark.sql.shuffle.partitions (state
+  *    stores shard per-partition; on a cluster those shards spread
+  *    across executors — if per-row cost falls back toward the sf10
+  *    figure as shards grow, the g100 rise is single-box working-set
+  *    pressure, not a per-key scaling defect);
+  *  - every JSON line now records `"shuffle"` and `"terminated"` —
+  *    the r16 cdc_upsert wall of 1800.07 s sat exactly at the old
+  *    30-min awaitTermination cap, so completion vs timeout was not
+  *    distinguishable from the record. The cap is now 2 h and the
+  *    flag makes a censored run visible instead of silently recorded
+  *    as throughput.
   */
 object StreamScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val workDir = args.lift(1).getOrElse(
       java.nio.file.Files.createTempDirectory("stream_probe").toString)
+    val shufflePartitions = sys.env.getOrElse("GRAFT_PROBE_SHUFFLE", "32").toInt
+    val stages = sys.env.getOrElse("GRAFT_PROBE_STAGES",
+        "neardup_ttl0,neardup_ttl,cdc_upsert,retract_agg")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.streaming.stateStore.providerClass",
@@ -59,7 +79,7 @@ object StreamScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     def emit(stage: String, rows: Long, wallSec: Double, q: StreamingQuery,
-        extra: String = ""): Unit = {
+        extra: String = "", terminated: Boolean = true): Unit = {
       val so = Option(q.lastProgress).toSeq
         .flatMap(_.stateOperators.toSeq)
       val stateRows = so.map(_.numRowsTotal).sum
@@ -67,22 +87,25 @@ object StreamScaleProbe {
           Option(o.customMetrics.get("rocksdbSstFileSize")).map(_.longValue()))
         .sum
       val nBatches = q.recentProgress.count(_.numInputRows > 0)
-      println(f"""{"probe":"stream_scale","stage":"$stage","sf":"$sfDir","rows":$rows,"wall_sec":$wallSec%.2f,"rows_per_sec":${rows / math.max(wallSec, 1e-9)}%.0f,"n_batches":$nBatches,"state_rows":$stateRows,"rocksdb_sst_bytes":$sst$extra}""")
+      println(f"""{"probe":"stream_scale","stage":"$stage","sf":"$sfDir","rows":$rows,"wall_sec":$wallSec%.2f,"rows_per_sec":${rows / math.max(wallSec, 1e-9)}%.0f,"n_batches":$nBatches,"state_rows":$stateRows,"rocksdb_sst_bytes":$sst,"shuffle":$shufflePartitions,"terminated":$terminated$extra}""")
     }
 
     // ---- docs, re-sharded into 32 id-ranged files (file-at-a-time
     // micro-batches; roughly id-ordered, matching ingestion order) ----
-    val docsIn = spark.read.parquet(s"$sfDir/documents.parquet")
+    lazy val docsIn = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text"))
-    val nDocs = docsIn.count()
-    val docsDir = s"$workDir/docs"
-    docsIn.repartitionByRange(32, col("doc_id"))
-      .sortWithinPartitions("doc_id")
-      .write.mode("overwrite").parquet(docsDir)
-    val docsSchema = docsIn.schema
+    lazy val nDocs = docsIn.count()
+    lazy val docsDir = {
+      val d = s"$workDir/docs"
+      docsIn.repartitionByRange(32, col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite").parquet(d)
+      d
+    }
+    lazy val docsSchema = docsIn.schema
 
     // stage 1: unbounded state (batch-dual-equal setting), AvailableNow
-    locally {
+    if (stages("neardup_ttl0")) locally {
       val t0 = System.nanoTime()
       val stream = spark.readStream.schema(docsSchema)
         .option("maxFilesPerTrigger", "1").parquet(docsDir)
@@ -91,9 +114,9 @@ object StreamScaleProbe {
         .writeStream.format("noop")
         .option("checkpointLocation", s"$workDir/cp_neardup_ttl0")
         .outputMode("update").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination(1800000)
+      val done = q.awaitTermination(7200000)
       emit("neardup_ttl0", nDocs, (System.nanoTime() - t0) / 1e9, q,
-        s""","ttl_ms":0""")
+        s""","ttl_ms":0""", terminated = done)
     }
 
     // stage 2: storeTtl — the unbounded-stream setting. TTLConfig's
@@ -104,7 +127,7 @@ object StreamScaleProbe {
     // evicts the (cold) trailing window, then stop. The TTL is
     // tunable and defaults SHORTER than the expected drain so expiry
     // is observable mid-run, not just at the end.
-    locally {
+    if (stages("neardup_ttl")) locally {
       val ttl = sys.env.getOrElse("GRAFT_PROBE_TTL_MS", "10000").toLong
       val stage = s"neardup_store_ttl${ttl}ms"
       // nDocs source rows shrink to band rows AFTER the stateful op;
@@ -126,10 +149,10 @@ object StreamScaleProbe {
 
     // ---- CDC: quantum-limited replay of the events changelog ----
     val evPath = s"$sfDir/events.parquet"
-    val nChanges = spark.read.format("pg-cdc-sim")
+    lazy val nChanges = spark.read.format("pg-cdc-sim")
       .option("path", evPath).option("deletes", "true").load().count()
-    val quantum = math.max(nChanges / 12L, 1L) // ~12 poll batches + snapshot
-    locally {
+    lazy val quantum = math.max(nChanges / 12L, 1L) // ~12 poll batches + snapshot
+    if (stages("cdc_upsert")) locally {
       import graft.api.StreamzOps._
       val t0 = System.nanoTime()
       val q = spark.readStream.format("pg-cdc-sim")
@@ -139,14 +162,15 @@ object StreamScaleProbe {
         .load()
         .sinkUpsert(s"$workDir/upsert_state", Seq("key"), "seq",
           s"$workDir/cp_upsert", opCol = Some("op"))
-      q.awaitTermination(1800000)
+      val done = q.awaitTermination(7200000)
       val wall = (System.nanoTime() - t0) / 1e9
       val live = graft.api.StreamzOps
         .readUpsertTable(spark, s"$workDir/upsert_state").count()
-      emit("cdc_upsert", nChanges, wall, q, s""","live_keys":$live""")
+      emit("cdc_upsert", nChanges, wall, q, s""","live_keys":$live""",
+        terminated = done)
     }
 
-    locally {
+    if (stages("retract_agg")) locally {
       val t0 = System.nanoTime()
       val changes = spark.readStream.format("pg-cdc-sim")
         .option("path", evPath).option("deletes", "false")
@@ -160,8 +184,9 @@ object StreamScaleProbe {
         .writeStream.format("noop")
         .option("checkpointLocation", s"$workDir/cp_retract")
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination(1800000)
-      emit("retract_agg", nChanges, (System.nanoTime() - t0) / 1e9, q)
+      val done = q.awaitTermination(7200000)
+      emit("retract_agg", nChanges, (System.nanoTime() - t0) / 1e9, q,
+        terminated = done)
     }
     spark.stop()
   }

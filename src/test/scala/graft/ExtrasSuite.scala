@@ -489,6 +489,15 @@ class ExtrasSuite extends GraftSuite {
       }
       assert(e.getMessage.contains("maxBucket"), s"got: ${e.getMessage}")
     } finally spark.conf.unset("spark.graft.minhash.maxBucket")
+    // ADVICE r16 #3: a NEGATIVE cap is not "uncapped", it is junk —
+    // the error message promises "non-negative integer", so enforce it
+    spark.conf.set("spark.graft.minhash.maxBucket", "-5")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        graft.queries.MinHashDf.containMinhashPairs(docs).collect()
+      }
+      assert(e.getMessage.contains("non-negative"), s"got: ${e.getMessage}")
+    } finally spark.conf.unset("spark.graft.minhash.maxBucket")
     // r16 postings-cache storage knob: DISK_ONLY default, explicit
     // values honored, junk rejected by name
     import org.apache.spark.storage.StorageLevel

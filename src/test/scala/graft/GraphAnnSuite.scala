@@ -112,6 +112,18 @@ class GraphAnnSuite extends GraftSuite {
     intercept[IllegalStateException] {
       graft.api.NeighborGraphAnn.load(spark, s"$dir/nope")
     }
+    // format stamp (ADVICE r16 #2): a pre-r16b index (no stamp — its
+    // overlay used a different hub derivation) must read as absent to
+    // hasIndex (probe rebuilds) and be refused by load, loudly
+    assert(graft.api.NeighborGraphAnn.hasIndex(spark, dir), "fresh save must stamp")
+    val vdirs = new java.io.File(dir).listFiles().filter(_.getName.matches("v\\d+"))
+    vdirs.foreach(v => new java.io.File(v, "_graft_gann_format").delete())
+    assert(!graft.api.NeighborGraphAnn.hasIndex(spark, dir),
+      "unstamped index must not count as present")
+    val ex = intercept[IllegalStateException] {
+      graft.api.NeighborGraphAnn.load(spark, dir)
+    }
+    assert(ex.getMessage.contains("format"), s"got: ${ex.getMessage}")
   }
 
   test("incremental insert: held-out vectors wired in by search are findable at full-build recall") {
