@@ -204,22 +204,67 @@ object NeighborGraphAnn {
     * edges: the [[longRangeEdges]] connectivity overlay, ~2·L rows
     * per node plus bounded hub fan-in, cap-exempt. `bucketCap` guards
     * degenerate LSH buckets (all near-identical vectors collapse into
-    * one key): each (band, key) contributes at most cap² candidate
-    * pairs. */
+    * one key).
+    *
+    * Seeding is RING-STRIDE, not all-pairs (r17 — found by measuring,
+    * not predicted: the 2M-vector clustered build EXHAUSTED 50+ GB of
+    * spill disk. All-pairs-within-bucket is cap² = ~4k pairs per hot
+    * (band, bucket); a clustered corpus saturates ~bands × clusters
+    * buckets at the cap, and each pre-distinct pair then rides two
+    * vector joins — ~650M × ~300 B of exchange for a 500 MB corpus.
+    * That volume is quadratic in bucketCap, i.e. architecturally
+    * wrong at 100 TB). Instead each bucket member pairs with its next
+    * `seedFanout` successors in a band-salted md5 RING: the bucket
+    * stays one connected cycle (beam search can traverse it), seed
+    * volume is cap × fanout — LINEAR in the cap — and the NN-descent
+    * round owns precision, which is its job in every NN-descent
+    * construction (the seeds only need to put each node's true
+    * neighborhood within two hops of it, and ring + reverse + mirror
+    * does exactly that inside a bucket). Re-measured after the
+    * change: clustered-200k recall@5 held (see BASELINE.md r17), the
+    * 2M build fits in memory-sized spill, and the suite floors are
+    * unchanged.
+    *
+    * Two more r17 scale fixes in the same pass:
+    *  - bucket-cap survivors are ranked by band-SALTED md5, not raw
+    *    id: ordering by id kept the SAME cap members in every band
+    *    (a 100-member cluster under cap 64 left 36 members with zero
+    *    forward seeds in all 8 bands); salting the order per band
+    *    makes the survivor sets differ so every member seeds w.h.p.;
+    *  - the NN-descent candidate union and the seed ring are deduped
+    *    per (id, nbr) BEFORE the vector-scoring joins, so each pair
+    *    pays the two vector lookups once. */
   def build(spark: SparkSession, e: DataFrame, idCol: String, vecCol: String,
-      k: Int = 8, bands: Int = 8, bucketCap: Int = 64): DataFrame = {
+      k: Int = 8, bands: Int = 8, bucketCap: Int = 64,
+      seedFanout: Int = 8): DataFrame = {
     graft.functions.FloatVecDot.register(spark)
     val n = e.count() // planning-scale scalar (index build, not a query)
     val table = graft.api.EmbedBlocking.affineTable(bands, seedBits(n))
     val keys = graft.api.EmbedBlocking.bandKeys(e, idCol, vecCol, table)
       .withColumn("_r", row_number().over(
-        Window.partitionBy(col("band"), col("key")).orderBy(col(idCol))))
+        Window.partitionBy(col("band"), col("key")).orderBy(
+          md5(concat(lit("gann-seed:"), col("band").cast("string"),
+            lit(":"), col(idCol).cast("string"))), col(idCol))))
       .filter(col("_r") <= bucketCap)
-      .select(col(idCol).as("id"), col("band"), col("key"))
-    val seedPairs = keys.as("a").join(keys.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.id") =!= col("b.id"))
-      .select(col("a.id").as("id"), col("b.id").as("nbr"))
+      .select(col(idCol).as("id"), col("band"), col("key"), col("_r"))
+    // ring-stride pairing: rank r -> ranks r+1 .. r+fanout, then the
+    // wrap-around edges (r > cap-fanout -> r+fanout-cap ...) via the
+    // cheap modulo form below; emitted one direction only (mirroring
+    // happens at the end of the build)
+    val sizes = keys.groupBy(col("band"), col("key"))
+      .agg(max(col("_r")).as("_sz"))
+    val ring = keys.as("a")
+      .join(sizes.as("s"), Seq("band", "key"))
+      .filter(col("_sz") > 1) // singleton buckets seed nothing
+      .select(col("a.id").as("_aid"), col("band").as("_kb"),
+        col("key").as("_kk"), col("a._r").as("_ra"), col("_sz"),
+        explode(expr(s"sequence(1, least($seedFanout, _sz - 1))")).as("_d"))
+      .withColumn("_rb", (col("_ra") - 1 + col("_d")) % col("_sz") + 1)
+    val seedPairs = ring.join(keys.as("b"),
+        col("_kb") === col("b.band") && col("_kk") === col("b.key") &&
+          col("_rb") === col("b._r"))
+      .select(col("_aid").as("id"), col("b.id").as("nbr"))
+      .filter(col("id") =!= col("nbr"))
       .distinct()
     // localCheckpoint(lazy), not cache(): the blocks are reclaimed by
     // the ContextCleaner once the plan is unreferenced, so repeated
