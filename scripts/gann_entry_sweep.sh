@@ -28,6 +28,13 @@ for H in $HOPS_LIST; do
       SPARK_GRAFT_CPUS=32 \
       java $OPENS -cp "$CP" -Xmx64g graft.tools.GraphAnnProbe \
       "$DATA" "$IDX" "$BATCH" 50 plant > "$LOG" 2>&1
+    RC=$?
+    # a crashed or JSON-less config must fail LOUDLY, not leave a
+    # silent hole in the sweep that reads as "measured" (ADVICE r17)
+    if [ $RC -ne 0 ] || ! grep -q '"probe":"graph_ann' "$LOG"; then
+      echo "ERROR: entries=$E hops=$H exited rc=$RC with $(grep -c '"probe":"graph_ann' "$LOG") probe lines; log kept at $LOG" >&2
+      exit 1
+    fi
     grep '"probe":"graph_ann' "$LOG" | \
       sed "s/^{/{\"entries\":$E,\"hops\":$H,/" >> "$OUT.tmp"
     tail -3 "$OUT.tmp"

@@ -41,6 +41,23 @@ object IvfIndex {
   private def centroidsPath(dir: String) = s"$dir/centroids"
   private def corpusPath(dir: String) = s"$dir/corpus"
 
+  /** n-scaled coarse-quantizer cell count: ~√n, floored at 16.
+    *
+    * Why not a constant: a FIXED kCells is the same trap the r17
+    * entry-probe sweep killed for graph-ANN entry counts — at 2M
+    * vectors, nProbe = 4 of 16 cells scans 25% of the corpus per
+    * query, and the fraction never improves as the corpus grows. √n
+    * keeps both sides of the cost balanced as n scales: the quantizer
+    * assignment is O(kCells · dim) per query and the probed lists are
+    * O(nProbe · n / kCells) rows, so kCells ≈ √n grows the per-query
+    * cost as O(√n) instead of O(n) — the standard IVF sizing (FAISS
+    * recommends √n–16√n). Capped at 65536: past that the centroid
+    * table stops being comfortably broadcast/UDF-closure sized and a
+    * hierarchical quantizer is the right structure instead.
+    */
+  def defaultCells(n: Long): Int =
+    math.min(math.max(16, math.round(math.sqrt(n.toDouble))), 65536L).toInt
+
   /** Versioned centroid publish (see [[Versioned]]): a mutation in
     * progress (or crashed) is invisible and the previous quantizer
     * stays fully readable, replacing the old delete-then-write
@@ -59,6 +76,11 @@ object IvfIndex {
   /** Train the quantizer and lay the corpus out as an inverted file.
     * `embeddings` needs (vec_id: long, embedding: array<float>).
     *
+    * @param k coarse-quantizer cell count; 0 (the default) auto-sizes
+    *        to [[defaultCells]] (~√n) — a fixed count is only right
+    *        when the caller knows the corpus scale won't move (the r18
+    *        IVF probe measured fixed-16 at 2M: every probe ADC/exact-
+    *        scans nProbe/16 of the corpus — see BASELINE.md r18).
     * @param trainSampleMod quantizer-training sample gate: fit KMeans
     *        on vectors with hash(vec_id) % mod == 0 (deterministic).
     *        1 (default) trains on everything — fine at suite scale; at
@@ -68,15 +90,21 @@ object IvfIndex {
     *        ASSIGNMENT below always covers every vector.
     */
   def build(spark: SparkSession, embeddings: DataFrame, indexDir: String,
-      k: Int = 16, seed: Long = 42L, trainSampleMod: Int = 1): Unit = {
+      k: Int = 0, seed: Long = 42L, trainSampleMod: Int = 1): Unit = {
     require(trainSampleMod >= 1, s"trainSampleMod must be >= 1 (got $trainSampleMod)")
+    require(k >= 0, s"k must be >= 0 (0 = auto ~sqrt(n)) (got $k)")
     val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
     val feat = embeddings.select(col("vec_id"), col("embedding"),
       toVec(col("embedding")).as("features"))
     val train =
       if (trainSampleMod == 1) feat
       else feat.filter(pmod(hash(col("vec_id")), lit(trainSampleMod)) === 0)
-    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(10)
+    // auto sizing clamps to the TRAINING sample (KMeans needs
+    // k <= points); defaultCells is driven by the full corpus size
+    val kEff = if (k > 0) k
+      else math.min(defaultCells(embeddings.count()).toLong,
+        math.max(2L, train.count())).toInt
+    val model = new KMeans().setK(kEff).setSeed(seed).setMaxIter(10)
       .setFeaturesCol("features").setPredictionCol("cell").fit(train)
     val centers = model.clusterCenters.map(_.toArray)
     publishCenters(spark, indexDir,
@@ -85,6 +113,12 @@ object IvfIndex {
       .select(col("vec_id"), col("embedding"), col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(corpusPath(indexDir))
   }
+
+  /** True when `indexDir` holds a committed centroid table — the
+    * probe-tooling reuse gate (mirrors [[NeighborGraphAnn.hasIndex]]).
+    */
+  def hasIndex(spark: SparkSession, indexDir: String): Boolean =
+    Versioned.current(spark, centroidsPath(indexDir)).isDefined
 
   private def loadCenters(spark: SparkSession, indexDir: String): Array[(Int, Array[Double])] = {
     val fs = Versioned.fs(spark, centroidsPath(indexDir))

@@ -70,6 +70,12 @@ object IvfPqIndex {
   private def loadMetaOpt(spark: SparkSession, indexDir: String): Option[Meta] =
     Versioned.current(spark, metaPath(indexDir)).map(_ => loadMeta(spark, indexDir))
 
+  /** True when `indexDir` holds a committed meta version — the
+    * probe-tooling reuse gate (mirrors [[NeighborGraphAnn.hasIndex]]).
+    */
+  def hasIndex(spark: SparkSession, indexDir: String): Boolean =
+    Versioned.current(spark, metaPath(indexDir)).isDefined
+
   private def loadMeta(spark: SparkSession, indexDir: String): Meta = {
     val vdir = Versioned.current(spark, metaPath(indexDir)).getOrElse(
       throw new IllegalStateException(s"no committed IVF-PQ index under $indexDir"))
@@ -159,15 +165,20 @@ object IvfPqIndex {
     * `embeddings` needs (vec_id: long, embedding: array<float>); dim
     * must be divisible by `m`.
     *
+    * @param kCells coarse-quantizer cell count; 0 (the default)
+    *        auto-sizes to [[IvfIndex.defaultCells]] (~√n) — the r18
+    *        probe measured fixed-16 at 2M: nProbe/16 of the corpus'
+    *        codes ADC-scanned per query (see BASELINE.md r18).
     * @param trainSampleMod both KMeans fits (coarse and per-subspace)
     *        train on vectors with hash(vec_id) % mod == 0 — training
     *        cost must not scale with the corpus; assignment and
     *        encoding below always cover every vector.
     */
   def build(spark: SparkSession, embeddings: DataFrame, indexDir: String,
-      kCells: Int = 16, m: Int = 8, kSub: Int = 16, seed: Long = 42L,
+      kCells: Int = 0, m: Int = 8, kSub: Int = 16, seed: Long = 42L,
       trainSampleMod: Int = 1, residual: Boolean = false): Unit = {
     require(trainSampleMod >= 1, s"trainSampleMod must be >= 1 (got $trainSampleMod)")
+    require(kCells >= 0, s"kCells must be >= 0 (0 = auto ~sqrt(n)) (got $kCells)")
     // kSub > 256 would silently truncate in the byte encoder — the
     // same guard PqIndex.build enforces
     require(m > 0 && kSub > 1 && kSub <= 256,
@@ -181,7 +192,12 @@ object IvfPqIndex {
     val train =
       if (trainSampleMod == 1) feat
       else feat.filter(pmod(hash(col("vec_id")), lit(trainSampleMod)) === 0)
-    val coarse = new KMeans().setK(kCells).setSeed(seed).setMaxIter(10)
+    // auto sizing clamps to the TRAINING sample (KMeans needs
+    // k <= points); defaultCells is driven by the full corpus size
+    val kEff = if (kCells > 0) kCells
+      else math.min(IvfIndex.defaultCells(embeddings.count()).toLong,
+        math.max(2L, train.count())).toInt
+    val coarse = new KMeans().setK(kEff).setSeed(seed).setMaxIter(10)
       .setFeaturesCol("features").setPredictionCol("cell").fit(train)
     val centers = coarse.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray) }

@@ -231,10 +231,16 @@ object NearDupStream {
     * batch dual).
     *
     * @throws java.util.concurrent.TimeoutException if the source has
-    *         not drained within `timeoutMs`. */
+    *         not drained within `timeoutMs` and `throwOnTimeout` is
+    *         true (the default). With `throwOnTimeout = false` a
+    *         timed-out drain instead stops the query and returns the
+    *         CENSORED result (`drained < sourceRows`, no grace sleep)
+    *         — for probes that must record a censored leg and keep
+    *         running rather than abort the JVM (ADVICE r17). */
   def drainAndStop(spark: org.apache.spark.sql.SparkSession,
       startQuery: () => org.apache.spark.sql.streaming.StreamingQuery,
-      sourceRows: Long, graceMs: Long, timeoutMs: Long = 1800000L): DrainResult = {
+      sourceRows: Long, graceMs: Long, timeoutMs: Long = 1800000L,
+      throwOnTimeout: Boolean = true): DrainResult = {
     import org.apache.spark.sql.streaming.StreamingQueryListener
     val perRun = new java.util.concurrent.ConcurrentHashMap[java.util.UUID,
       java.util.concurrent.atomic.AtomicLong]()
@@ -260,8 +266,9 @@ object NearDupStream {
       val drainSec = (System.nanoTime() - t0) / 1e9
       if (drained < sourceRows) {
         q.stop()
-        throw new java.util.concurrent.TimeoutException(
+        if (throwOnTimeout) throw new java.util.concurrent.TimeoutException(
           s"drainAndStop: saw $drained of $sourceRows source rows after ${timeoutMs} ms")
+        return DrainResult(q, drained, drainSec)
       }
       Thread.sleep(graceMs) // expiry index evicts the trailing window
       q.stop()

@@ -417,9 +417,16 @@ object NeighborGraphAnn {
     else {
       val in = f.open(p)
       try {
+        // read to EOF (or buffer full): a single read() may legally
+        // return fewer bytes than available on some Hadoop
+        // filesystems, and a truncated stamp would misread a valid
+        // index as stale and trigger a spurious rebuild (ADVICE r17)
         val buf = new Array[Byte](32)
-        val n = in.read(buf)
-        new String(buf, 0, math.max(n, 0), "UTF-8").trim.toIntOption
+        var off = 0
+        var n = 0
+        while (off < buf.length &&
+          { n = in.read(buf, off, buf.length - off); n > 0 }) off += n
+        new String(buf, 0, off, "UTF-8").trim.toIntOption
       } finally in.close()
     }
   }

@@ -56,6 +56,12 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *    distinguishable from the record. The cap is now 2 h and the
   *    flag makes a censored run visible instead of silently recorded
   *    as throughput.
+  *
+  * r18 (ADVICE r17): the store_ttl stage now shares the 2 h cap
+  * (drainAndStop timeoutMs = 7200000, censored result instead of a
+  * thrown TimeoutException that would abort the remaining stages),
+  * and every censored leg's `rows`/`rows_per_sec` are computed from
+  * rows actually processed, never the planned input.
   */
 object StreamScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -89,6 +95,14 @@ object StreamScaleProbe {
       val nBatches = q.recentProgress.count(_.numInputRows > 0)
       println(f"""{"probe":"stream_scale","stage":"$stage","sf":"$sfDir","rows":$rows,"wall_sec":$wallSec%.2f,"rows_per_sec":${rows / math.max(wallSec, 1e-9)}%.0f,"n_batches":$nBatches,"state_rows":$stateRows,"rocksdb_sst_bytes":$sst,"shuffle":$shufflePartitions,"terminated":$terminated$extra}""")
     }
+    // Rows ACTUALLY processed by a possibly-censored run: the planned
+    // total only when the query terminated; otherwise the progress
+    // log's input-row sum, so a timed-out leg's rows/s is computed
+    // from real work, not fabricated from the intended input
+    // (ADVICE r17). Batch counts here are far below the ~100-entry
+    // recentProgress retention (≤ ~35 doc files / ~13 CDC polls).
+    def processedRows(q: StreamingQuery, planned: Long, done: Boolean): Long =
+      if (done) planned else q.recentProgress.map(_.numInputRows).sum
 
     // ---- docs, re-sharded into 32 id-ranged files (file-at-a-time
     // micro-batches; roughly id-ordered, matching ingestion order) ----
@@ -115,7 +129,8 @@ object StreamScaleProbe {
         .option("checkpointLocation", s"$workDir/cp_neardup_ttl0")
         .outputMode("update").trigger(Trigger.AvailableNow()).start()
       val done = q.awaitTermination(7200000)
-      emit("neardup_ttl0", nDocs, (System.nanoTime() - t0) / 1e9, q,
+      emit("neardup_ttl0", processedRows(q, nDocs, done),
+        (System.nanoTime() - t0) / 1e9, q,
         s""","ttl_ms":0""", terminated = done)
     }
 
@@ -142,9 +157,13 @@ object StreamScaleProbe {
           .writeStream.format("noop")
           .option("checkpointLocation", s"$workDir/cp_$stage")
           .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
-      }, sourceRows = nDocs, graceMs = ttl + 5000)
-      emit(stage, nDocs, r.drainSec, r.query,
-        s""","ttl_ms":$ttl,"mode":"store_ttl","grace_ms":${ttl + 5000}""")
+      }, sourceRows = nDocs, graceMs = ttl + 5000,
+        timeoutMs = 7200000L, throwOnTimeout = false)
+      // r.drained is the listener's exact processed count — on a
+      // censored drain it reports real work, and the flag marks it
+      emit(stage, r.drained, r.drainSec, r.query,
+        s""","ttl_ms":$ttl,"mode":"store_ttl","grace_ms":${ttl + 5000}""",
+        terminated = r.drained >= nDocs)
     }
 
     // ---- CDC: quantum-limited replay of the events changelog ----
@@ -166,8 +185,8 @@ object StreamScaleProbe {
       val wall = (System.nanoTime() - t0) / 1e9
       val live = graft.api.StreamzOps
         .readUpsertTable(spark, s"$workDir/upsert_state").count()
-      emit("cdc_upsert", nChanges, wall, q, s""","live_keys":$live""",
-        terminated = done)
+      emit("cdc_upsert", processedRows(q, nChanges, done), wall, q,
+        s""","live_keys":$live""", terminated = done)
     }
 
     if (stages("retract_agg")) locally {
@@ -185,8 +204,8 @@ object StreamScaleProbe {
         .option("checkpointLocation", s"$workDir/cp_retract")
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       val done = q.awaitTermination(7200000)
-      emit("retract_agg", nChanges, (System.nanoTime() - t0) / 1e9, q,
-        terminated = done)
+      emit("retract_agg", processedRows(q, nChanges, done),
+        (System.nanoTime() - t0) / 1e9, q, terminated = done)
     }
     spark.stop()
   }
