@@ -111,6 +111,14 @@ object IvfIndex {
       centers.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) })
     model.transform(feat)
       .select(col("vec_id"), col("embedding"), col("cell"))
+      // one file per cell, not one per (writer task × cell): without
+      // this, W tasks × k cells lays down W·k small files — measured
+      // r18 at 2M/1414 cells: 45,135 files, and EVERY probe's scan
+      // paid a flat ~16 s of listing/open overhead that swamped the
+      // pruning win (probe wall flat across batch 50→800). One
+      // shuffle at build buys k files and restores probed-bytes-
+      // proportional query cost (BASELINE.md r18).
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(corpusPath(indexDir))
   }
 
@@ -151,11 +159,16 @@ object IvfIndex {
       }.sortBy(_._1).take(n).map(_._2)
     })
 
-  /** Append new vectors to the inverted file without retraining. */
+  /** Append new vectors to the inverted file without retraining.
+    * One file per touched cell per batch (same layout rule as
+    * [[build]]); a long-lived ingest still fragments across batches —
+    * compaction (see [[IvfPqIndex.compact]]) is the maintenance move.
+    */
   def add(spark: SparkSession, newVectors: DataFrame, indexDir: String): Unit = {
     val assign = nearestCells(loadCenters(spark, indexDir), 1)
     newVectors.select(col("vec_id"), col("embedding"),
         assign(col("embedding")).getItem(0).as("cell"))
+      .repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(corpusPath(indexDir))
   }
 
@@ -207,7 +220,8 @@ object IvfIndex {
     }
     val reassigned = sub.transform(cellRows)
       .select(col("vec_id"), col("embedding"), (col("half") + base).as("cell"))
-    reassigned.write.mode("append").partitionBy("cell").parquet(corpusPath(indexDir))
+    reassigned.repartition(col("cell")) // one file per fresh half
+      .write.mode("append").partitionBy("cell").parquet(corpusPath(indexDir))
     publishCenters(spark, indexDir,
       centers.filterNot(_._1 == cell).map { case (i, c) => (i, c.toSeq) } ++
         sub.clusterCenters.zipWithIndex.map { case (c, i) => (base + i, c.toArray.toSeq) })

@@ -230,6 +230,10 @@ object IvfPqIndex {
     encodeInput(feat)
       .select(col("vec_id"), col("embedding"),
         encode(encCol).as("codes"), col("cell"))
+      // one file per cell (see IvfIndex.build): W tasks × k cells of
+      // small files add a flat listing/open cost to EVERY probe —
+      // measured r18 at 2M/1414 cells (BASELINE.md r18)
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(cellsAbs)
     // probe stats are keyed by cell id; a rebuild renumbers cells, so
     // carried-over counts would misattribute — reset the log BEFORE the
@@ -258,6 +262,7 @@ object IvfPqIndex {
       else col("embedding")
     assigned.select(col("vec_id"), col("embedding"),
         encode(encCol).as("codes"), col("cell"))
+      .repartition(col("cell")) // one file per touched cell per batch
       .write.mode("append").partitionBy("cell").parquet(meta.cellsPath(indexDir))
   }
 
@@ -310,6 +315,7 @@ object IvfPqIndex {
           encode(residualUdf(freshCenters)(col("embedding"), col("cell"))))
       }
     withCodes.select(col("vec_id"), col("embedding"), col("codes"), col("cell"))
+      .repartition(col("cell")) // one file per fresh half
       .write.mode("append").partitionBy("cell").parquet(cells)
     publishMeta(spark, indexDir,
       meta.centers.filterNot(_._1 == cell).toSeq.map { case (i, c) => (i, c.toSeq) } ++
@@ -493,7 +499,7 @@ object IvfPqIndex {
     * tiny eager aggregate over the (small) query batch; the returned
     * probe plan stays lazy. */
   def queryAndRecord(spark: SparkSession, queries: DataFrame, indexDir: String,
-      nProbe: Int = 4, topK: Int = 5, shortlist: Int = 50,
+      nProbe: Int = 4, topK: Int = 5, shortlist: Int = 0,
       broadcastQueries: Boolean = true, batchId: Option[Long] = None): DataFrame = {
     recordProbes(spark, queries, indexDir, nProbe, batchId)
     query(spark, queries, indexDir, nProbe, topK, shortlist, broadcastQueries)
@@ -543,10 +549,17 @@ object IvfPqIndex {
     * interactive batches; a shuffled cell join for bulk batches.
     */
   def query(spark: SparkSession, queries: DataFrame, indexDir: String,
-      nProbe: Int = 4, topK: Int = 5, shortlist: Int = 50,
+      nProbe: Int = 4, topK: Int = 5, shortlist: Int = 0,
       broadcastQueries: Boolean = true): DataFrame = {
     graft.functions.FloatVecDot.register(spark)
     graft.functions.PqAdc.register(spark)
+    // shortlist 0 = auto 40·topK: the r18 2M probe measured the old
+    // fixed 50 (10·topK) CUTTING true rank-3..5 neighbors out of the
+    // ADC shortlist (recall@5 0.72), while 40·topK restores 0.988 at
+    // the SAME latency (7.8 vs 8.4 ms/query at batch 800) — the
+    // shortlist is candidates per query, so its cost is corpus-size-
+    // independent and the deeper default is free at any scale
+    val slEff = if (shortlist > 0) shortlist else 40 * topK
     val meta = loadMeta(spark, indexDir)
     val probe = IvfIndex.nearestCells(meta.centers, nProbe)
     val lut = PqIndex.lutUdf(meta.books, meta.m, meta.k, meta.sub)
@@ -572,7 +585,7 @@ object IvfPqIndex {
       .withColumn("adc_dist", expr("pq_adc(codes, lut)"))
       .withColumn("_sr", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("adc_dist"), col("nid"))))
-      .filter(col("_sr") <= shortlist)
+      .filter(col("_sr") <= slEff)
       .select(col("qid"), col("qe"), col("cell"), col("nid"))
     // exact re-rank joins back on (cell, nid): the embedding read is
     // partition-bounded to the probed cells too

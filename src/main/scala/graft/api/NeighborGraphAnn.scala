@@ -331,7 +331,15 @@ object NeighborGraphAnn {
     * via their shared corpus neighbors, and a periodic [[build]]
     * (or NN-descent round) re-tightens the graph, the standard
     * refresh cadence for incremental ANN indexes. Returns the
-    * updated edge table; use it with corpus = e ∪ newVecs. */
+    * updated edge table; use it with corpus = e ∪ newVecs.
+    *
+    * When to insert vs rebuild (r18, measured —
+    * SCALE_PROBE_r18_gann_insert.json): insert cost ≈ batch ×
+    * per-query search while rebuild ≈ one corpus pass, so the
+    * breakeven is ~1–2% of the corpus per batch (at 2M: a 200k
+    * insert cost 2412 s vs 407 s for the full rebuild, with recall
+    * parity either way — 0.964 vs 0.960). Insert is the TRICKLE
+    * path; bulk increments should rebuild. */
   def insert(spark: SparkSession, graph: DataFrame, e: DataFrame,
       idCol: String, vecCol: String, newVecs: DataFrame,
       k: Int = 8, beam: Int = 24, hops: Int = 0, entries: Int = 0): DataFrame = {
@@ -507,7 +515,45 @@ object NeighborGraphAnn {
       .join(q, "qid").join(ev, "nid")
       .select(col("qid"), col("nid"),
         round(expr("fvec_dot(qvec, _nv)"), 6).as("cos_sim"))
-    var seen = score(q.select(col("qid")).crossJoin(broadcast(entry.select(col("nid")))))
+    // r18: entry seeding WITHOUT the |queries| × effEntries scored
+    // join. Only the top beam·(effHops+1) entries per query can ever
+    // matter: each hop marks at most `beam` nodes done, so an entry
+    // ranked below beam·effHops + beam can never reach a frontier,
+    // and the final top-k (k ≤ beam) can never reach that deep into
+    // the entry ranking either — seeding with exactly that per-query
+    // top-m is BIT-IDENTICAL to scoring the full entry set
+    // (GraphAnnSuite re-verified), and turns the seed from a
+    // |q|·effEntries row exchange (the r18 insert probe measured a
+    // 20k-vector insert at 200k paying 873 s, dominated by its
+    // 125M-row seed; a 200k insert at 2M would be 12.5B rows) into
+    // one map-side pass over the query batch against a driver-held
+    // entry array — bounded by the 65536 entries cap × dim floats
+    // ≈ 17 MB, the same closure-size argument as IvfIndex centroids.
+    // Dot product replicates fvec_dot exactly (ascending-index double
+    // accumulation) and round(x, 6) is Spark's HALF_UP BigDecimal.
+    val entryVecs = entry.join(ev, "nid")
+      .select(col("nid"), col("_nv")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val seedM = beam * (effHops + 1)
+    val seedUdf = udf((qv: Seq[Float]) => {
+      val qa = qv.toArray
+      val scored = new Array[(Double, Long)](entryVecs.length)
+      var i = 0
+      while (i < entryVecs.length) {
+        val (nid, v) = entryVecs(i)
+        var acc = 0.0
+        var j = 0
+        while (j < qa.length) { acc += qa(j).toDouble * v(j).toDouble; j += 1 }
+        val sim = java.math.BigDecimal.valueOf(acc)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        scored(i) = (-sim, nid) // (sim desc, nid asc) = frontier order
+        i += 1
+      }
+      scored.sorted.take(seedM).map { case (negSim, nid) => (nid, -negSim) }
+    })
+    var seen = q.select(col("qid"), explode(seedUdf(col("qvec"))).as("_e"))
+      .select(col("qid"), col("_e._1").as("nid"), col("_e._2").as("cos_sim"))
       .localCheckpoint(true) // per-hop frontier reads; truncate lineage
     // Each node is EXPANDED AT MOST ONCE (r16): the frontier is the
     // best `beam` nodes not yet expanded — canonical best-first beam

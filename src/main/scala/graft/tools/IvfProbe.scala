@@ -31,7 +31,7 @@ import graft.api.{IvfIndex, IvfPqIndex}
   * sample gate (default: corpus/100k, so training never exceeds
   * ~100k vectors — a coarse quantizer's quality saturates at
   * thousands of vectors per cell); `GRAFT_IVF_SHORTLIST` the IVF-PQ
-  * ADC shortlist (default 50).
+  * ADC shortlist (default 0 = the API's auto 40·topK).
   */
 object IvfProbe {
   def main(args: Array[String]): Unit = {
@@ -53,7 +53,7 @@ object IvfProbe {
       .config("spark.sql.files.openCostInBytes", "131072")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val shortlist = sys.env.getOrElse("GRAFT_IVF_SHORTLIST", "50").toInt
+    val shortlist = sys.env.getOrElse("GRAFT_IVF_SHORTLIST", "0").toInt // 0 = API auto (40·topK)
     val e = spark.read.parquet(s"$dataDir/embeddings.parquet")
     val n = e.count()
     val trainMod = sys.env.get("GRAFT_IVF_TRAIN_MOD").map(_.toInt)

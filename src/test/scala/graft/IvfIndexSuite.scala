@@ -114,4 +114,32 @@ class IvfIndexSuite extends GraftSuite {
         s"clone of $id must be its own top-1 after add (got ${top1(id)})")
     }
   }
+
+  test("defaultCells: ~sqrt(n) with floor 16 and cap 65536 (r18 probe-measured sizing)") {
+    // the r18 IVF probe measured the fixed-16 trap at 2M (probe cost
+    // ~ n/16 per query, 130 ms/q) vs sqrt(n) cells (3.7 ms/q, recall
+    // 0.99 at nProbe 16) — these pins keep the sizing rule honest
+    assert(IvfIndex.defaultCells(500) == 22)
+    assert(IvfIndex.defaultCells(100) == 16) // floor
+    assert(IvfIndex.defaultCells(200000) == 447)
+    assert(IvfIndex.defaultCells(2000000) == 1414)
+    assert(IvfIndex.defaultCells(8L * 1000 * 1000 * 1000 * 1000) == 65536) // cap
+  }
+
+  test("auto cell count (k = 0): build sizes to defaultCells clamped by the train sample; query works") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_auto").toString
+    IvfIndex.build(spark, Tables.embeddings(spark, sf0001), dir, seed = 42L)
+    val n = Tables.embeddings(spark, sf0001).count()
+    // kEff == defaultCells(n) cells trained (fixture is small enough
+    // that every cell is non-degenerate but KMeans may leave a cell
+    // empty — sizes counts non-empty cells only)
+    val sizes = IvfIndex.cellSizes(spark, dir)
+    assert(sizes.size <= IvfIndex.defaultCells(n) && sizes.size >= 2,
+      s"expected <= ${IvfIndex.defaultCells(n)} non-empty cells, got ${sizes.size}")
+    assert(sizes.values.sum == n, "every vector must land in exactly one cell")
+    val probes = Tables.embeddings(spark, sf0001).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val got = IvfIndex.query(spark, probes, dir, nProbe = 4, topK = 3).collect()
+    assert(got.length > 0, "auto-sized index must answer queries")
+  }
 }
