@@ -21,6 +21,10 @@ QS=${GRAFT_DIGEST_QS:-"q_agg_group_sum q_win_topk_per_group \
 q_join_inner_hash q_join_asof_binned q_dedup_exact_docs \
 q_dedup_minhash_df q_dedup_contain_minhash q_dedup_clusters \
 q_text_langid q_text_tfidf q_funnel q_cdc_latest_by_key q_cdc_scd2 \
-q_sessionize_gap q_string_agg q_topk_global"}
+q_sessionize_gap q_string_agg q_topk_global q_graph_pagerank"}
+# q_graph_pagerank added r18: its g100 digest is cost-excluded (the
+# ~1.5-2B-edge graph out-shuffles this box's free disk, and the DuckDB
+# oracle needed 78 GB temp at a TENTH of that) — so the 100x gate is
+# the row's standing multi-decade evidence.
 GRAFT_DIGEST_QS="$QS" GRAFT_DIGEST_XMX=${GRAFT_DIGEST_XMX:-48g} \
   exec scripts/sweep_sf100_digest.sh "$SF" "$OUT" "$SQLJSON"
