@@ -22,18 +22,25 @@ DATADIRS=${2:-"/tmp/gc200k /tmp/gc2m"}
 mkdir -p "$OUT"
 . scripts/jdk17_opens.sh
 CP="target/scala-2.13/classes:/opt/spark/jars/*"
-CONFIGS=${GRAFT_RPLSH_CONFIGS:-"0.5:6:1.2 0.1:6:1.2"}
+# bucketLen:tables:threshold:mode — mode `api` is the shipped
+# approxSimilarityJoin (ENOSPC at 2M: it shuttles ~1.2 KB of vector
+# structs per candidate pair; measured fatal at 50 queries x 2M);
+# `narrow` is the ids-only-join rewrite that makes the asymptote
+# measurable at 2M.
+CONFIGS=${GRAFT_RPLSH_CONFIGS:-"0.5:6:1.2:api 0.1:6:1.2:api"}
 BATCHES=${GRAFT_RPLSH_BATCHES:-"50,200,800"}
 for DATA in $DATADIRS; do
   TAG=$(basename "$DATA")
   for CFG in $CONFIGS; do
-    BL=${CFG%%:*}; REST=${CFG#*:}; NT=${REST%%:*}; TH=${REST##*:}
-    NAME="${TAG}_bl${BL}_t${NT}"
+    BL=${CFG%%:*}; REST=${CFG#*:}; NT=${REST%%:*}
+    REST2=${REST#*:}; TH=${REST2%%:*}; MODE=${REST2##*:}
+    [ "$MODE" = "$TH" ] && MODE=api
+    NAME="${TAG}_bl${BL}_t${NT}_${MODE}"
     [ -s "$OUT/$NAME.jsonl" ] && { echo "skip $NAME (done)"; continue; }
     echo "== $NAME $(date +%H:%M:%S)"
     LOG="$OUT/$NAME.log"
     SPARK_GRAFT_CPUS=32 java $OPENS -cp "$CP" -Xmx64g \
-      graft.tools.RpLshProbe "$DATA" "$BL" "$NT" "$TH" "$BATCHES" 50 \
+      graft.tools.RpLshProbe "$DATA" "$BL" "$NT" "$TH" "$BATCHES" 50 "$MODE" \
       > "$LOG" 2>&1
     RC=$?
     if [ $RC -ne 0 ] || ! grep -q '"probe":"rplsh_recall"' "$LOG"; then

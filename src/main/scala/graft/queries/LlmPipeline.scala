@@ -128,6 +128,22 @@ object LlmPipeline {
   // Random-projection LSH over the same embeddings; ScalaTest asserts
   // recall@5 ≥ 0.8 vs the exact #54. Unit vectors: euclid² = 2 − 2·cos,
   // so a euclidean threshold of 1.0 ≈ cos ≥ 0.5.
+  //
+  // SCALE ADJUDICATION (r18, SCALE_PROBE_r18_rplsh.json): this row is
+  // fixture-scale only, for two MEASURED reasons. (1) Structural:
+  // Spark ML's BRP-LSH amplifies OR-only across single-projection
+  // tables (no AND stage), so the candidate set is a scale-free
+  // FRACTION of the corpus — measured 98.4% of 200k at these params
+  // (the 64-dim projection of a unit vector has std ≈ 1/√dim ≈ 0.125,
+  // so bucketLength 0.5 yields ~2 occupied buckets per table) and
+  // still 77% at 5× finer buckets; per-query cost is Θ(n) at every
+  // recall-retaining setting. (2) Implementational:
+  // approxSimilarityJoin carries both full rows (features + hash
+  // vectors, ~1.2 KB/pair) through the exploded candidate exchange —
+  // at 50 queries × 2M vectors that is ~0.7 TB of shuffle, measured
+  // ENOSPC on a quiet 59-GB-free box. ANN serving at scale routes to
+  // IVF/IVF-PQ (#69/#87 — 5-8 ms/q at 2M, recall 0.988) or graph-ANN
+  // (#140); banded set-similarity joins route to MinHashDf (#71).
   val qSimLshAnn: Q = (s, dir) => {
     val toVec = udf((a: Seq[Float]) =>
       Vectors.dense(a.map(_.toDouble).toArray))
