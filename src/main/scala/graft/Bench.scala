@@ -20,6 +20,18 @@ object Bench {
       // the sharded GenScale sets without changing any result.
       .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.sql.files.openCostInBytes", "131072")
+      // r18 optimization round: let AQE re-plan CACHED plans too (off
+      // by default). Without it every .cache()/persist materialization
+      // keeps the static shuffle partition count, so the engine's
+      // cached intermediates (minhash postings/candidates, jaccard
+      // stats, CC edge lists …) carry 32–64 near-empty partitions at
+      // fixture scale and every downstream map stage pays per-task
+      // dispatch for nothing — measured 830→55 tasks / 31.7→2.7 s of
+      // task time on q_dedup_clusters, with identical results. The
+      // conf is scale-neutral: AQE coalesces toward
+      // advisoryPartitionSizeInBytes, so TB-scale caches keep their
+      // parallelism; only near-empty partitions collapse.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // uniform timestamp flavor for the whole session (see Verify)

@@ -16,6 +16,9 @@ object Verify {
       // sharded GenScale corpora must scan in parallel, not as 1 task
       .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.sql.files.openCostInBytes", "131072")
+      // AQE for cached plans — same conf as Bench (r18 opt round):
+      // identical results, collapses near-empty cached partitions
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // uniform timestamp flavor for the WHOLE session: the events

@@ -60,18 +60,36 @@ object DedupClusters {
     val p = pairs
       .select(col("doc_a").cast("long").as("doc_a"), col("doc_b").cast("long").as("doc_b"))
       .localCheckpoint(true)
-    val edges = p
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(p
-        .select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // normalize BEFORE symmetrizing (r18 optimization round): the
+    // old shape ran distinct() over the already-doubled union (2×
+    // the rows through the dedup shuffle). Orienting each pair
+    // (least, greatest) first dedups half the volume, and mirroring
+    // the deduped non-self rows reproduces EXACTLY the old edge set:
+    // distinct({(a,b)} ∪ {(b,a)}) == norm ∪ mirror(norm \ selfloops).
+    val norm = p
+      .select(least(col("doc_a"), col("doc_b")).as("src"),
+        greatest(col("doc_a"), col("doc_b")).as("dst"))
       .distinct()
+    val edges = norm
+      .unionByName(norm.filter(col("src") =!= col("dst"))
+        .select(col("dst").as("src"), col("src").as("dst")))
       .cache()
+    // Seeded labels (r18 optimization round): label(v) = min(v, min
+    // neighbor) is exactly what the first propagation round computes
+    // from identity labels — but from identity labels neighborMin is
+    // just min(dst) per src, so ONE aggregation over the edge list
+    // replaces the old identity-label init (distinct + checkpoint)
+    // PLUS the whole first join round. Strictly less work at any
+    // scale (the groupBy shuffles the same edge list the first round
+    // joined); the fixpoint reached is unchanged — seeding only
+    // advances the iteration's starting point.
     // localCheckpoint like every later round's table: labels is then
     // uniformly GC-freed and no per-round unpersist is needed (it
     // would be a no-op from round 2 on anyway — checkpointed Datasets
     // are not CacheManager entries)
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("cluster", col("doc_id"))
+    var labels = edges.groupBy(col("src")).agg(min(col("dst")).as("_mn"))
+      .select(col("src").as("doc_id"),
+        least(col("src"), col("_mn")).as("cluster"))
       .localCheckpoint(true)
     // Per-round instrumentation (VERDICT r14 #2): rounds-vs-scale is
     // the open question for the 11.0x second-decade ratio — if rounds
@@ -93,18 +111,24 @@ object DedupClusters {
       // with the jump below: at the propagation fixpoint labels are
       // already uniform per component, so the jump is a no-op too
       changed = joined.filter(col("_minNc") < col("cluster")).count()
-      val prop = joined.select(col("doc_id"),
-        least(col("cluster"), coalesce(col("_minNc"), col("cluster"))).as("cluster"))
-      // pointer jump: label(v) <- label(label(v)). Every cluster id IS
-      // a node id with a row in `prop`, so the left join always hits;
-      // coalesce is belt-and-braces. prop is a projection over the
-      // cached `joined` — both join inputs re-read the cache.
-      val jumpMap = prop.select(col("doc_id").as("_jc"), col("cluster").as("_jl"))
-      val next0 = prop.join(jumpMap, col("cluster") === col("_jc"), "left")
-        .select(col("doc_id"), coalesce(col("_jl"), col("cluster")).as("cluster"))
-      val next = next0.localCheckpoint(true) // eager: materialize + truncate
+      if (changed > 0) {
+        val prop = joined.select(col("doc_id"),
+          least(col("cluster"), coalesce(col("_minNc"), col("cluster"))).as("cluster"))
+        // pointer jump: label(v) <- label(label(v)). Every cluster id IS
+        // a node id with a row in `prop`, so the left join always hits;
+        // coalesce is belt-and-braces. prop is a projection over the
+        // cached `joined` — both join inputs re-read the cache.
+        val jumpMap = prop.select(col("doc_id").as("_jc"), col("cluster").as("_jl"))
+        val next0 = prop.join(jumpMap, col("cluster") === col("_jc"), "left")
+          .select(col("doc_id"), coalesce(col("_jl"), col("cluster")).as("cluster"))
+        val next = next0.localCheckpoint(true) // eager: materialize + truncate
+        labels = next
+      }
+      // changed == 0: prop == labels and the jump is a no-op (comment
+      // above) — skip materializing an identical label table. Every
+      // assign() ends on such a confirmation round, so this saves one
+      // join + checkpoint job per call at every scale (r18 opt round).
       joined.unpersist()
-      labels = next
       iter += 1
       if (ccLog) System.err.println(
         f"[cc] round=$iter changed=$changed t=${(System.nanoTime() - tRound) / 1e9}%.2fs")

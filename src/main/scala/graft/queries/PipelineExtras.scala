@@ -319,6 +319,8 @@ object PipelineExtras extends org.apache.spark.internal.Logging {
     dfCostGuard(sh, "q_dedup_containment") // r14 pre-flight (routing advice only)
     val shDf = sh
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+      .cache() // consumed 2× (prefix, probe) — uncached, the df window
+               // sort over the full postings ran twice (r18 opt round)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz")).cache()
     val prefix = shDf.join(sizes, "doc_id")
       .withColumn("_r", row_number().over(

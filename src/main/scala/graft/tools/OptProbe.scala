@@ -1,0 +1,329 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** r18 optimization scratch probe: times experiment variants of hot
+  * operators in ONE bench-shaped JVM (same confs as graft.Bench) so
+  * before/after plan shapes can be compared warm, without the
+  * cold-JVM penalty of separate runs. Throwaway measurement tooling —
+  * not part of the query surface.
+  *
+  * Usage: OptProbe <sfDir> <experiment> [reps]
+  */
+object OptProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val exp = args(1)
+    val reps = if (args.length > 2) args(2).toIntOption.getOrElse(5) else 5
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "131072")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        sys.env.getOrElse("GRAFT_CACHE_AQE", "true"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.Tables.setEventsReadConfs(spark)
+
+    def time(name: String)(mk: => DataFrame): Unit = {
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val n = mk.count()
+        val t = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        (t, n)
+      }
+      println(f"[probe] $name%-34s min=${times.map(_._1).min}%6.3f  " +
+        f"all=${times.map(t => f"${t._1}%.2f").mkString(",")}  rows=${times.head._2}")
+    }
+
+    // noop sink: computes EVERY column (guide §1.4) — count() over a
+    // bare global aggregate prunes the aggregate expressions away
+    def timeNoop(name: String)(mk: => DataFrame): Unit = {
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        mk.write.format("noop").mode("overwrite").save()
+        val t = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        t
+      }
+      println(f"[noop ] $name%-34s min=${times.min}%6.3f  " +
+        f"all=${times.map(t => f"$t%.2f").mkString(",")}")
+    }
+
+    exp match {
+      case "profile" =>
+        val li = graft.Tables.lineitem(spark, sfDir)
+        val cols = Seq("l_linenumber", "l_orderkey", "l_partkey", "l_quantity", "l_suppkey")
+        graft.functions.KllQuantile.register(spark)
+        // (a) shipped fast path
+        time("fast_shipped") {
+          graft.api.Profiling.profileStats(li, cols, exact = false)
+        }
+        // (b) basic declarative aggs only (codegen-able)
+        timeNoop("fast_base_only") {
+          val aggs = cols.flatMap { c => Seq(
+            sum(col(c).isNull.cast("long")),
+            min(col(c).cast("double")), max(col(c).cast("double")),
+            round(avg(col(c).cast("double")), 6)) }
+          li.agg(aggs.head, aggs.tail: _*)
+        }
+        // (c) base + HLL only
+        timeNoop("fast_base_hll") {
+          val aggs = cols.flatMap { c => Seq(
+            sum(col(c).isNull.cast("long")),
+            approx_count_distinct(col(c), 0.02),
+            min(col(c).cast("double")), max(col(c).cast("double")),
+            round(avg(col(c).cast("double")), 6)) }
+          li.agg(aggs.head, aggs.tail: _*)
+        }
+        // (d) base + KLL only
+        timeNoop("fast_base_kll") {
+          val aggs = cols.flatMap { c => Seq(
+            sum(col(c).isNull.cast("long")),
+            expr(s"kll_sketch_agg(CAST($c AS DOUBLE))"),
+            min(col(c).cast("double")), max(col(c).cast("double")),
+            round(avg(col(c).cast("double")), 6)) }
+          li.agg(aggs.head, aggs.tail: _*)
+        }
+        // (e) exact multi-distinct (the q_profile_stats shape)
+        time("exact_shipped") {
+          graft.api.Profiling.profileStats(li, cols, exact = true)
+        }
+        // (f) scan floor
+        time("scan_floor") { li.select(cols.map(col): _*) }
+        // (g) base + HLL + KLL, no stack/orderBy
+        timeNoop("fast_hll_kll_nostack") {
+          val aggs = cols.flatMap { c => Seq(
+            sum(col(c).isNull.cast("long")),
+            approx_count_distinct(col(c), 0.02),
+            expr(s"kll_sketch_agg(CAST($c AS DOUBLE))"),
+            min(col(c).cast("double")), max(col(c).cast("double")),
+            round(avg(col(c).cast("double")), 6)) }
+          li.agg(aggs.head, aggs.tail: _*)
+        }
+        // (h) shipped fast minus the trailing orderBy
+        time("fast_shipped_noorder") {
+          val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+            val d = col(c).cast("double")
+            Seq(
+              sum(col(c).isNull.cast("long")).as(s"nn_$i"),
+              approx_count_distinct(col(c), 0.02).as(s"nd_$i"),
+              min(d).as(s"mn_$i"), max(d).as(s"mx_$i"),
+              round(avg(d), 6).as(s"av_$i"),
+              expr(s"kll_sketch_agg(CAST($c AS DOUBLE))").as(s"kll_$i")) }
+          val one = li.agg(aggs.head, aggs.tail: _*)
+          val withQ = cols.indices.foldLeft(one) { (acc, i) =>
+            acc.withColumn(s"q_$i", expr(s"kll_quantiles(kll_$i, array(0.5D, 0.95D))"))
+          }
+          val stackArgs = cols.indices.map(i =>
+            s"'${cols(i)}', nn_$i, nd_$i, mn_$i, mx_$i, av_$i, q_$i[0], q_$i[1]").mkString(", ")
+          withQ.selectExpr(s"stack(${cols.length}, $stackArgs) " +
+            "AS (column_name, n_nulls, n_distinct, min_v, max_v, avg_v, p50, p95)")
+        }
+        // (i) exact multi-distinct aggs alone, no stack
+        timeNoop("exact_distinct_nostack") {
+          val aggs = cols.flatMap { c => Seq(
+            sum(col(c).isNull.cast("long")), countDistinct(col(c)),
+            min(col(c).cast("double")), max(col(c).cast("double")),
+            round(avg(col(c).cast("double")), 6)) }
+          li.agg(aggs.head, aggs.tail: _*)
+        }
+
+      case "hll" =>
+        val li = graft.Tables.lineitem(spark, sfDir)
+        val cols = Seq("l_linenumber", "l_orderkey", "l_partkey", "l_quantity", "l_suppkey")
+        graft.functions.ThetaSketch.register(spark)
+        timeNoop("hll_rsd002_only") {
+          val aggs = cols.map(c => approx_count_distinct(col(c), 0.02))
+          li.agg(aggs.head, aggs.tail: _*)
+        }
+        timeNoop("hll_rsd005_only") {
+          val aggs = cols.map(c => approx_count_distinct(col(c), 0.05))
+          li.agg(aggs.head, aggs.tail: _*)
+        }
+        timeNoop("theta_only") {
+          val aggs = cols.map(c => expr(s"theta_sketch_agg($c)"))
+          li.agg(aggs.head, aggs.tail: _*)
+        }
+        timeNoop("hll_rsd002_single_col") {
+          li.agg(approx_count_distinct(col("l_orderkey"), 0.02))
+        }
+
+      case "embed" =>
+        val e = graft.Tables.embeddings(spark, sfDir)
+        val nVec = e.count()
+        val table = graft.api.EmbedBlocking.scaledTable(nVec)
+        // (a) shipped band keys (one giant projection under Generate)
+        time("bandkeys_shipped") {
+          graft.api.EmbedBlocking.bandKeys(e, "vec_id", "embedding", table)
+        }
+        // (b) packed-signs variant: one 64-term sign sum, then per-band
+        // shift/mask keys as separate projected columns
+        time("bandkeys_packed") {
+          val signs = (0 until graft.api.EmbedBlocking.DIM).map(d =>
+            when(element_at(col("embedding"), d + 1) >= lit(0f),
+              lit(1L << d)).otherwise(lit(0L))).reduce(_ + _)
+          val withSigns = e.select(col("vec_id"), signs.as("_signs"))
+          val keyCols = table.zipWithIndex.map { case (dims, j) =>
+            dims.zipWithIndex.map { case (d, t) =>
+              (shiftright(col("_signs"), d).bitwiseAND(lit(1L)) * lit(1L << t))
+            }.reduce(_ + _).cast("int").as(s"_k$j")
+          }
+          val keyed = withSigns.select(col("vec_id") +: keyCols.toSeq: _*)
+          val bandStructs = table.indices.map(j =>
+            struct(lit(j).as("band"), col(s"_k$j").as("key")))
+          keyed.select(col("vec_id"), explode(array(bandStructs: _*)).as("bk"))
+            .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+        }
+        // (c) full shipped query
+        time("embed_bucketed_shipped") {
+          graft.queries.PipelineExtras.queries("q_dedup_embed_bucketed")(spark, sfDir)
+        }
+        // (d) candidate pairs only (checkpoint + self-join + distinct)
+        time("candidate_pairs_shipped") {
+          graft.api.EmbedBlocking.candidatePairs(e, "vec_id", "embedding", table)
+        }
+        // (e) candidate pairs without the localCheckpoint (tiny corpus)
+        time("candidate_pairs_nockpt") {
+          val k = graft.api.EmbedBlocking.bandKeys(e, "vec_id", "embedding", table)
+          val a = k.select(col("vec_id").as("ia"), col("band"), col("key"))
+          val b = k.select(col("vec_id").as("ib"), col("band"), col("key"))
+          a.join(b, Seq("band", "key")).filter(col("ia") < col("ib"))
+            .select(col("ia"), col("ib")).distinct()
+        }
+        // (f) packed keys + cache instead of localCheckpoint
+        time("candidate_pairs_packed_cache") {
+          val signs = (0 until graft.api.EmbedBlocking.DIM).map(d =>
+            when(element_at(col("embedding"), d + 1) >= lit(0f),
+              lit(1L << d)).otherwise(lit(0L))).reduce(_ + _)
+          val withSigns = e.select(col("vec_id"), signs.as("_signs"))
+          val keyCols = table.zipWithIndex.map { case (dims, j) =>
+            dims.zipWithIndex.map { case (d, t) =>
+              (shiftright(col("_signs"), d).bitwiseAND(lit(1L)) * lit(1L << t))
+            }.reduce(_ + _).cast("int").as(s"_k$j")
+          }
+          val keyed = withSigns.select(col("vec_id") +: keyCols.toSeq: _*)
+          val bandStructs = table.indices.map(j =>
+            struct(lit(j).as("band"), col(s"_k$j").as("key")))
+          val k = keyed.select(col("vec_id"), explode(array(bandStructs: _*)).as("bk"))
+            .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+            .localCheckpoint(false)
+          val a = k.select(col("vec_id").as("ia"), col("band"), col("key"))
+          val b = k.select(col("vec_id").as("ib"), col("band"), col("key"))
+          a.join(b, Seq("band", "key")).filter(col("ia") < col("ib"))
+            .select(col("ia"), col("ib")).distinct()
+        }
+
+      case "ngram" =>
+        val docs = graft.Tables.documents(spark, sfDir)
+        time("jaccard_shipped") {
+          graft.queries.PipelineExtras.queries("q_dedup_ngram_jaccard")(spark, sfDir)
+        }
+        time("containment_shipped") {
+          graft.queries.PipelineExtras.queries("q_dedup_containment")(spark, sfDir)
+        }
+        time("collapse_exact_memb") {
+          val d0 = docs.filter(size(split(col("text"), " ")) >= 3)
+            .select(col("doc_id"), col("text"))
+          d0.select(col("doc_id"), md5(col("text")).as("_tk"))
+            .withColumn("uid", min(col("doc_id")).over(
+              org.apache.spark.sql.expressions.Window.partitionBy(col("_tk"))))
+            .select(col("doc_id"), col("uid"))
+        }
+        timeNoop("shingles_only") {
+          docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+            .filter(size(col("ws")) >= 3)
+            .select(col("doc_id"), explode(array_distinct(expr(
+              "transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))")))
+              .as("sh"))
+        }
+        timeNoop("shingles_df_window") {
+          val sh = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+            .filter(size(col("ws")) >= 3)
+            .select(col("doc_id"), explode(array_distinct(expr(
+              "transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))")))
+              .as("sh"))
+          sh.withColumn("df", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))))
+        }
+
+      case "stages" =>
+        val jobs = new java.util.concurrent.atomic.AtomicInteger
+        val stages = new java.util.concurrent.atomic.AtomicInteger
+        val tasks = new java.util.concurrent.atomic.AtomicInteger
+        val taskTime = new java.util.concurrent.atomic.AtomicLong
+        val stageLog = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Int, Long, Long, Long, String)]()
+        spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            jobs.incrementAndGet()
+          override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            stages.incrementAndGet()
+            tasks.addAndGet(sc.stageInfo.numTasks)
+            if (sc.stageInfo.taskMetrics != null) {
+              taskTime.addAndGet(sc.stageInfo.taskMetrics.executorRunTime)
+              stageLog.add((sc.stageInfo.stageId, sc.stageInfo.numTasks,
+                sc.stageInfo.taskMetrics.executorRunTime,
+                sc.stageInfo.taskMetrics.jvmGCTime,
+                sc.stageInfo.taskMetrics.executorDeserializeTime,
+                sc.stageInfo.name.take(90)))
+            }
+          }
+        })
+        def measure(name: String)(mk: => DataFrame): Unit = {
+          mk.count() // warm
+          spark.catalog.clearCache()
+          Thread.sleep(300)
+          jobs.set(0); stages.set(0); tasks.set(0); taskTime.set(0); stageLog.clear()
+          val t0 = System.nanoTime()
+          val n = mk.count()
+          val wall = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(300)
+          println(f"[stage] $name%-28s wall=$wall%6.2f jobs=${jobs.get}%3d " +
+            f"stages=${stages.get}%3d tasks=${tasks.get}%5d taskTimeSum=${taskTime.get / 1e3}%7.2fs rows=$n")
+          import scala.jdk.CollectionConverters._
+          stageLog.asScala.toSeq.sortBy(-_._3).take(8).foreach { case (id, nt, rt, gc, de, nm) =>
+            println(f"[stage]    top id=$id%5d tasks=$nt%4d runTime=${rt / 1e3}%7.2fs gc=${gc / 1e3}%6.2fs deser=${de / 1e3}%6.2fs  $nm")
+          }
+          spark.catalog.clearCache()
+        }
+        args.drop(2).foreach { q =>
+          measure(q)(graft.SparkEntry.queries(q)(spark, sfDir))
+        }
+
+      case "tinyjoin" =>
+        import spark.implicits._
+        val base = (1L to 500L).map(i => (i, i % 37)).toDF("id", "k")
+        def joinAgg(df: DataFrame): DataFrame = {
+          val a = df.select(col("id").as("ia"), col("k"))
+          val b = df.select(col("id").as("ib"), col("k"))
+          a.join(b, "k").groupBy("k").agg(count(lit(1)).as("n"))
+        }
+        time("tiny_local") { joinAgg(base) }
+        time("tiny_ckpt32") {
+          joinAgg(base.repartition(32).localCheckpoint(true)) }
+        time("tiny_ckpt1") {
+          joinAgg(base.repartition(1).localCheckpoint(true)) }
+        time("tiny_cache32") {
+          val c = base.repartition(32).cache(); c.count(); joinAgg(c) }
+
+      case "cc" =>
+        // DedupClusters loop cost on the fixture pairs
+        time("clusters_shipped") {
+          graft.queries.SearchDedup.queries("q_dedup_clusters")(spark, sfDir)
+        }
+        time("minhash_pairs_only") {
+          graft.queries.MinHashDf.qDedupMinhashDf(spark, sfDir)
+        }
+
+      case other => sys.error(s"unknown experiment $other")
+    }
+    spark.stop()
+  }
+}
