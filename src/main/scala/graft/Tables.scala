@@ -14,8 +14,35 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
-  private def read(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Inferred-schema memo (r18 optimization round). Parquet schema
+    * inference launches a footer-reading Spark JOB per
+    * `spark.read.parquet` call — measured 103 ms/call at sf0.1 vs
+    * 8 ms with the schema supplied, and every query invocation
+    * re-reads its tables (the bench pays it 3 reps × tables/query).
+    * The schema of a fixture path is metadata, not a result: caching
+    * it is the same move as Spark's own FileStatusCache (and at
+    * 100 TB the schema comes from a catalog/manifest, never repeated
+    * inference — guide §6). Keyed by path + the two session confs
+    * that change what a timestamp column infers as (Tables.events'
+    * nanos/NTZ recipe), so differently-configured sessions can never
+    * alias. Capped like dfGuardMemo; assumes fixture paths are
+    * immutable within a JVM (regenerating data under the SAME path
+    * needs a new JVM — same documented staleness class as the file
+    * status cache itself). */
+  private val schemaMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
+  private def read(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val key = path +
+      "|" + spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") +
+      "|" + spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    val schema =
+      if (schemaMemo.size < 256) schemaMemo.computeIfAbsent(key,
+        _ => spark.read.parquet(path).schema)
+      else spark.read.parquet(path).schema
+    spark.read.schema(schema).parquet(path)
+  }
 
   def region(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "nation")

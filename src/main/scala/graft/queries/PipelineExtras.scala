@@ -251,10 +251,20 @@ object PipelineExtras extends org.apache.spark.internal.Logging {
       .select(col("doc_id"), md5(col("text")).as("_tk"))
       .withColumn("uid", min(col("doc_id")).over(Window.partitionBy(col("_tk"))))
       .select(col("doc_id"), col("uid"))
-      // localCheckpoint(lazy), not cache(): blocks reclaimed by the
-      // ContextCleaner when the plan goes out of scope, so repeated
-      // query invocations don't pin an ever-growing cache (ADVICE r13)
-      .localCheckpoint(false)
+      // cache(), not localCheckpoint(lazy) (r18 optimization round,
+      // reversing the ADVICE-r13 shape): the lazy checkpoint creates a
+      // fresh RDD per invocation, which (a) poisoned dfCostGuard's
+      // canonical-plan memo downstream — every construction of the
+      // jaccard/containment rows re-ran the guard's two aggregate
+      // jobs over the shingle pipeline, measured 2.3 s (jaccard) /
+      // 1.5 s (containment) of per-invocation construction time —
+      // and (b) is invisible to CacheManager dedup. cache() keeps the
+      // logical plan PURE (stable canonicalization ⇒ memo hits) and
+      // repeated invocations REUSE one entry per corpus (CacheManager
+      // dedups by canonical plan — the "ever-growing cache" the r13
+      // advice feared does not occur; the entry is memb-sized, and
+      // sessions that want it gone still get it via clearCache()).
+      .cache()
     val urep = d0.join(withUid.filter(col("doc_id") === col("uid"))
         .select(col("doc_id")), Seq("doc_id"), "left_semi")
     (withUid, urep)
@@ -334,6 +344,14 @@ object PipelineExtras extends org.apache.spark.internal.Logging {
       .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
       .distinct()
+    // Exact recount stays RELATIONAL here (r18 optimization round,
+    // measured): unlike the minhash family (r15) and the jaccard row's
+    // post-ub-filter survivors, containment's candidate set is NOT
+    // output-sized — 180k pairs vs 241 result rows at sf0.1 — so the
+    // collect_set/array_intersect shape ships two ~2 KB shingle arrays
+    // per candidate pair (tried: 3.4 s → 5.3+ s). The pairs × shingles
+    // join rows are narrow and Σ_cand(sza+szb)-bounded, and the probe
+    // side is df-capped, which is what bounds the volume at scale.
     val inter = cand
       .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
@@ -456,14 +474,24 @@ object PipelineExtras extends org.apache.spark.internal.Logging {
     val survIds = survivors.select(col("doc_a").as("doc_id"))
       .unionByName(survivors.select(col("doc_b").as("doc_id")))
       .distinct()
-    val shSurv = sh.join(survIds, Seq("doc_id"), "left_semi")
-      .cache() // feeds BOTH sides (pa, pb) of the recount join
+    // Recount via per-doc shingle SETS (r18 optimization round — same
+    // shape as the containment recount above and MinHashDf's r15
+    // exactIntersections): the old survivors ⨝ postings ⨝ postings
+    // groupBy materialized a pairs × shingles-per-doc intermediate;
+    // collecting each survivor doc's distinct set once and counting
+    // the intersection in a codegen projection moves volume ∝
+    // survivor docs + pairs instead. Counts identical (postings are
+    // per-doc distinct); zero-intersection pairs now carry inter = 0
+    // and are dropped by the ≥ threshold filter exactly as their
+    // absence dropped them before.
+    val sets = sh.join(survIds, Seq("doc_id"), "left_semi")
+      .groupBy(col("doc_id")).agg(collect_set(col("sh")).as("shs"))
+      .cache() // feeds BOTH join legs below
     val exact = survivors
-      .join(shSurv.as("pa"), col("doc_a") === col("pa.doc_id"))
-      .join(shSurv.as("pb"),
-        col("doc_b") === col("pb.doc_id") && col("pa.sh") === col("pb.sh"))
-      .groupBy(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
-      .agg(count(lit(1)).as("inter"))
+      .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("sha")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("shb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("sa"), col("sb"),
+        size(array_intersect(col("sha"), col("shb"))).cast("long").as("inter"))
     exact
       .select(col("doc_a"), col("doc_b"),
         round(col("inter").cast("double") /

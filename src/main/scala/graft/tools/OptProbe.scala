@@ -297,6 +297,56 @@ object OptProbe {
           measure(q)(graft.SparkEntry.queries(q)(spark, sfDir))
         }
 
+      case "mhstorage" =>
+        time("minhash_disk_only") {
+          spark.conf.set("spark.graft.minhash.postingsStorage", "DISK_ONLY")
+          graft.queries.MinHashDf.qDedupMinhashDf(spark, sfDir)
+        }
+        time("minhash_mem_disk") {
+          spark.conf.set("spark.graft.minhash.postingsStorage", "MEMORY_AND_DISK")
+          graft.queries.MinHashDf.qDedupMinhashDf(spark, sfDir)
+        }
+
+      case "phases" =>
+        // split construction / planning / execution wall per query
+        args.drop(2).foreach { q =>
+          (1 to 3).foreach { r =>
+            val t0 = System.nanoTime()
+            val df = graft.SparkEntry.queries(q)(spark, sfDir)
+            val t1 = System.nanoTime()
+            df.queryExecution.executedPlan // force analysis+optimization+planning
+            val t2 = System.nanoTime()
+            val n = df.count()
+            val t3 = System.nanoTime()
+            spark.catalog.clearCache()
+            println(f"[phase] $q%-28s rep=$r construct=${(t1 - t0) / 1e9}%5.2f " +
+              f"plan=${(t2 - t1) / 1e9}%5.2f exec=${(t3 - t2) / 1e9}%5.2f rows=$n")
+          }
+        }
+
+      case "readcost" =>
+        // per-call cost of spark.read.parquet (listing + footer schema
+        // inference) vs schema-supplied read vs reusing the DataFrame
+        val n = 60
+        val t0 = System.nanoTime()
+        (1 to n).foreach { _ =>
+          spark.read.parquet(s"$sfDir/lineitem.parquet").schema
+        }
+        val t1 = System.nanoTime()
+        val schema = spark.read.parquet(s"$sfDir/lineitem.parquet").schema
+        (1 to n).foreach { _ =>
+          spark.read.schema(schema).parquet(s"$sfDir/lineitem.parquet").schema
+        }
+        val t2 = System.nanoTime()
+        println(f"[read] infer=${(t1 - t0) / 1e6 / n}%.1f ms/call  supplied=${(t2 - t1) / 1e6 / n}%.1f ms/call")
+        // trivial full query floor: scan+filter+count
+        time("floor_count_lineitem") {
+          spark.read.parquet(s"$sfDir/lineitem.parquet").groupBy("l_returnflag").count()
+        }
+        time("floor_count_supplied_schema") {
+          spark.read.schema(schema).parquet(s"$sfDir/lineitem.parquet").groupBy("l_returnflag").count()
+        }
+
       case "tinyjoin" =>
         import spark.implicits._
         val base = (1L to 500L).map(i => (i, i % 37)).toDF("id", "k")
