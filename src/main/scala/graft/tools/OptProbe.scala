@@ -22,7 +22,7 @@ object OptProbe {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", sys.env.getOrElse("GRAFT_UI", "false"))
       .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.sql.files.openCostInBytes", "131072")
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
@@ -297,6 +297,20 @@ object OptProbe {
           measure(q)(graft.SparkEntry.queries(q)(spark, sfDir))
         }
 
+      case "splits" =>
+        def run(tag: String): Unit = {
+          time(s"jaccard_$tag") {
+            graft.queries.PipelineExtras.queries("q_dedup_ngram_jaccard")(spark, sfDir) }
+          time(s"minhash_$tag") {
+            graft.queries.MinHashDf.qDedupMinhashDf(spark, sfDir) }
+          time(s"profile_stats_$tag") {
+            graft.queries.Analytics.queries("q_profile_stats")(spark, sfDir) }
+        }
+        run("oc128k")
+        spark.conf.set("spark.sql.files.openCostInBytes", "32768")
+        run("oc32k")
+        spark.conf.set("spark.sql.files.openCostInBytes", "131072")
+
       case "mhstorage" =>
         time("minhash_disk_only") {
           spark.conf.set("spark.graft.minhash.postingsStorage", "DISK_ONLY")
@@ -346,6 +360,15 @@ object OptProbe {
         time("floor_count_supplied_schema") {
           spark.read.schema(schema).parquet(s"$sfDir/lineitem.parquet").groupBy("l_returnflag").count()
         }
+
+      case "ui" =>
+        val q = args(3)
+        val df = graft.SparkEntry.queries(q)(spark, sfDir)
+        df.count(); spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        graft.SparkEntry.queries(q)(spark, sfDir).count()
+        println(f"[ui] warm run ${(System.nanoTime() - t0) / 1e9}%.2f s - UI on :4040, sleeping 600 s")
+        Thread.sleep(600000)
 
       case "tinyjoin" =>
         import spark.implicits._
