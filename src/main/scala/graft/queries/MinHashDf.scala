@@ -210,26 +210,41 @@ object MinHashDf {
     // joins themselves is ∝ candidate docs (sets side) + pairs (cand
     // side) per join — two joins, so up to 2× that, not the
     // pairs×shingles explosion of the pre-r15 shape.
+    //
+    // sz rides the same aggregation (r18 optimization round): shCand
+    // is a SEMI-join prune — it keeps every posting of every kept
+    // doc — so count(*) here equals the doc's full distinct-shingle
+    // count (sigs.sz) for every candidate doc. Carrying it through
+    // these joins lets the scoring rows drop their two extra
+    // sizes-joins (and the redundant cand LEFT JOIN — see callers):
+    // three fewer joins per row at any scale, same values.
     val sets = shCand.groupBy(col("doc_id"))
-      .agg(collect_set(col("h")).as("shs"))
+      .agg(collect_set(col("h")).as("shs"), count(lit(1)).as("sz"))
       .cache()
     cand
-      .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("sha")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("shb")), "doc_b")
+      .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("sha"),
+        col("sz").as("sa")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("shb"),
+        col("sz").as("sb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("sha"), col("shb"))).cast("long").as("inter"))
+        size(array_intersect(col("sha"), col("shb"))).cast("long").as("inter"),
+        col("sa"), col("sb"))
   }
 
   // ---- #71 q_dedup_minhash_df --------------------------------------------
   val qDedupMinhashDf: Q = (s, dir) => {
-    val (sh, sigs, cand) = bandedCandidates(Tables.documents(s, dir))
-    // exact Jaccard, computed only for candidates
-    val sizes = sigs.select(col("doc_id"), col("sz"))
+    val (sh, _, cand) = bandedCandidates(Tables.documents(s, dir))
+    // exact Jaccard, computed only for candidates. inter is built FROM
+    // cand by two INNER joins against `sets`, which covers every
+    // candidate doc (a banded doc always has postings), so it has
+    // exactly one row per cand pair — the old cand LEFT JOIN inter was
+    // a 1:1 identity and the old sizes joins duplicated sa/sb that now
+    // ride the same rows (r18 optimization round; values unchanged —
+    // and even a hypothetical inter-less pair would score dist 1.0 and
+    // be dropped by the ≤ 0.5 filter exactly as the left-join+coalesce
+    // form dropped it).
     val inter = exactIntersections(cand, sh)
-    cand
-      .join(inter, Seq("doc_a", "doc_b"), "left")
-      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sa")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sb")), "doc_b")
+    inter
       .select(col("doc_a"), col("doc_b"),
         round(lit(1.0) - coalesce(col("inter"), lit(0L)).cast("double") /
           (col("sa") + col("sb") - coalesce(col("inter"), lit(0L))).cast("double"), 6)
@@ -266,13 +281,11 @@ object MinHashDf {
   /** #138 over an arbitrary (doc_id, text) frame — suite-planted
     * recall cases drive this directly. */
   private[graft] def containMinhashPairs(docs: DataFrame): DataFrame = {
-    val (sh, sigs, cand) = bandedCandidates(docs)
-    val sizes = sigs.select(col("doc_id"), col("sz"))
+    val (sh, _, cand) = bandedCandidates(docs)
+    // same join elision as #71 above: inter is 1:1 with cand and
+    // carries sa/sb (r18 optimization round; values unchanged)
     val inter = exactIntersections(cand, sh)
-    cand
-      .join(inter, Seq("doc_a", "doc_b"), "left")
-      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sa")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sb")), "doc_b")
+    inter
       .select(col("doc_a"), col("doc_b"),
         round(coalesce(col("inter"), lit(0L)).cast("double") /
           least(col("sa"), col("sb")).cast("double"), 6).as("containment"))
