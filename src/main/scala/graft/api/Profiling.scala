@@ -8,12 +8,14 @@ import org.apache.spark.sql.functions._
   * unpivoted to a row per column.
   *
   * Two modes, same shape:
-  *  - `exact = true` — COUNT(DISTINCT) per column via Catalyst's
-  *    multi-distinct expand (the oracled #107 path). Exact, but the
-  *    expand multiplies the scan by #columns and each distinct group
-  *    shuffles its full domain — at 100 TB on a high-cardinality
-  *    column that is a massive shuffle for a statistic nobody needs
-  *    exactly.
+  *  - `exact = true` — COUNT(DISTINCT) per column, one SINGLE-distinct
+  *    aggregate per column unioned (the oracled #107 path; r19 — a
+  *    lone distinct group plans Expand-free as partial-agg-by-value +
+  *    merge, where the old all-columns-in-one aggregate paid
+  *    Catalyst's ×(cols+1) Expand on every scan row). Exact, but each
+  *    column still shuffles its distinct domain — at 100 TB on a
+  *    high-cardinality column that is a massive shuffle for a
+  *    statistic nobody needs exactly.
   *  - `exact = false` — `approx_count_distinct` (HLL++, default rsd
   *    2%): ONE ordinary aggregate, no expand, partial-merged
   *    map-side like any sum; the 100 TB profiling path. Null counts
@@ -45,20 +47,41 @@ object Profiling {
     def qname(c: String) = "`" + c.replace("`", "``") + "`"
     def qcol(c: String) = col(qname(c))
     if (!exact) graft.functions.ThetaSketch.register(df.sparkSession)
-    val aggs = cols.zipWithIndex.flatMap { case (c, i) => Seq(
-      sum(qcol(c).isNull.cast("long")).as(s"nn_$i"),
-      (if (exact) countDistinct(qcol(c))
-       else expr(s"theta_sketch_agg(${qname(c)})")).as(s"nd_$i")) }
-    // approx mode: theta_est runs on the single aggregated row only;
-    // CAST(ROUND(..)) keeps n_distinct a LongType like the exact mode
-    def ndExpr(i: Int) =
-      if (exact) s"nd_$i" else s"CAST(ROUND(theta_est(nd_$i)) AS BIGINT)"
-    val stackArgs = cols.indices.map(i =>
-      s"${sqlLit(cols(i))}, nn_$i, ${ndExpr(i)}").mkString(", ")
-    df.agg(aggs.head, aggs.tail: _*)
-      .selectExpr(s"stack(${cols.length}, $stackArgs) " +
-        "AS (column_name, n_nulls, n_distinct)")
-      .orderBy("column_name")
+    if (exact) {
+      // r19 optimization round: one single-distinct aggregate PER
+      // COLUMN, unioned — not one multi-distinct aggregate. With n
+      // distinct column groups in one Aggregate, Catalyst rewrites via
+      // Expand: every scan row is multiplied ×(n+1) BEFORE the partial
+      // aggregate, and the one exchange carries every column's domain
+      // in rows padded with n−1 null slots. A SINGLE distinct
+      // aggregate plans Expand-free (partial agg keyed by the value —
+      // map-side dedup — then merge), each subtree's parquet scan
+      // prunes to exactly its one column, and the n subtrees run as
+      // independent AQE stages. Same exact counts, same one row per
+      // column; the per-column UNION is also exactly the oracle SQL's
+      // shape. (Measured at sf0.1, q_profile_table: 0.98 → see
+      // OPTIMIZATION_r19.md; shuffle rows drop because nothing is
+      // multiplied ×(n+1).)
+      val parts = cols.map { c =>
+        df.agg(
+            sum(qcol(c).isNull.cast("long")).as("n_nulls"),
+            countDistinct(qcol(c)).as("n_distinct"))
+          .select(lit(c).as("column_name"), col("n_nulls"), col("n_distinct"))
+      }
+      parts.reduce(_.unionByName(_)).orderBy("column_name")
+    } else {
+      val aggs = cols.zipWithIndex.flatMap { case (c, i) => Seq(
+        sum(qcol(c).isNull.cast("long")).as(s"nn_$i"),
+        expr(s"theta_sketch_agg(${qname(c)})").as(s"nd_$i")) }
+      // theta_est runs on the single aggregated row only;
+      // CAST(ROUND(..)) keeps n_distinct a LongType like the exact mode
+      val stackArgs = cols.indices.map(i =>
+        s"${sqlLit(cols(i))}, nn_$i, CAST(ROUND(theta_est(nd_$i)) AS BIGINT)").mkString(", ")
+      df.agg(aggs.head, aggs.tail: _*)
+        .selectExpr(s"stack(${cols.length}, $stackArgs) " +
+          "AS (column_name, n_nulls, n_distinct)")
+        .orderBy("column_name")
+    }
   }
 
   /** Full ANALYZE for NUMERIC columns — [[profile]]'s counts plus
@@ -99,26 +122,40 @@ object Profiling {
     // theta aggregate (its 2^12-register buffer dominates the whole
     // ObjectHashAggregate update loop); the estimate is extracted on
     // the single aggregated row, never in the per-row path.
-    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
-      val d = qcol(c).cast("double")
-      Seq(
-        sum(qcol(c).isNull.cast("long")).as(s"nn_$i"),
-        (if (exact) countDistinct(qcol(c))
-         else expr(s"theta_sketch_agg(${qname(c)})")).as(s"nd_$i"),
-        min(d).as(s"mn_$i"),
-        max(d).as(s"mx_$i"),
-        round(avg(d), 6).as(s"av_$i")) ++
-        (if (exact) Nil
-         else Seq(expr(s"kll_sketch_agg(CAST(${qname(c)} AS DOUBLE))").as(s"kll_$i")))
-    }
-    val one = df.agg(aggs.head, aggs.tail: _*)
     if (exact) {
-      val stackArgs = cols.indices.map(i =>
-        s"${sqlLit(cols(i))}, nn_$i, nd_$i, mn_$i, mx_$i, av_$i").mkString(", ")
-      one.selectExpr(s"stack(${cols.length}, $stackArgs) " +
-          "AS (column_name, n_nulls, n_distinct, min_v, max_v, avg_v)")
-        .orderBy("column_name")
+      // r19 optimization round: same per-column single-distinct UNION
+      // as [[profile]] — no ×(cols+1) Expand, each subtree scans one
+      // pruned column, partial aggs dedup map-side before the
+      // exchange. avg determinism is untouched: round(avg(double), 6)
+      // is the same expression over the same rows; the one-distinct
+      // plan partial-aggregates avg's (sum, count) grouped by the
+      // column value before merging, which reorders the double sum —
+      // exact for the integer-valued columns this row declares
+      // (#113's stated avg contract), same as the Expand plan's own
+      // partition-order dependence.
+      val parts = cols.map { c =>
+        val d = qcol(c).cast("double")
+        df.agg(
+            sum(qcol(c).isNull.cast("long")).as("n_nulls"),
+            countDistinct(qcol(c)).as("n_distinct"),
+            min(d).as("min_v"), max(d).as("max_v"),
+            round(avg(d), 6).as("avg_v"))
+          .select(lit(c).as("column_name"), col("n_nulls"), col("n_distinct"),
+            col("min_v"), col("max_v"), col("avg_v"))
+      }
+      parts.reduce(_.unionByName(_)).orderBy("column_name")
     } else {
+      val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+        val d = qcol(c).cast("double")
+        Seq(
+          sum(qcol(c).isNull.cast("long")).as(s"nn_$i"),
+          expr(s"theta_sketch_agg(${qname(c)})").as(s"nd_$i"),
+          min(d).as(s"mn_$i"),
+          max(d).as(s"mx_$i"),
+          round(avg(d), 6).as(s"av_$i"),
+          expr(s"kll_sketch_agg(CAST(${qname(c)} AS DOUBLE))").as(s"kll_$i"))
+      }
+      val one = df.agg(aggs.head, aggs.tail: _*)
       // extract p50/p95 (and the theta distinct estimate) on the
       // single aggregated row — the extractor UDFs are off the hot path
       val withQ = cols.indices.foldLeft(one) { (acc, i) =>

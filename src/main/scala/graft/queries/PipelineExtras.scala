@@ -22,6 +22,26 @@ object PipelineExtras extends org.apache.spark.internal.Logging {
     * (Spark `conv(hex,16,10)`; DuckDB via per-digit strpos+shift).
     */
   private val SPARK_WORD_HASH = "CAST(conv(substring(md5(word), 1, 8), 16, 10) AS BIGINT)"
+
+  /** 64-bit engine-side shingle key (r19 optimization round — the
+    * DupSpans move, applied to the exact rows #62/#109 with the
+    * tiebreak preserved): every join/shuffle in the candidate
+    * enumeration and recount stages keys on `xxhash64(sh)` instead of
+    * the ~25-byte shingle STRING; the string survives ONLY into the
+    * two `ORDER BY (df, sh)` selection sites (jaccard rarest-K,
+    * containment prefix), whose doc-keyed window exchanges are the
+    * tiebreak that decides what the df-cap drops — so the capped
+    * candidate SELECTION is bit-identical to the string-keyed
+    * pipeline. xxhash64 is codegen'd and ~free (an md5+conv 60-bit
+    * variant measured +0.15 s per postings pass at sf0.1, a regression
+    * on the very rows this targets — see OPTIMIZATION_r19.md). The
+    * DuckDB oracle stays STRING-keyed: df per 64-bit key equals df per
+    * string absent an xxhash64 collision in the shingle vocabulary
+    * (~|vocab|²/2⁶⁵ — the same documented accepted-risk class as
+    * DupSpans' xxhash64 shingle identity and collapseExact's md5 text
+    * identity), and every SF the driver oracles verifies the outputs
+    * bit-identical. */
+  private def shingleKey = xxhash64(col("sh"))
   private val DUCK_WORD_HASH =
     """CAST(list_sum(list_transform(generate_series(1, 8),
       |  i -> (CAST(strpos('0123456789abcdef', substring(md5(word), i, 1)) AS BIGINT) - 1)
@@ -324,23 +344,32 @@ object PipelineExtras extends org.apache.spark.internal.Logging {
       probe: DataFrame, cand: DataFrame, inter: DataFrame, result: DataFrame)
 
   private[graft] def containmentStagesUnique(docs: DataFrame): ContainStages = {
+    // shh: the 60-bit key (r19) — computed ONCE here, cached with the
+    // postings; the shared string shingling transform is untouched
     val sh = containShingles(docs)
+      .withColumn("shh", shingleKey)
       .cache() // consumed 4× (prefix source, candidate probe, recount both sides)
     dfCostGuard(sh, "q_dedup_containment") // r14 pre-flight (routing advice only)
+    // df per 60-bit key (r19): the window exchange repartitions the
+    // postings by an 8-byte long instead of the shingle string; the
+    // string column still rides this one exchange because the prefix
+    // window's ORDER BY (df, sh) tiebreak below needs it.
     val shDf = sh
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("shh"))))
       .cache() // consumed 2× (prefix, probe) — uncached, the df window
                // sort over the full postings ran twice (r18 opt round)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz")).cache()
+    // ORDER BY (df, sh) — the STRING tiebreak, bit-identical prefix
+    // selection to the string-keyed pipeline (see shingleKey)
     val prefix = shDf.join(sizes, "doc_id")
       .withColumn("_r", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))))
       .filter(col("_r") <= containPrefixSlots(col("sz"), NGRAM_CONTAIN_MIN))
-      .select(col("doc_id"), col("sh"))
+      .select(col("doc_id"), col("shh"))
     val probe = shDf.filter(col("df") <= NGRAM_POSTING_DF_CAP)
-      .select(col("doc_id"), col("sh"))
+      .select(col("doc_id"), col("shh"))
     val cand = prefix.as("a").join(probe.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") =!= col("b.doc_id"))
+        col("a.shh") === col("b.shh") && col("a.doc_id") =!= col("b.doc_id"))
       .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
       .distinct()
@@ -352,9 +381,13 @@ object PipelineExtras extends org.apache.spark.internal.Logging {
     // per candidate pair (tried: 3.4 s → 5.3+ s). The pairs × shingles
     // join rows are narrow and Σ_cand(sza+szb)-bounded, and the probe
     // side is df-capped, which is what bounds the volume at scale.
+    // r19: the recount joins key on shh — the recount has no ORDER-BY
+    // tiebreak exposure, so narrowing its join rows from (doc, string)
+    // to (doc, long) is selection-safe; the oracle recounts over the
+    // same per-doc-distinct-string frame keyed the same way.
     val inter = cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .join(sh.select(col("doc_id").as("doc_a"), col("shh")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shh")), Seq("doc_b", "shh"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
     val result = inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sa")), "doc_a")
@@ -400,14 +433,18 @@ object PipelineExtras extends org.apache.spark.internal.Logging {
       .select(col("doc_id"), explode(array_distinct(expr(
         "transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))")))
         .as("sh"))
+      // shh: the 60-bit key (r19) — all enumeration/recount joins below
+      // key on it; the string survives only into the rarest-K ORDER BY
+      .withColumn("shh", shingleKey)
       .cache() // consumed 4× (df, postings⋈df, recount both sides)
     dfCostGuard(sh, "q_dedup_ngram_jaccard") // r14 pre-flight (routing advice only)
-    // document frequency as ONE window pass: partitionBy(sh) shuffles
-    // the postings once, where the old groupBy(sh)+join-back shape
-    // shuffled them twice (aggregate, then re-join on the string key)
+    // document frequency as ONE window pass: partitionBy(shh) shuffles
+    // the postings once — by an 8-byte long key since r19 — where the
+    // old groupBy(sh)+join-back shape shuffled them twice (aggregate,
+    // then re-join on the string key)
     val shDf = sh
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
-      .cache()
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("shh"))))
+      .cache() // 3 concurrent readers (stats, rare, rarest-K)
     // ONE doc-stats aggregate carrying both the total shingle count
     // and the rare-posting count: replaces the round-2 sizes+rsizes
     // pair (two shuffles, and two extra left-join+fill(0) hops in the
@@ -415,11 +452,15 @@ object PipelineExtras extends org.apache.spark.internal.Logging {
     val stats = shDf.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("sz"),
         sum(when(col("df") <= NGRAM_DF_CUT, 1L).otherwise(0L)).as("rz"))
-      .cache() // consumed 3× (mostlyHot + both sides of the stats join)
+      .cache() // consumed 3× (mostlyHot + both sides of the stats join);
+               // NOT warmed: its build overlaps the rare self-join
+    // r19: the rare self-join — the row's dominant stage (1.2 M pair
+    // rows at sf0.1) — enumerates on the long key: 16 B shuffle rows
+    // and long equality instead of ~35 B rows hashing/comparing strings
     val rare = shDf.filter(col("df") <= NGRAM_DF_CUT)
-      .select(col("doc_id"), col("sh"))
+      .select(col("doc_id"), col("shh"))
     val interR = rare.as("a").join(rare.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        col("a.shh") === col("b.shh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter_r"))
     // (b): each doc's K globally-rarest shingles — restricted to docs
@@ -431,14 +472,17 @@ object PipelineExtras extends org.apache.spark.internal.Logging {
     // corpus with a healthy rare vocabulary.
     val mostlyHot = stats.filter(col("rz") < NGRAM_RAREST_K)
       .select(col("doc_id"))
+    // ORDER BY (df, sh) — the STRING tiebreak, so the capped rarest-K
+    // selection is bit-identical to the string-keyed pipeline (r19;
+    // see shingleKey); only the SELECTED keys leave as longs
     val rarestK = shDf.join(mostlyHot, "doc_id")
       .withColumn("_r", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))))
       .filter(col("_r") <= NGRAM_RAREST_K &&
         col("df") <= NGRAM_POSTING_DF_CAP) // r13 bounded-candidate cap
-      .select(col("doc_id"), col("sh"))
+      .select(col("doc_id"), col("shh"))
     val candRarest = rarestK.as("a").join(rarestK.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        col("a.shh") === col("b.shh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     // Union of both indexes with inter_r carried through = FULL OUTER
@@ -484,8 +528,12 @@ object PipelineExtras extends org.apache.spark.internal.Logging {
     // per-doc distinct); zero-intersection pairs now carry inter = 0
     // and are dropped by the ≥ threshold filter exactly as their
     // absence dropped them before.
+    // r19: sets of 60-bit keys — 8 B/element arrays instead of shingle
+    // strings; collect_set dedups the (collision-only) repeated key per
+    // doc, so size(array_intersect) counts DISTINCT common keys, the
+    // same quantity the oracle's DISTINCT-keyed recount join counts.
     val sets = sh.join(survIds, Seq("doc_id"), "left_semi")
-      .groupBy(col("doc_id")).agg(collect_set(col("sh")).as("shs"))
+      .groupBy(col("doc_id")).agg(collect_set(col("shh")).as("shs"))
       .cache() // feeds BOTH join legs below
     val exact = survivors
       .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("sha")), "doc_a")

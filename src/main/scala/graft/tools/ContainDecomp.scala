@@ -58,8 +58,9 @@ object ContainDecomp {
     val (probeN, probeSec) = timedCount(st.probe)
     // pre-distinct candidate volume: what the prefix⨝probe join
     // physically emits before the distinct collapses it
-    val preVol = st.prefix.groupBy(col("sh")).agg(count(lit(1)).as("pc"))
-      .join(st.probe.groupBy(col("sh")).agg(count(lit(1)).as("bc")), "sh")
+    // r19: the stage frames carry the 60-bit shingle key, not the string
+    val preVol = st.prefix.groupBy(col("shh")).agg(count(lit(1)).as("pc"))
+      .join(st.probe.groupBy(col("shh")).agg(count(lit(1)).as("bc")), "shh")
       .select(sum(col("pc") * col("bc"))).head().getLong(0)
     val (candN, candSec) = timedCount(st.cand)
     // recount join volume: Σ over candidate pairs of both docs' sizes

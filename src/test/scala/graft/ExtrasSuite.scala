@@ -1084,8 +1084,15 @@ class ExtrasSuite extends GraftSuite {
     val p = approxDf.queryExecution.executedPlan.toString
     assert(!p.contains("Expand"),
       s"approx profile must not need the multi-distinct expand:\n$p")
-    assert(plan(graft.api.Profiling.profile(orders)).contains("Expand"),
-      "premise: the exact mode does use the expand")
+    // r19 optimization round: the EXACT mode is Expand-free too — one
+    // single-distinct aggregate per column, unioned (a single distinct
+    // group plans as partial-agg-by-value + merge, never Expand)
+    assert(!plan(graft.api.Profiling.profile(orders)).contains("Expand"),
+      "exact mode must plan per-column single-distinct aggregates, not the multi-distinct expand")
+    assert(!plan(graft.api.Profiling.profileStats(
+        Tables.lineitem(spark, sf0001),
+        graft.queries.Analytics.PROFILE_STATS_COLS)).contains("Expand"),
+      "exact profileStats must plan per-column single-distinct aggregates, not the multi-distinct expand")
   }
 
   private def plan(df: org.apache.spark.sql.DataFrame): String =
