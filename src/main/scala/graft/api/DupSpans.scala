@@ -38,12 +38,12 @@ object DupSpans {
     *    the same guarantee class as the md5 exact-dup collapse — and
     *    a collision would only ever ADD a spurious marked position,
     *    never lose one.
-    *  - ONE shingle explode: occurrences group by fingerprint into a
-    *    collected list (groups are tiny — shingle multiplicity), the
-    *    ≥2-distinct-docs filter is per-group array logic, and marked
-    *    positions explode back out. The previous shape exploded the
-    *    corpus TWICE (once into the duplicate-filter aggregate, once
-    *    as the semi-join probe) — 2× the dominant cost for nothing.
+    *  - ONE shingle explode: the ≥2-distinct-docs filter runs as
+    *    window min/max(doc_id) over the fingerprint partition on the
+    *    exploded rows themselves (r19; previously a collect_list +
+    *    interpreted HOF filter + re-explode round-trip, and before
+    *    r12 a second corpus explode as a semi-join probe — each
+    *    measured slower than its successor, outputs identical).
     */
   def dupSpans(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     require(k >= 2, s"shingle width must be >= 2, got $k")
@@ -59,11 +59,23 @@ object DupSpans {
            |    struct(xxhash64(slice(ws, i, $k)) AS h1,
            |           xxhash64('graft-h2', slice(ws, i, $k)) AS h2) AS h))""".stripMargin)).as("e"))
       .select(col("doc_id"), col("e.pos").as("pos"), col("e.h").as("h"))
-    val marked = sh.groupBy("h")
-      .agg(collect_list(struct(col("doc_id"), col("pos"))).as("occs"))
-      .filter(expr("size(array_distinct(transform(occs, o -> o.doc_id))) >= 2"))
-      .select(explode(col("occs")).as("o"))
-      .select(col("o.doc_id").as("doc_id"), col("o.pos").as("pos"))
+    // ≥2-distinct-docs filter as window min/max over the fingerprint
+    // (r19 optimization round): min(doc_id) ≠ max(doc_id) over the h
+    // partition ⟺ the shingle occurs in ≥ 2 documents, and filtering
+    // the ORIGINAL rows keeps exactly the multiset the old
+    // collect_list(occs) → interpreted-HOF distinct filter → explode
+    // round-trip re-emitted ((doc_id, pos) is unique in `sh` — one
+    // shingle per position). Same ONE shuffle by h; the per-group
+    // ObjectHashAggregate list build + CodegenFallback filter +
+    // re-explode are replaced by two codegen'd window aggregates
+    // (measured at sf0.1: marked stage 1.70 → 1.25 s noop,
+    // OPTIMIZATION_r19.md).
+    val hw = Window.partitionBy("h")
+    val marked = sh
+      .withColumn("d1", min(col("doc_id")).over(hw))
+      .withColumn("d2", max(col("doc_id")).over(hw))
+      .filter(col("d1") =!= col("d2"))
+      .select(col("doc_id"), col("pos"))
     val w = Window.partitionBy("doc_id").orderBy("pos")
     marked
       .withColumn("prev", lag("pos", 1).over(w))

@@ -281,15 +281,65 @@ object NearDupStream {
     * estimator; DISTINCT pairs with the estimate. The stream's
     * deduped output on the same corpus equals this exactly
     * (StreamingSuite). */
+  /** The batch twin of [[signatures]]: (id, sig0..sig11) columns via
+    * explode + one codegen'd 12-min HashAggregate over the per-doc
+    * DISTINCT shingle hashes — bit-identical values (min over the
+    * same h multiset = array_min over `hs`; ExtrasSuite pins the two
+    * paths equal row-for-row). */
+  private[graft] def batchSignatures(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val sh = df
+      .select(col(idCol).cast("long").as("id"), split(col(textCol), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("id"), explode(array_distinct(expr(
+        "transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))")))
+        .as("s"))
+      .select(col("id"),
+        expr("CAST(conv(substring(md5(s), 1, 7), 16, 10) AS BIGINT)").as("h"))
+    val sigCols = MinHashDf.A.indices.map(i =>
+      min(expr(s"(${MinHashDf.A(i)}L * h + ${MinHashDf.B(i)}L) % ${MinHashDf.P}L"))
+        .as(s"sig$i"))
+    sh.groupBy(col("id")).agg(sigCols.head, sigCols.tail: _*)
+  }
+
   def nearDupBatch(df: DataFrame, idCol: String, textCol: String,
       minSim: Double = 0.5): DataFrame = {
-    val b = bandRows(signatures(df, idCol, textCol))
+    // r19 optimization round: the batch dual now computes the SAME
+    // signatures through explode + groupBy instead of the streaming
+    // path's per-row HOF projection. The HOF chain (transform +
+    // array_min ×12 + zip_with estimator) is CodegenFallback —
+    // interpreted expression trees allocating an array per signature
+    // per doc — and the band key was a STRING concat. This twin is
+    // whole-stage-codegen end to end: one explode of the per-doc
+    // DISTINCT shingles (array_distinct before explode, so the h
+    // multiset per doc is exactly the HOF path's `hs`), one codegen'd
+    // HashAggregate with 12 min() columns (partial-merged map-side —
+    // also the 100 TB shape, where per-row arrays don't partial-agg),
+    // band self-join on (band, v1, v2) numeric columns instead of the
+    // concat string, and the estimator as a Σ CASE WHEN over the 12
+    // signature columns — the exact eqSum shape the DuckDB oracle
+    // runs. Value identity: min over the same h multiset = array_min
+    // over `hs`; round(k/12.0, 6) computes the same division on the
+    // same integers. StreamingSuite pins stream == batch on every
+    // corpus, and ExtrasSuite pins the two signature paths equal
+    // row-for-row (r19 focused test).
+    val sigs = batchSignatures(df, idCol, textCol)
+    val bandStructs = (0 until MinHashDf.NUM_BANDS).map(bi =>
+      s"struct($bi AS band, sig${2 * bi} AS v1, sig${2 * bi + 1} AS v2)")
+    val b = sigs.select(
+      (col("id") +: MinHashDf.A.indices.map(i => col(s"sig$i"))) :+
+        explode(expr(s"array(${bandStructs.mkString(", ")})")).as("bk"): _*)
+      .select((col("id") +: MinHashDf.A.indices.map(i => col(s"sig$i"))) ++
+        Seq(col("bk.band").as("band"), col("bk.v1").as("v1"), col("bk.v2").as("v2")): _*)
+      .cache() // both sides of the self-join below
+    val eqSum = MinHashDf.A.indices.map(i =>
+      when(col(s"x.sig$i") === col(s"y.sig$i"), 1).otherwise(0))
+      .reduce(_ + _)
     b.as("x").join(b.as("y"),
-        col("x.key") === col("y.key") && col("x.id") > col("y.id"))
+        col("x.band") === col("y.band") && col("x.v1") === col("y.v1") &&
+          col("x.v2") === col("y.v2") && col("x.id") > col("y.id"))
       .select(col("x.id").as("doc_id"), col("y.id").as("matched_id"),
-        round(expr(
-          s"size(filter(zip_with(x.sigs, y.sigs, (a, b) -> a = b), v -> v)) " +
-            s"/ CAST($NUM_HASHES AS DOUBLE)"), 6).as("est_sim"))
+        round(eqSum.cast("double") / lit(NUM_HASHES.toDouble), 6).as("est_sim"))
       .filter(col("est_sim") >= minSim)
       .distinct()
       .orderBy("doc_id", "matched_id")

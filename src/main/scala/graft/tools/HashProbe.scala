@@ -135,17 +135,37 @@ object HashProbe {
     }
 
     case class V(name: String, mk: () => DataFrame)
-    val variants = Seq(
+    val allVariants = Seq(
       V("jac_old", () => jaccardOld()),
       V("jac_new", () => graft.SparkEntry.queries("q_dedup_ngram_jaccard")(spark, sfDir)),
       V("con_old", () => containOld()),
       V("con_new", () => graft.SparkEntry.queries("q_dedup_containment")(spark, sfDir)))
+    // optional 3rd arg: comma-separated variant-name filter
+    val variants = args.lift(2) match {
+      case Some(f) => val names = f.split(",").map(_.trim).toSet
+        allVariants.filter(v => names(v.name))
+      case None => allVariants
+    }
     if (reps == 0) {
       // digest mode: SUM of per-row 60-bit md5 prefixes over the
       // canonical comma-joined row text — order-invariant, and both
       // variants render in the SAME JVM so string rendering of the
       // double score is identical by construction
+      // a stage listener totals shuffle bytes written + executor task
+      // time per variant (at-scale evidence the digest alone can't show)
+      val shufBytes = new java.util.concurrent.atomic.AtomicLong
+      val taskMs = new java.util.concurrent.atomic.AtomicLong
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          if (sc.stageInfo.taskMetrics != null) {
+            shufBytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+            taskMs.addAndGet(sc.stageInfo.taskMetrics.executorRunTime)
+          }
+      })
       variants.foreach { v =>
+        shufBytes.set(0L); taskMs.set(0L)
+        val t0 = System.nanoTime()
         val df = v.mk()
         val rowStr = concat_ws(",", df.columns.sorted.map(c =>
           coalesce(col(c).cast("string"), lit(""))): _*)
@@ -153,8 +173,11 @@ object HashProbe {
           .select(count(lit(1)).as("n"),
             sum(expr("CAST(conv(substring(md5(s), 1, 15), 16, 10) AS DECIMAL(38,0))")).as("d"))
           .head()
-        println(s"[digest] ${v.name} rows=${out.getLong(0)} digest=${out.get(1)}")
+        val wall = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
+        Thread.sleep(300) // let stage-completed events drain
+        println(f"[digest] ${v.name} rows=${out.getLong(0)} digest=${out.get(1)} " +
+          f"wall=$wall%.1fs shuffleWriteMB=${shufBytes.get / 1e6}%.1f taskTimeSec=${taskMs.get / 1e3}%.1f")
       }
       spark.stop(); return
     }

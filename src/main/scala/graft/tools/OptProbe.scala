@@ -254,6 +254,134 @@ object OptProbe {
             org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))))
         }
 
+      case "dupspans" =>
+        // r19: q_dedup_substring decomposition — where does the row's
+        // time go, and does the marked-positions stage beat its
+        // collect_list + interpreted-HOF-filter + re-explode shape
+        // when expressed as window min/max (codegen aggregates, one
+        // shuffle, no ObjectHashAggregate)?
+        val k = graft.queries.Linkage.SUB_K
+        def sh0 = {
+          val ws = graft.Tables.documents(spark, sfDir)
+            .select(col("doc_id"), split(col("text"), " ").as("ws"))
+            .filter(size(col("ws")) >= k)
+          ws.select(col("doc_id"), explode(expr(
+              s"""transform(sequence(1, size(ws) - ${k - 1}),
+                 |  i -> struct(i AS pos,
+                 |    struct(xxhash64(slice(ws, i, $k)) AS h1,
+                 |           xxhash64('graft-h2', slice(ws, i, $k)) AS h2) AS h))""".stripMargin)).as("e"))
+            .select(col("doc_id"), col("e.pos").as("pos"), col("e.h").as("h"))
+        }
+        timeNoop("explode_hash_only")(sh0)
+        timeNoop("marked_collect_shipped") {
+          sh0.groupBy("h")
+            .agg(collect_list(struct(col("doc_id"), col("pos"))).as("occs"))
+            .filter(expr("size(array_distinct(transform(occs, o -> o.doc_id))) >= 2"))
+            .select(explode(col("occs")).as("o"))
+            .select(col("o.doc_id").as("doc_id"), col("o.pos").as("pos"))
+        }
+        timeNoop("marked_window_minmax") {
+          val w = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+          sh0.withColumn("d1", min(col("doc_id")).over(w))
+            .withColumn("d2", max(col("doc_id")).over(w))
+            .filter(col("d1") =!= col("d2"))
+            .select(col("doc_id"), col("pos"))
+        }
+        time("dupspans_shipped") {
+          graft.SparkEntry.queries("q_dedup_substring")(spark, sfDir)
+        }
+
+      case "dupclean" =>
+        // r19: is q_text_dedup_clean's regression the window-marked
+        // dupSpans or noise? Interleave shipped vs an inline
+        // collect_list reconstruction of the old marked stage.
+        val k = graft.queries.Linkage.SUB_K
+        def oldSpans = {
+          val ws = graft.Tables.documents(spark, sfDir)
+            .select(col("doc_id"), split(col("text"), " ").as("ws"))
+            .filter(size(col("ws")) >= k)
+          val sh = ws.select(col("doc_id"), explode(expr(
+              s"""transform(sequence(1, size(ws) - ${k - 1}),
+                 |  i -> struct(i AS pos,
+                 |    struct(xxhash64(slice(ws, i, $k)) AS h1,
+                 |           xxhash64('graft-h2', slice(ws, i, $k)) AS h2) AS h))""".stripMargin)).as("e"))
+            .select(col("doc_id"), col("e.pos").as("pos"), col("e.h").as("h"))
+          val marked = sh.groupBy("h")
+            .agg(collect_list(struct(col("doc_id"), col("pos"))).as("occs"))
+            .filter(expr("size(array_distinct(transform(occs, o -> o.doc_id))) >= 2"))
+            .select(explode(col("occs")).as("o"))
+            .select(col("o.doc_id").as("doc_id"), col("o.pos").as("pos"))
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("doc_id").orderBy("pos")
+          marked
+            .withColumn("prev", lag("pos", 1).over(w))
+            .withColumn("brk",
+              when(col("prev").isNull || col("pos") > col("prev") + k, 1).otherwise(0))
+            .withColumn("island", sum("brk").over(w.rowsBetween(
+              org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.currentRow)))
+            .groupBy("doc_id", "island")
+            .agg(min("pos").cast("int").as("span_start"),
+              (max("pos") + (k - 1)).cast("int").as("span_end"),
+              count(lit(1)).as("n_shingles"))
+            .select("doc_id", "span_start", "span_end", "n_shingles")
+        }
+        def cleanOld = {
+          val docs = graft.Tables.documents(spark, sfDir)
+          val spans = oldSpans.groupBy("doc_id")
+            .agg(collect_list(struct(col("span_start").as("s"), col("span_end").as("e")))
+              .as("spans"))
+          docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+            .join(spans, Seq("doc_id"), "left")
+            .select(col("doc_id"), col("ws"),
+              expr("""filter(sequence(1, size(ws)),
+                     |  i -> spans IS NULL OR NOT exists(spans, s -> i >= s.s AND i <= s.e))
+                     |""".stripMargin).as("keep"))
+            .select(col("doc_id"),
+              size(col("ws")).as("n_words"),
+              (size(col("ws")) - size(col("keep"))).as("n_removed"),
+              expr("array_join(transform(keep, i -> element_at(ws, i)), ' ')").as("clean_text"))
+            .orderBy("doc_id")
+        }
+        for (_ <- 1 to reps) {
+          Seq("clean_shipped" -> (() => graft.SparkEntry.queries("q_text_dedup_clean")(spark, sfDir)),
+              "clean_old" -> (() => cleanOld),
+              "spans_shipped" -> (() => graft.SparkEntry.queries("q_dedup_substring")(spark, sfDir)),
+              "spans_old" -> (() => oldSpans.orderBy("doc_id", "span_start"))).foreach {
+            case (n, mk) =>
+              val t0 = System.nanoTime()
+              val c = mk().count()
+              println(f"[ab] $n%-14s ${(System.nanoTime() - t0) / 1e9}%6.3f rows=$c")
+              spark.catalog.clearCache()
+          }
+        }
+
+      case "neardup" =>
+        // r19: batch-dual comparison — shipped (explode+groupBy
+        // codegen twin) vs the pre-r19 HOF/string-key shape inlined
+        time("neardup_shipped") {
+          graft.SparkEntry.queries("q_stream_neardup")(spark, sfDir)
+        }
+        time("neardup_hof_old") {
+          val b = {
+            val sigs = graft.api.NearDupStream.signatures(
+              graft.Tables.documents(spark, sfDir), "doc_id", "text")
+            val keys = (0 until graft.queries.MinHashDf.NUM_BANDS).map(bi =>
+              s"concat('$bi', ':', sigs[${2 * bi}], ':', sigs[${2 * bi + 1}])")
+            sigs.select(col("id"), col("sigs"),
+              explode(expr(keys.mkString("array(", ", ", ")"))).as("key"))
+          }
+          b.as("x").join(b.as("y"),
+              col("x.key") === col("y.key") && col("x.id") > col("y.id"))
+            .select(col("x.id").as("doc_id"), col("y.id").as("matched_id"),
+              round(expr(
+                s"size(filter(zip_with(x.sigs, y.sigs, (a, b) -> a = b), v -> v)) " +
+                  s"/ CAST(${graft.api.NearDupStream.NUM_HASHES} AS DOUBLE)"), 6).as("est_sim"))
+            .filter(col("est_sim") >= 0.5)
+            .distinct()
+            .orderBy("doc_id", "matched_id")
+        }
+
       case "stages" =>
         val jobs = new java.util.concurrent.atomic.AtomicInteger
         val stages = new java.util.concurrent.atomic.AtomicInteger

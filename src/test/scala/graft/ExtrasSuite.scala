@@ -1366,4 +1366,21 @@ class ExtrasSuite extends GraftSuite {
     assert(scores.zip(scores.tail).forall { case (x, y) => x >= y }, "scores must descend")
     assert(scores.head > 0.0, "fixture vocabulary contains the query terms")
   }
+
+  test("NearDupStream: batch explode+groupBy signatures == streaming HOF signatures, row for row (r19)") {
+    // the r19 codegen twin must compute bit-identical minhash
+    // signatures to the per-row HOF projection the streaming path
+    // keeps (q_stream_neardup's stream==batch pin depends on it)
+    val docs = Tables.documents(spark, sf0001)
+    val hof = graft.api.NearDupStream.signatures(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    val batch = graft.api.NearDupStream.batchSignatures(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (1 to graft.api.NearDupStream.NUM_HASHES).map(i => r.getLong(i)).toVector).toMap
+    assert(batch.keySet == hof.keySet, "same doc set (>= 3 words)")
+    assert(hof.nonEmpty)
+    hof.foreach { case (id, sigs) =>
+      assert(batch(id) == sigs, s"doc $id: batch sigs ${batch(id)} != HOF sigs $sigs")
+    }
+  }
 }

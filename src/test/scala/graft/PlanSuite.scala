@@ -451,10 +451,16 @@ class PlanSuite extends GraftSuite {
     val p = plan(queries.Linkage.qDedupSubstring(spark, sf0001))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"duplicate-passage detection must never go all-pairs:\n$p")
-    // the island merge must be doc-partitioned (no global window):
-    // every window spec in the plan names doc_id as its partition key
+    // every window spec must partition by a sharding key — doc_id for
+    // the island merge, the shingle fingerprint h for the r19
+    // marked-positions min/max (which replaced the collect_list +
+    // interpreted-HOF filter + re-explode round-trip). No GLOBAL
+    // (unpartitioned) window may appear at any corpus size.
     val specs = "windowspecdefinition\\(([^,]*)".r.findAllMatchIn(p).map(_.group(1)).toSeq
-    assert(specs.nonEmpty && specs.forall(_.contains("doc_id")),
+    assert(specs.nonEmpty &&
+      specs.forall(s => s.contains("doc_id") || s.startsWith("h#")),
+      s"windows must partition by doc_id (islands) or h (marked), got specs=$specs in:\n$p")
+    assert(specs.exists(_.contains("doc_id")),
       s"island windows must partition by doc_id, got specs=$specs in:\n$p")
   }
 
