@@ -31,7 +31,19 @@ object Bench {
       // conf is scale-neutral: AQE coalesces toward
       // advisoryPartitionSizeInBytes, so TB-scale caches keep their
       // parallelism; only near-empty partitions collapse.
-      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      // SPARK_GRAFT_CACHE_AQE: measurement knob for A/B probes ONLY
+      // (r19, VERDICT r18 item 7 — quantify this conf at g1). Unset =
+      // "true" = the shipped r18 behavior; the driver sets nothing,
+      // so its runs are byte-identical to r18's.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        sys.env.getOrElse("SPARK_GRAFT_CACHE_AQE", "true"))
+      // SPARK_GRAFT_EXTRA_SQLCONF="k=v;k=v": measurement passthrough
+      // for conf A/B probes (r19) — applied at builder time so static
+      // confs work too. Unset (the driver sets nothing) = zero effect.
+      .config(sys.env.get("SPARK_GRAFT_EXTRA_SQLCONF").toSeq
+        .flatMap(_.split(";")).map { kv =>
+          val Array(k, v) = kv.split("=", 2); k -> v
+        }.toMap)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // uniform timestamp flavor for the whole session (see Verify)

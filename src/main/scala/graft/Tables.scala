@@ -34,6 +34,11 @@ object Tables {
 
   private def read(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
+    // SPARK_GRAFT_NO_SCHEMA_MEMO: measurement knob for A/B probes ONLY
+    // (r19, VERDICT r18 item 7 — quantify the memo at g1). Unset =
+    // memo on = the shipped r18 behavior.
+    if (sys.env.contains("SPARK_GRAFT_NO_SCHEMA_MEMO"))
+      return spark.read.parquet(path)
     val key = path +
       "|" + spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") +
       "|" + spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled", "true")

@@ -344,13 +344,13 @@ object PipelineExtras extends org.apache.spark.internal.Logging {
       probe: DataFrame, cand: DataFrame, inter: DataFrame, result: DataFrame)
 
   private[graft] def containmentStagesUnique(docs: DataFrame): ContainStages = {
-    // shh: the 60-bit key (r19) — computed ONCE here, cached with the
+    // shh: the 64-bit xxhash64 key (r19) — computed ONCE here, cached with the
     // postings; the shared string shingling transform is untouched
     val sh = containShingles(docs)
       .withColumn("shh", shingleKey)
       .cache() // consumed 4× (prefix source, candidate probe, recount both sides)
     dfCostGuard(sh, "q_dedup_containment") // r14 pre-flight (routing advice only)
-    // df per 60-bit key (r19): the window exchange repartitions the
+    // df per 64-bit key (r19): the window exchange repartitions the
     // postings by an 8-byte long instead of the shingle string; the
     // string column still rides this one exchange because the prefix
     // window's ORDER BY (df, sh) tiebreak below needs it.
@@ -433,7 +433,7 @@ object PipelineExtras extends org.apache.spark.internal.Logging {
       .select(col("doc_id"), explode(array_distinct(expr(
         "transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))")))
         .as("sh"))
-      // shh: the 60-bit key (r19) — all enumeration/recount joins below
+      // shh: the 64-bit xxhash64 key (r19) — all enumeration/recount joins below
       // key on it; the string survives only into the rarest-K ORDER BY
       .withColumn("shh", shingleKey)
       .cache() // consumed 4× (df, postings⋈df, recount both sides)
@@ -528,7 +528,7 @@ object PipelineExtras extends org.apache.spark.internal.Logging {
     // per-doc distinct); zero-intersection pairs now carry inter = 0
     // and are dropped by the ≥ threshold filter exactly as their
     // absence dropped them before.
-    // r19: sets of 60-bit keys — 8 B/element arrays instead of shingle
+    // r19: sets of 64-bit keys — 8 B/element arrays instead of shingle
     // strings; collect_set dedups the (collision-only) repeated key per
     // doc, so size(array_intersect) counts DISTINCT common keys, the
     // same quantity the oracle's DISTINCT-keyed recount join counts.
