@@ -42,6 +42,37 @@ object PipelineExtras extends org.apache.spark.internal.Logging {
     * identity), and every SF the driver oracles verifies the outputs
     * bit-identical. */
   private def shingleKey = xxhash64(col("sh"))
+
+  /** Attaches `df` (document frequency per 64-bit shingle key) to
+    * every posting row. Two value-identical shapes behind an internal
+    * probe conf (`spark.graft.ngram.dfShape`, default the shipped
+    * shape; nothing in Bench/Verify sets it):
+    *  - "window": one count-over-partition window — the full postings
+    *    (shingle string included, the ORDER-BY sites need it) cross
+    *    one shh exchange, and the cached result comes out
+    *    hash-partitioned by shh, which the downstream shh self-joins
+    *    can reuse under cached-plan AQE.
+    *  - "agg": a compact (shh, df) table via groupBy — partial
+    *    map-side aggregation shuffles only distinct keys — joined
+    *    back (broadcast under AQE when the vocabulary fits, the same
+    *    shh-keyed shuffle join as the window beyond that).
+    * Inner join loses no rows (every posting's shh is in the
+    * aggregate by construction); df values are identical counts.
+    * A third probe value, "windownc", keeps the window shape but
+    * skips the cache: AQE's ReuseExchange dedups the identical shh
+    * exchange across the consumers, each of which re-runs only the
+    * post-exchange window compute — no cold-cache race at all.
+    * The helper owns the cache decision, so call sites do not add
+    * their own .cache(). */
+  private def withShingleDf(sh: DataFrame): DataFrame =
+    sh.sparkSession.conf.getOption("spark.graft.ngram.dfShape") match {
+      case Some("agg") =>
+        sh.join(sh.groupBy(col("shh")).agg(count(lit(1)).as("df")), "shh").cache()
+      case Some("windownc") =>
+        sh.withColumn("df", count(lit(1)).over(Window.partitionBy(col("shh"))))
+      case _ =>
+        sh.withColumn("df", count(lit(1)).over(Window.partitionBy(col("shh")))).cache()
+    }
   private val DUCK_WORD_HASH =
     """CAST(list_sum(list_transform(generate_series(1, 8),
       |  i -> (CAST(strpos('0123456789abcdef', substring(md5(word), i, 1)) AS BIGINT) - 1)
@@ -267,10 +298,13 @@ object PipelineExtras extends org.apache.spark.internal.Logging {
     val d0 = docs
       .filter(size(split(col("text"), " ")) >= 3)
       .select(col("doc_id"), col("text"))
-    val withUid = d0
+    val withUid0 = d0
       .select(col("doc_id"), md5(col("text")).as("_tk"))
       .withColumn("uid", min(col("doc_id")).over(Window.partitionBy(col("_tk"))))
       .select(col("doc_id"), col("uid"))
+    val withUid = if (docs.sparkSession.conf
+        .getOption("spark.graft.ngram.collapseCache").contains("off")) withUid0
+    else withUid0
       // cache(), not localCheckpoint(lazy) (r18 optimization round,
       // reversing the ADVICE-r13 shape): the lazy checkpoint creates a
       // fresh RDD per invocation, which (a) poisoned dfCostGuard's
@@ -284,6 +318,9 @@ object PipelineExtras extends org.apache.spark.internal.Logging {
       // dedups by canonical plan — the "ever-growing cache" the r13
       // advice feared does not occur; the entry is memb-sized, and
       // sessions that want it gone still get it via clearCache()).
+      // Probe conf spark.graft.ngram.collapseCache=off skips the cache
+      // (ReuseExchange then dedups the md5-window shuffle across the 5
+      // consumers); default is the shipped cached shape.
       .cache()
     val urep = d0.join(withUid.filter(col("doc_id") === col("uid"))
         .select(col("doc_id")), Seq("doc_id"), "left_semi")
@@ -354,10 +391,8 @@ object PipelineExtras extends org.apache.spark.internal.Logging {
     // postings by an 8-byte long instead of the shingle string; the
     // string column still rides this one exchange because the prefix
     // window's ORDER BY (df, sh) tiebreak below needs it.
-    val shDf = sh
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("shh"))))
-      .cache() // consumed 2× (prefix, probe) — uncached, the df window
-               // sort over the full postings ran twice (r18 opt round)
+    // consumed 2× (prefix, probe) — cache decision inside the helper
+    val shDf = withShingleDf(sh)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz")).cache()
     // ORDER BY (df, sh) — the STRING tiebreak, bit-identical prefix
     // selection to the string-keyed pipeline (see shingleKey)
@@ -442,9 +477,9 @@ object PipelineExtras extends org.apache.spark.internal.Logging {
     // the postings once — by an 8-byte long key since r19 — where the
     // old groupBy(sh)+join-back shape shuffled them twice (aggregate,
     // then re-join on the string key)
-    val shDf = sh
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("shh"))))
-      .cache() // 3 concurrent readers (stats, rare, rarest-K)
+    // 3 concurrent readers (stats, rare, rarest-K) — cache decision
+    // inside the helper
+    val shDf = withShingleDf(sh)
     // ONE doc-stats aggregate carrying both the total shingle count
     // and the rare-posting count: replaces the round-2 sizes+rsizes
     // pair (two shuffles, and two extra left-join+fill(0) hops in the
@@ -1295,6 +1330,13 @@ object PipelineExtras extends org.apache.spark.internal.Logging {
     val sh = q.select(col("doc_id"), explode(expr(
       "transform(sequence(0, size(ws) - 5), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3], ws[i+4]))"))
       .as("sh"))
+    // keep-from-distinct was tried in r19 session 2 (min is
+    // duplicate-insensitive, so aggregating over sh.distinct() would
+    // let keep share the decon legs' distinct subtree) — Catalyst's
+    // RemoveRedundantAggregates rewrites that shape straight back to
+    // this one (plans byte-identical, timing identical, outputs
+    // identical; OptProbe `curate`). The raw-sh aggregate is the
+    // optimizer's own normal form.
     val keep = sh.groupBy(col("doc_id")).agg(min(md5(col("sh"))).as("fingerprint"))
       .groupBy(col("fingerprint")).agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")

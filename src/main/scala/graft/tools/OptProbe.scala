@@ -425,6 +425,76 @@ object OptProbe {
           measure(q)(graft.SparkEntry.queries(q)(spark, sfDir))
         }
 
+      case "dfagg" =>
+        // r19 session 2: df-per-shingle as window (shipped) vs
+        // groupBy+join-back, interleaved in one JVM so box drift hits
+        // both variants equally
+        for (r <- 1 to reps) {
+          Seq(
+            ("window", "on"), ("windownc", "on"),
+            ("window", "off"), ("windownc", "off"),
+            ("agg", "on")).foreach { case (shape, cc) =>
+            spark.conf.set("spark.graft.ngram.dfShape", shape)
+            spark.conf.set("spark.graft.ngram.collapseCache", cc)
+            Seq(
+              "jaccard" -> "q_dedup_ngram_jaccard",
+              "containment" -> "q_dedup_containment").foreach { case (tag, q) =>
+              val t0 = System.nanoTime()
+              val n = graft.SparkEntry.queries(q)(spark, sfDir).count()
+              println(f"[ab] ${tag}_${shape}_cc$cc%-22s rep=$r ${(System.nanoTime() - t0) / 1e9}%6.3f rows=$n")
+              spark.catalog.clearCache()
+            }
+          }
+        }
+        spark.conf.unset("spark.graft.ngram.dfShape")
+        spark.conf.unset("spark.graft.ngram.collapseCache")
+
+      case "curate" =>
+        // r19 session 2: keep-from-distinct rewrite vs the old shape
+        // (keep aggregated from the raw explode — 3 explode passes)
+        def oldCurate: DataFrame = {
+          val q = graft.Tables.documents(spark, sfDir)
+            .select(col("doc_id"), col("lang"), col("n_chars"), split(col("text"), " ").as("ws"))
+            .filter(size(col("ws")) >= 40)
+          val sh = q.select(col("doc_id"), explode(expr(
+            "transform(sequence(0, size(ws) - 5), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3], ws[i+4]))"))
+            .as("sh"))
+          val keep = sh.groupBy(col("doc_id")).agg(min(md5(col("sh"))).as("fingerprint"))
+            .groupBy(col("fingerprint")).agg(min(col("doc_id")).as("doc_id"))
+            .select("doc_id")
+          val shd = sh.distinct()
+          val flagged = shd.filter(col("doc_id") >= 20)
+            .join(broadcast(shd.filter(col("doc_id") < 20)
+              .select(col("doc_id").as("ev"), col("sh"))), "sh")
+            .groupBy(col("doc_id"), col("ev")).agg(count(lit(1)).as("n_shared"))
+            .filter(col("n_shared") >= graft.queries.PipelineExtras.DECON_MIN_SHARED)
+            .select("doc_id").distinct()
+          q.join(keep, "doc_id")
+            .filter(col("doc_id") >= 20)
+            .join(flagged, Seq("doc_id"), "left_anti")
+            .groupBy(col("lang"))
+            .agg(count(lit(1)).as("n_docs"),
+              sum(size(col("ws"))).cast("bigint").as("n_tokens"),
+              round(avg(col("n_chars").cast("double")), 6).as("avg_chars"))
+            .orderBy("lang")
+        }
+        // one-time output identity check, then interleaved timing
+        val shippedRows = graft.SparkEntry.queries("q_curate_flagship")(spark, sfDir)
+          .collect().map(_.toString).sorted.toSeq
+        val oldRows = oldCurate.collect().map(_.toString).sorted.toSeq
+        println(s"[ab] curate identity: ${if (shippedRows == oldRows) "IDENTICAL" else "DIFFER"} " +
+          s"(${shippedRows.size} rows)")
+        spark.catalog.clearCache()
+        for (r <- 1 to reps) {
+          Seq("curate_shipped" -> (() => graft.SparkEntry.queries("q_curate_flagship")(spark, sfDir)),
+              "curate_old" -> (() => oldCurate)).foreach { case (n, mk) =>
+            val t0 = System.nanoTime()
+            val c = mk().count()
+            println(f"[ab] $n%-16s rep=$r ${(System.nanoTime() - t0) / 1e9}%6.3f rows=$c")
+            spark.catalog.clearCache()
+          }
+        }
+
       case "splits" =>
         def run(tag: String): Unit = {
           time(s"jaccard_$tag") {
