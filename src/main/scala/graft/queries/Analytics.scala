@@ -378,9 +378,16 @@ object Analytics {
     var pr = nodes.crossJoin(broadcast(cnt))
       .select(col("node"), (lit(1.0) / col("n")).as("pr"))
     for (_ <- 1 to 5) {
-      val contrib = edges.join(pr, col("src") === col("node"))
-        .join(deg, "src")
-        .groupBy(col("dst")).agg(sum(col("pr") / col("deg")).as("c"))
+      // pre-divide per NODE (r19): w = pr/deg is a node-sized join +
+      // one division per node; the old shape joined deg at EDGE
+      // granularity and divided per edge row. Each edge's addend is
+      // the same pr(src)/deg(src) double either way (same division,
+      // same operands — only the summation order can move, the
+      // already-documented ~1e-15 class round(…,8) sits far above).
+      val prDeg = pr.join(deg, col("node") === col("src"))
+        .select(col("node"), (col("pr") / col("deg")).as("w"))
+      val contrib = edges.join(prDeg, col("src") === col("node"))
+        .groupBy(col("dst")).agg(sum(col("w")).as("c"))
       pr = nodes.join(contrib, col("node") === col("dst"), "left")
         .crossJoin(broadcast(cnt))
         .select(col("node"),

@@ -495,6 +495,48 @@ object OptProbe {
           }
         }
 
+      case "pagerank" =>
+        // r19 session 2: node-sized pre-divide (shipped) vs the old
+        // edge-granularity deg join, interleaved
+        def oldPagerank: DataFrame = {
+          val li = graft.Tables.lineitem(spark, sfDir)
+            .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          val edges = li.as("a").join(li.as("b"),
+              col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+            .select(col("a.pk").as("src"), col("b.pk").as("dst")).distinct()
+          val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+          val nodes = edges.select(col("src").as("node")).distinct()
+          val cnt = nodes.agg(count(lit(1)).as("n"))
+          var pr = nodes.crossJoin(broadcast(cnt))
+            .select(col("node"), (lit(1.0) / col("n")).as("pr"))
+          for (_ <- 1 to 5) {
+            val contrib = edges.join(pr, col("src") === col("node"))
+              .join(deg, "src")
+              .groupBy(col("dst")).agg(sum(col("pr") / col("deg")).as("c"))
+            pr = nodes.join(contrib, col("node") === col("dst"), "left")
+              .crossJoin(broadcast(cnt))
+              .select(col("node"),
+                (lit(0.15) / col("n") + lit(0.85) * coalesce(col("c"), lit(0.0))).as("pr"))
+          }
+          pr.select(col("node").as("part_key"), round(col("pr"), 8).as("pagerank"))
+            .orderBy("part_key")
+        }
+        val newRows = graft.SparkEntry.queries("q_graph_pagerank")(spark, sfDir)
+          .collect().map(_.toString).toSeq
+        val oldRows = oldPagerank.collect().map(_.toString).toSeq
+        println(s"[ab] pagerank identity: ${if (newRows == oldRows) "IDENTICAL" else "DIFFER"} " +
+          s"(${newRows.size} rows)")
+        spark.catalog.clearCache()
+        for (r <- 1 to reps) {
+          Seq("pagerank_shipped" -> (() => graft.SparkEntry.queries("q_graph_pagerank")(spark, sfDir)),
+              "pagerank_old" -> (() => oldPagerank)).foreach { case (n, mk) =>
+            val t0 = System.nanoTime()
+            val c = mk().count()
+            println(f"[ab] $n%-18s rep=$r ${(System.nanoTime() - t0) / 1e9}%6.3f rows=$c")
+            spark.catalog.clearCache()
+          }
+        }
+
       case "splits" =>
         def run(tag: String): Unit = {
           time(s"jaccard_$tag") {
