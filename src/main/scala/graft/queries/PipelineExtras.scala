@@ -420,6 +420,15 @@ object PipelineExtras extends org.apache.spark.internal.Logging {
     // tiebreak exposure, so narrowing its join rows from (doc, string)
     // to (doc, long) is selection-safe; the oracle recounts over the
     // same per-doc-distinct-string frame keyed the same way.
+    // Size-oriented recount (enumerate only the SMALLER doc's
+    // shingles per pair — Σ min(sa,sb) instead of Σ sz(least-id
+    // side)) was tried in r19 session 2: output identical at sf0.1
+    // and g1, but −0.5 s at sf0.1 (two pairs-sized orientation joins
+    // added) and WITHIN NOISE at g1 — this corpus's containment
+    // candidates are near-dups with near-equal sizes, so
+    // Σ min ≈ Σ sza and there is no volume to save. The idea only
+    // pays on corpora with size-skewed containment pairs (true
+    // small⊂big); OptProbe `containo` keeps the measured variant.
     val inter = cand
       .join(sh.select(col("doc_id").as("doc_a"), col("shh")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("shh")), Seq("doc_b", "shh"))

@@ -537,6 +537,57 @@ object OptProbe {
           }
         }
 
+      case "containo" =>
+        // r19 session 2: size-oriented recount (enumerate the SMALLER
+        // doc's shingles per pair) vs the shipped least-id-side
+        // recount, interleaved; identity check first. Measured and
+        // REJECTED: −0.5 s at sf0.1, within noise at g1 (this
+        // corpus's containment candidates are size-similar, so
+        // Σ min(sa,sb) ≈ Σ sza). Kept here as the reproducible record.
+        def orientedContainment: DataFrame = {
+          val docs = graft.Tables.documents(spark, sfDir)
+          val (memb, urep) = graft.queries.PipelineExtras.collapseExact(docs)
+          val st = graft.queries.PipelineExtras.containmentStagesUnique(urep)
+          val sizes = st.sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+          val candO = st.cand
+            .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sa")), "doc_a")
+            .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sb")), "doc_b")
+            .select(
+              when(col("sa") <= col("sb"), col("doc_a")).otherwise(col("doc_b")).as("dS"),
+              when(col("sa") <= col("sb"), col("doc_b")).otherwise(col("doc_a")).as("dB"))
+          val interO = candO
+            .join(st.sh.select(col("doc_id").as("dS"), col("shh")), "dS")
+            .join(st.sh.select(col("doc_id").as("dB"), col("shh")), Seq("dB", "shh"))
+            .groupBy(col("dS"), col("dB")).agg(count(lit(1)).as("inter"))
+            .select(least(col("dS"), col("dB")).as("doc_a"),
+              greatest(col("dS"), col("dB")).as("doc_b"), col("inter"))
+          val res = interO
+            .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sa")), "doc_a")
+            .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sb")), "doc_b")
+            .select(col("doc_a"), col("doc_b"),
+              round(col("inter").cast("double") /
+                least(col("sa"), col("sb")).cast("double"), 6).as("containment"))
+            .filter(col("containment") >= graft.queries.PipelineExtras.NGRAM_CONTAIN_MIN)
+          graft.queries.PipelineExtras.sameClusterPairs(memb, "containment")
+            .unionByName(graft.queries.PipelineExtras.expandPairs(res, memb, "containment"))
+            .orderBy("doc_a", "doc_b")
+        }
+        val newC = graft.SparkEntry.queries("q_dedup_containment")(spark, sfDir)
+          .collect().map(_.toString).toSeq
+        val oldC = orientedContainment.collect().map(_.toString).toSeq
+        println(s"[ab] containment identity: ${if (newC == oldC) "IDENTICAL" else "DIFFER"} " +
+          s"(${newC.size} rows)")
+        spark.catalog.clearCache()
+        for (r <- 1 to reps) {
+          Seq("containment_shipped" -> (() => graft.SparkEntry.queries("q_dedup_containment")(spark, sfDir)),
+              "containment_oriented" -> (() => orientedContainment)).foreach { case (n, mk) =>
+            val t0 = System.nanoTime()
+            val c = mk().count()
+            println(f"[ab] $n%-20s rep=$r ${(System.nanoTime() - t0) / 1e9}%6.3f rows=$c")
+            spark.catalog.clearCache()
+          }
+        }
+
       case "splits" =>
         def run(tag: String): Unit = {
           time(s"jaccard_$tag") {
